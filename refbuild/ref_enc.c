@@ -37,6 +37,10 @@ int main(int argc, char **argv) {
   int quality = atoi(argv[4]);
   int kf_freq = atoi(argv[5]);
   int bitrate = argc > 8 ? atoi(argv[8]) : 0;
+  int pw = argc > 9 ? atoi(argv[9]) : 0;
+  int ph = argc > 10 ? atoi(argv[10]) : 0;
+  int px = argc > 11 ? atoi(argv[11]) : 0;
+  int py = argc > 12 ? atoi(argv[12]) : 0;
   FILE *fin = fopen(argv[6], "rb");
   FILE *fout = fopen(argv[7], "wb");
   if (!fin || !fout) { perror("open"); return 1; }
@@ -46,9 +50,10 @@ int main(int argc, char **argv) {
   th_info_init(&ti);
   ti.frame_width = w;
   ti.frame_height = h;
-  ti.pic_width = w;
-  ti.pic_height = h;
-  ti.pic_x = ti.pic_y = 0;
+  ti.pic_width = pw ? pw : w;
+  ti.pic_height = ph ? ph : h;
+  ti.pic_x = px;
+  ti.pic_y = py;
   ti.fps_numerator = 30;
   ti.fps_denominator = 1;
   ti.aspect_numerator = 1;

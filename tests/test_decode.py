@@ -1,0 +1,40 @@
+"""Golden-stream decode conformance: bit-exact reconstruction vs the
+reference decoder's output on reference-encoder streams (SURVEY.md section 4:
+the conformance tests the reference itself lacks)."""
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import TESTDATA
+from theora_tpu.decode.decoder import Decoder
+from theora_tpu.headers import parse_info_header, parse_setup_header
+from theora_tpu.tpkt import read_tpkt
+
+STREAMS = [
+    "clip64x48_k1_q48",     # keyframe-only
+    "clip64x48_k8_q48",     # inter + MC
+    "clip64x48_k8_q20",     # loop filter active
+    "clip64x48_k8_q5",      # strong quant + loop filter
+    "cif_k4_q40",           # CIF inter
+    "cif_cbr",              # rate-controlled (dup frames possible)
+    "crop80x64",            # cropped picture region
+]
+
+
+@pytest.mark.parametrize("name", STREAMS)
+def test_bit_exact_decode(name):
+    pkts = read_tpkt(os.path.join(TESTDATA, f"{name}.tpkt"))
+    info = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
+    dec = Decoder(info, setup)
+    ref = np.fromfile(os.path.join(TESTDATA, f"{name}.ref.yuv"), dtype=np.uint8)
+    W, H = info.frame_width, info.frame_height
+    fsz = W * H + 2 * (W >> info.hdec) * (H >> info.vdec)
+    nframes = len(ref) // fsz
+    ref = ref.reshape(nframes, fsz)
+    for i, p in enumerate(pkts[3:]):
+        dec.decode_packet(p.data)
+        mine = np.concatenate([pl.reshape(-1) for pl in dec.ycbcr_out()])
+        assert np.array_equal(mine, ref[i]), f"{name} frame {i} not bit-exact"
+        assert dec.granpos == p.granulepos, f"{name} frame {i} granulepos"

@@ -1,0 +1,632 @@
+"""Frame decoder: bit-exact Theora decode over batched fragment tensors.
+
+Host tier: packet parsing, token streams, DC prediction (numpy).
+Compute tier: batched iDCT / reconstruction / loop filter; the numpy ops in
+theora_tpu/ops are the bit-exactness reference, with JAX/Pallas twins for
+TPU execution (theora_tpu/ops/*_jax.py).
+
+Frames are stored in bitstream orientation (row 0 = display bottom) in
+padded planes; see theora_tpu/geometry.py. Reference behavior:
+lib/decode.c (th_decode_packetin:2740-2986).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from theora_tpu.bitio import BitReader
+from theora_tpu.constants import (
+    FRAME_FOR_MODE,
+    FRAME_GOLD,
+    FRAME_NONE,
+    FRAME_PREV,
+    FRAME_SELF,
+    MB_MAP_IDXS,
+    MODE_ALPHABETS,
+    MODE_INTER_MV,
+    MODE_INTER_MV_FOUR,
+    MODE_INTER_MV_LAST,
+    MODE_INTER_MV_LAST2,
+    MODE_GOLDEN_MV,
+    MODE_INTRA,
+    MODE_INVALID,
+)
+from theora_tpu.decode.dcpred import dc_unpredict_plane
+from theora_tpu.decode.tokens import replay_coefficients, residual_tokens_unpack
+from theora_tpu.geometry import get_geometry
+from theora_tpu.headers import SetupInfo
+from theora_tpu.huffman import (
+    CLC_MODE_BOOK,
+    MV_CLC_BOOK,
+    MV_VLC_BOOK,
+    RUN_CODER,
+    VLC_MODE_BOOK,
+)
+from theora_tpu.info import INTRA_FRAME, INTER_FRAME, TheoraInfo
+from theora_tpu.ops.idct_np import dc_fill_batch, idct8x8_batch
+from theora_tpu.ops.loopfilter_np import build_bounding_values, loop_filter_plane
+from theora_tpu.quant import dequant_tables_init
+
+# Integer and half-pel components of MV offsets (state.c:901-928):
+# index by (precision, mv_component+31).
+_MVMAP = np.array(
+    [
+        [
+            -15, -15, -14, -14, -13, -13, -12, -12, -11, -11, -10, -10, -9,
+            -9, -8, -8, -7, -7, -6, -6, -5, -5, -4, -4, -3, -3, -2, -2, -1,
+            -1, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9,
+            9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+        ],
+        [
+            -7, -7, -7, -7, -6, -6, -6, -6, -5, -5, -5, -5, -4, -4, -4, -4,
+            -3, -3, -3, -3, -2, -2, -2, -2, -1, -1, -1, -1, 0, 0, 0, 0, 0,
+            0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5,
+            5, 6, 6, 6, 6, 7, 7, 7, 7,
+        ],
+    ],
+    dtype=np.int32,
+)
+_MVMAP2 = np.array(
+    [
+        [
+            -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0,
+            -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, 1, 0, 1, 0, 1,
+            0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0,
+            1, 0, 1, 0, 1,
+        ],
+        [
+            -1, -1, -1, 0, -1, -1, -1, 0, -1, -1, -1, 0, -1, -1, -1, 0, -1,
+            -1, -1, 0, -1, -1, -1, 0, -1, -1, -1, 0, -1, -1, -1, 0, 1, 1,
+            1, 0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 1,
+            0, 1, 1, 1, 0, 1, 1, 1,
+        ],
+    ],
+    dtype=np.int32,
+)
+
+
+def mv_offsets(dx: int, dy: int, qpx: int, qpy: int):
+    """MV -> one or two (dy, dx) integer offsets (state.c:846-957)."""
+    mx = int(_MVMAP[qpx][dx + 31])
+    mx2 = int(_MVMAP2[qpx][dx + 31])
+    my = int(_MVMAP[qpy][dy + 31])
+    my2 = int(_MVMAP2[qpy][dy + 31])
+    if mx2 or my2:
+        return (my, mx), (my + my2, mx + mx2)
+    return (my, mx), None
+
+
+class RefFrame:
+    """One reference frame: 3 padded uint8 planes in bitstream orientation."""
+
+    def __init__(self, geometry):
+        self.planes = []
+        for pli in range(3):
+            h, w = geometry.plane_shape(pli)
+            vpad, hpad = geometry.plane_padding(pli)
+            self.planes.append(np.zeros((h + 2 * vpad, w + 2 * hpad), dtype=np.uint8))
+        self.geometry = geometry
+
+    def fill_borders(self) -> None:
+        for pli, p in enumerate(self.planes):
+            vpad, hpad = self.geometry.plane_padding(pli)
+            h, w = self.geometry.plane_shape(pli)
+            # left/right replication (state.c:770-791)
+            p[vpad : vpad + h, :hpad] = p[vpad : vpad + h, hpad : hpad + 1]
+            p[vpad : vpad + h, hpad + w :] = p[vpad : vpad + h, hpad + w - 1 : hpad + w]
+            # top/bottom caps (state.c:799-822)
+            p[:vpad, :] = p[vpad : vpad + 1, :]
+            p[vpad + h :, :] = p[vpad + h - 1 : vpad + h, :]
+
+    def fill_gray(self) -> None:
+        for p in self.planes:
+            p.fill(0x80)
+
+
+class Decoder:
+    """Theora decoder (th_decode_* analogue)."""
+
+    def __init__(self, info: TheoraInfo, setup: SetupInfo):
+        info.validate()
+        self.info = info
+        self.setup = setup
+        self.geometry = get_geometry(
+            info.frame_width, info.frame_height, int(info.pixel_fmt)
+        )
+        self.dequant = dequant_tables_init(setup.qinfo)  # [64,3,2,64]
+        self.codebooks = setup.codebooks
+        g = self.geometry
+        # Three reconstruction buffers; indices per reference slot.
+        self.buffers = [RefFrame(g) for _ in range(3)]
+        self.ref_idx = {FRAME_GOLD: -1, FRAME_PREV: -1, FRAME_SELF: -1}
+        self.keyframe_num = 0
+        self.curframe_num = 0
+        self.granpos = -1
+        self.frame_type = -1
+        # Persistent per-fragment state (refi survives for DC prediction of
+        # skipped rows? no -- rebuilt per frame; dc/qii rebuilt per frame).
+        self._out_frame = None
+
+    # ------------------------------------------------------------------
+    def decode_packet(self, packet: bytes) -> int:
+        """Decode one data packet. Returns 0 on a new frame, 1 (DUPFRAME)
+        for a dropped/duplicate frame."""
+        g = self.geometry
+        info = self.info
+        nfrags = g.nfrags
+        if len(packet) == 0:
+            self.frame_type = INTER_FRAME
+            coded = np.zeros(nfrags, dtype=bool)
+            ncoded_total = 0
+            br = None
+        else:
+            br = BitReader(packet)
+            if br.read1() != 0:
+                raise ValueError("not a data packet")
+            self.frame_type = br.read1()
+            qis = [br.read(6)]
+            if br.read1():
+                qis.append(br.read(6))
+                if br.read1():
+                    qis.append(br.read(6))
+            self.qis = qis
+            if self.frame_type == INTRA_FRAME:
+                if br.read(3) != 0:
+                    raise ValueError("unsupported INTRA config bits")
+                coded = np.zeros(nfrags, dtype=bool)
+                coded[g.scan_fragis] = True
+                mb_modes = None
+            else:
+                coded, mb_luma_coded = self._coded_flags_unpack(br)
+            ncoded_total = int(coded.sum())
+
+        # Dummy gray reference if the stream starts on an inter frame
+        # (decode.c:2053-2080).
+        if self.frame_type != INTRA_FRAME and (
+            self.ref_idx[FRAME_GOLD] < 0 or self.ref_idx[FRAME_PREV] < 0
+        ):
+            self.buffers[0].fill_gray()
+            self.ref_idx[FRAME_GOLD] = 0
+            self.ref_idx[FRAME_PREV] = 0
+            self.ref_idx[FRAME_SELF] = 0
+            self._out_frame = self.buffers[0]
+
+        if ncoded_total <= 0:
+            # Dropped/duplicate frame (decode.c:2763-2772).
+            self._update_granpos()
+            return 1
+
+        # Select a free buffer for SELF (decode.c:2789-2794).
+        refi = 0
+        while refi in (self.ref_idx[FRAME_GOLD], self.ref_idx[FRAME_PREV]):
+            refi += 1
+        self.ref_idx[FRAME_SELF] = refi
+        self_frame = self.buffers[refi]
+
+        frag_refi = np.full(nfrags, FRAME_NONE, dtype=np.int32)
+        frag_mode = np.zeros(nfrags, dtype=np.int32)
+        frag_mv = np.zeros((nfrags, 2), dtype=np.int32)  # (dx, dy)
+        if self.frame_type == INTRA_FRAME:
+            self.keyframe_num = self.curframe_num
+            frag_refi[coded] = FRAME_SELF
+            frag_mode[coded] = MODE_INTRA
+        else:
+            mb_modes = self._mb_modes_unpack(br, mb_luma_coded)
+            self._mv_unpack_and_fill(
+                br, mb_modes, coded, frag_refi, frag_mode, frag_mv
+            )
+
+        frag_qii = self._block_qis_unpack(br, coded)
+
+        # Coded fragment lists per plane, in canonical scan order.
+        coded_fragis_per_plane = []
+        for pli in range(3):
+            sel = g.scan_pli == pli
+            fr = g.scan_fragis[sel]
+            coded_fragis_per_plane.append(fr[coded[fr]])
+        ncoded_per_plane = [len(f) for f in coded_fragis_per_plane]
+
+        streams = residual_tokens_unpack(
+            br, self.codebooks, ncoded_per_plane, coded_fragis_per_plane, nfrags
+        )
+        self._update_granpos()
+
+        # DC prediction reversal, per plane, row-scan (decode.c:1392-1500).
+        dc_full = streams.dc  # [nfrags]
+        pred_last = [[0, 0, 0] for _ in range(3)]
+        for pli in range(3):
+            pl = g.planes[pli]
+            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+            shape = (pl.nvfrags, pl.nhfrags)
+            dc_pl = dc_full[sl].reshape(shape)
+            dc_unpredict_plane(
+                coded[sl].reshape(shape),
+                frag_refi[sl].reshape(shape),
+                dc_pl,
+                pred_last[pli],
+            )
+            dc_full[sl] = dc_pl.reshape(-1)
+
+        # Condensed dequant tables for this frame's qis
+        # [3][nqis][2][64] (decode.c:1358-1365).
+        frame_dequant = np.stack(
+            [
+                np.stack([self.dequant[qi, pli] for qi in self.qis])
+                for pli in range(3)
+            ]
+        )
+
+        frag_is_inter = (frag_mode != MODE_INTRA).astype(np.int32)
+        coeffs, last_zzi, order = replay_coefficients(
+            streams, coded_fragis_per_plane, frame_dequant, frag_qii, frag_is_inter
+        )
+
+        # Batched residual computation.
+        dc_quant = frame_dequant[
+            g.frag_pli[order], 0, frag_is_inter[order], 0
+        ].astype(np.int64)
+        dcs = dc_full[order].astype(np.int64)
+        residual = np.empty((len(order), 8, 8), dtype=np.int32)
+        dc_only = last_zzi < 2
+        if dc_only.any():
+            residual[dc_only] = dc_fill_batch(dcs[dc_only], dc_quant[dc_only])
+        full = ~dc_only
+        if full.any():
+            c = coeffs[full]
+            c[:, 0] = ((dcs[full] * dc_quant[full] + 0x8000) % 0x10000 - 0x8000).astype(
+                np.int32
+            )
+            # int16 wraparound on all dequantized coefficients
+            c = ((c.astype(np.int64) + 0x8000) % 0x10000 - 0x8000).astype(np.int32)
+            residual[full] = idct8x8_batch(c.reshape(-1, 8, 8))
+
+        # Reconstruction (state.c:959-1000).
+        self._reconstruct(order, residual, frag_refi, frag_mv, self_frame)
+
+        # Copy uncoded fragments from PREV (decode.c:1598-1606).
+        prev_frame = self.buffers[self.ref_idx[FRAME_PREV]]
+        self._copy_uncoded(coded, prev_frame, self_frame)
+
+        # Loop filter (state.c:1055-1105).
+        flimit = self.setup.qinfo["loop_filter_limits"][self.qis[0]]
+        if flimit:
+            bv = build_bounding_values(flimit)
+            for pli in range(3):
+                pl = g.planes[pli]
+                sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+                loop_filter_plane(
+                    self_frame.planes[pli],
+                    coded[sl].reshape(pl.nvfrags, pl.nhfrags),
+                    bv,
+                )
+
+        self_frame.fill_borders()
+        self._out_frame = self_frame
+
+        # Reference rotation (decode.c:2947-2962).
+        if self.frame_type == INTRA_FRAME:
+            self.ref_idx[FRAME_GOLD] = refi
+            self.ref_idx[FRAME_PREV] = refi
+        else:
+            self.ref_idx[FRAME_PREV] = refi
+        return 0
+
+    # ------------------------------------------------------------------
+    def _update_granpos(self) -> None:
+        shift = self.info.keyframe_granule_shift
+        bias = 1  # streams are version 3.2.1 (state.c:748-752)
+        self.granpos = ((self.keyframe_num + bias) << shift) + (
+            self.curframe_num - self.keyframe_num
+        )
+        self.curframe_num += 1
+
+    # ------------------------------------------------------------------
+    def _coded_flags_unpack(self, br: BitReader):
+        """Partial/full SB flags + block runs (decode.c:523-671).
+
+        Returns (coded [nfrags] bool, mb_luma_coded [nmbs] bool)."""
+        g = self.geometry
+        nsbs = g.nsbs
+        sb_partial = np.zeros(nsbs, dtype=bool)
+        sb_full = np.zeros(nsbs, dtype=bool)
+        # partially-coded SB flags
+        flag = br.read1()
+        npartial = 0
+        sbi = 0
+        while sbi < nsbs:
+            run = RUN_CODER.read_sb_run(br)
+            full_run = run >= 4129
+            while run > 0 and sbi < nsbs:
+                sb_partial[sbi] = flag
+                npartial += flag
+                sbi += 1
+                run -= 1
+            if full_run and sbi < nsbs:
+                flag = br.read1()
+            else:
+                flag = not flag
+        # fully-coded SB flags for non-partial SBs
+        if npartial < nsbs:
+            sbi = 0
+            while sb_partial[sbi]:
+                sbi += 1
+            flag = br.read1()
+            while sbi < nsbs:
+                run = RUN_CODER.read_sb_run(br)
+                full_run = run >= 4129
+                while sbi < nsbs:
+                    if sb_partial[sbi]:
+                        sbi += 1
+                        continue
+                    if run <= 0:
+                        break
+                    sb_full[sbi] = flag
+                    sbi += 1
+                    run -= 1
+                if full_run and sbi < nsbs:
+                    flag = br.read1()
+                else:
+                    flag = not flag
+        # block-level flags within partial SBs
+        if npartial > 0:
+            flag = not br.read1()
+        else:
+            flag = False
+        coded = np.zeros(g.nfrags, dtype=bool)
+        mb_luma_coded = np.zeros(g.nmbs, dtype=bool)
+        run = 0
+        for i in range(len(g.scan_fragis)):
+            fragi = g.scan_fragis[i]
+            sbi = g.scan_sbi[i]
+            quadi = g.scan_quadi[i]
+            if sb_full[sbi]:
+                c = True
+            elif not sb_partial[sbi]:
+                c = False
+            else:
+                if run <= 0:
+                    run = RUN_CODER.read_block_run(br)
+                    flag = not flag
+                run -= 1
+                c = flag
+            coded[fragi] = c
+            if c and sbi < g.planes[0].nsbs:
+                mb_luma_coded[sbi << 2 | quadi] = True
+        return coded, mb_luma_coded
+
+    # ------------------------------------------------------------------
+    def _mb_modes_unpack(self, br: BitReader, mb_luma_coded: np.ndarray):
+        """(decode.c:702-739)"""
+        g = self.geometry
+        scheme = br.read(3)
+        if scheme == 0:
+            alphabet = np.zeros(8, dtype=np.int32)
+            for mi in range(8):
+                alphabet[br.read(3)] = MODE_ALPHABETS[6][mi]
+        else:
+            alphabet = MODE_ALPHABETS[scheme - 1]
+        book = CLC_MODE_BOOK if scheme == 7 else VLC_MODE_BOOK
+        mb_modes = np.where(g.mb_valid, 0, MODE_INVALID).astype(np.int32)
+        for mbi in range(g.nmbs):
+            if g.mb_valid[mbi] and mb_luma_coded[mbi]:
+                mb_modes[mbi] = alphabet[book.decode(br)]
+        return mb_modes
+
+    # ------------------------------------------------------------------
+    def _mv_unpack_and_fill(
+        self, br, mb_modes, coded, frag_refi, frag_mode, frag_mv
+    ):
+        """(decode.c:806-900)"""
+        g = self.geometry
+        pf = int(self.info.pixel_fmt)
+        map_idxs = MB_MAP_IDXS[pf]
+        book = MV_CLC_BOOK if br.read1() else MV_VLC_BOOK
+
+        def read_mv():
+            dx = book.decode(br) - 32
+            dy = book.decode(br) - 32
+            return dx, dy
+
+        def div_round(v, shift, rval):
+            return (v + (-1 if v < 0 else 0) + rval) >> shift
+
+        last_mv = (0, 0)
+        prior_mv = (0, 0)
+        for mbi in range(g.nmbs):
+            mode = int(mb_modes[mbi])
+            if mode == MODE_INVALID:
+                continue
+            if mode == MODE_INTER_MV_FOUR:
+                lbmvs = [(0, 0)] * 4
+                prior_mv = last_mv
+                for bi in range(4):
+                    fragi = g.mb_maps[mbi, 0, bi]
+                    if fragi >= 0 and coded[fragi]:
+                        mv = read_mv()
+                        last_mv = mv
+                        lbmvs[bi] = mv
+                        frag_refi[fragi] = FRAME_PREV
+                        frag_mode[fragi] = MODE_INTER_MV_FOUR
+                        frag_mv[fragi] = mv
+                # Chroma MVs (state.c:33-97)
+                cbmvs = [(0, 0)] * 4
+                if pf == 0:
+                    dx = sum(v[0] for v in lbmvs)
+                    dy = sum(v[1] for v in lbmvs)
+                    cbmvs[0] = (div_round(dx, 2, 2), div_round(dy, 2, 2))
+                elif pf == 2:
+                    for k, (a, b) in enumerate(((0, 1), (2, 3))):
+                        dx = lbmvs[a][0] + lbmvs[b][0]
+                        dy = lbmvs[a][1] + lbmvs[b][1]
+                        cbmvs[k * 2] = (div_round(dx, 1, 1), div_round(dy, 1, 1))
+                elif pf == 1:
+                    for k, (a, b) in enumerate(((0, 2), (1, 3))):
+                        dx = lbmvs[a][0] + lbmvs[b][0]
+                        dy = lbmvs[a][1] + lbmvs[b][1]
+                        cbmvs[k] = (div_round(dx, 1, 1), div_round(dy, 1, 1))
+                else:
+                    cbmvs = list(lbmvs)
+                for mapii in range(4, len(map_idxs)):
+                    mapi = map_idxs[mapii]
+                    bi = mapi & 3
+                    fragi = g.mb_maps[mbi, mapi >> 2, bi]
+                    if fragi >= 0 and coded[fragi]:
+                        frag_refi[fragi] = FRAME_PREV
+                        frag_mode[fragi] = MODE_INTER_MV_FOUR
+                        frag_mv[fragi] = cbmvs[bi]
+            else:
+                if mode == MODE_INTER_MV:
+                    prior_mv = last_mv
+                    mbmv = read_mv()
+                    last_mv = mbmv
+                elif mode == MODE_INTER_MV_LAST:
+                    mbmv = last_mv
+                elif mode == MODE_INTER_MV_LAST2:
+                    mbmv = prior_mv
+                    prior_mv = last_mv
+                    last_mv = mbmv
+                elif mode == MODE_GOLDEN_MV:
+                    mbmv = read_mv()
+                else:
+                    mbmv = (0, 0)
+                refi = FRAME_FOR_MODE[mode]
+                for mapii in range(len(map_idxs)):
+                    mapi = map_idxs[mapii]
+                    fragi = g.mb_maps[mbi, mapi >> 2, mapi & 3]
+                    if fragi >= 0 and coded[fragi]:
+                        frag_refi[fragi] = refi
+                        frag_mode[fragi] = mode
+                        frag_mv[fragi] = mbmv
+
+    # ------------------------------------------------------------------
+    def _block_qis_unpack(self, br, coded):
+        """(decode.c:902-981)"""
+        g = self.geometry
+        frag_qii = np.zeros(g.nfrags, dtype=np.int32)
+        nqis = len(self.qis)
+        coded_order = []
+        for pli in range(3):
+            sel = g.scan_pli == pli
+            fr = g.scan_fragis[sel]
+            coded_order.append(fr[coded[fr]])
+        coded_order = (
+            np.concatenate(coded_order) if coded_order else np.zeros(0, np.int32)
+        )
+        n = len(coded_order)
+        if n == 0 or nqis == 1:
+            return frag_qii
+        qii = np.zeros(n, dtype=np.int32)
+        flag = br.read1()
+        nqi1 = 0
+        i = 0
+        while i < n:
+            run = RUN_CODER.read_sb_run(br)
+            full_run = run >= 4129
+            while run > 0 and i < n:
+                qii[i] = flag
+                nqi1 += flag
+                i += 1
+                run -= 1
+            if full_run and i < n:
+                flag = br.read1()
+            else:
+                flag = not flag
+        if nqis == 3 and nqi1 > 0:
+            i = 0
+            while qii[i] == 0:
+                i += 1
+            flag = br.read1()
+            while i < n:
+                run = RUN_CODER.read_sb_run(br)
+                full_run = run >= 4129
+                while i < n:
+                    if qii[i] == 0:
+                        i += 1
+                        continue
+                    if run <= 0:
+                        break
+                    qii[i] += flag
+                    i += 1
+                    run -= 1
+                if full_run and i < n:
+                    flag = br.read1()
+                else:
+                    flag = not flag
+        frag_qii[coded_order] = qii
+        return frag_qii
+
+    # ------------------------------------------------------------------
+    def _reconstruct(self, order, residual, frag_refi, frag_mv, self_frame):
+        """Batched per-fragment reconstruction (state.c:959-1000,
+        fragment.c:49-80)."""
+        g = self.geometry
+        info = self.info
+        for pli in range(3):
+            pl = g.planes[pli]
+            sel = (g.frag_pli[order] == pli)
+            if not sel.any():
+                continue
+            idx = np.where(sel)[0]
+            fragis = order[idx]
+            res = residual[idx]
+            vpad, hpad = g.plane_padding(pli)
+            fy = g.frag_y[fragis] * 8 + vpad
+            fx = g.frag_x[fragis] * 8 + hpad
+            dst = self_frame.planes[pli]
+            refi = frag_refi[fragis]
+            intra_m = refi == FRAME_SELF
+            ay = fy[:, None, None] + np.arange(8)[None, :, None]
+            ax = fx[:, None, None] + np.arange(8)[None, None, :]
+            out = np.empty((len(fragis), 8, 8), dtype=np.int32)
+            # Intra: residual + 128
+            if intra_m.any():
+                out[intra_m] = res[intra_m] + 128
+            # Inter: gather reference block(s)
+            inter_m = ~intra_m
+            if inter_m.any():
+                qpx = 1 if (pli != 0 and not (info.pixel_fmt & 1)) else 0
+                qpy = 1 if (pli != 0 and not (info.pixel_fmt & 2)) else 0
+                ii = np.where(inter_m)[0]
+                for i in ii:
+                    ref_frame = self.buffers[self.ref_idx[int(refi[i])]]
+                    src = ref_frame.planes[pli]
+                    dx, dy = int(frag_mv[fragis[i], 0]), int(frag_mv[fragis[i], 1])
+                    o1, o2 = mv_offsets(dx, dy, qpx, qpy)
+                    y0, x0 = int(fy[i]) + o1[0], int(fx[i]) + o1[1]
+                    blk = src[y0 : y0 + 8, x0 : x0 + 8].astype(np.int32)
+                    if o2 is not None:
+                        y1, x1 = int(fy[i]) + o2[0], int(fx[i]) + o2[1]
+                        blk2 = src[y1 : y1 + 8, x1 : x1 + 8].astype(np.int32)
+                        blk = (blk + blk2) >> 1
+                    out[i] = res[i] + blk
+            np.clip(out, 0, 255, out=out)
+            dst[ay, ax] = out.astype(np.uint8)
+
+    # ------------------------------------------------------------------
+    def _copy_uncoded(self, coded, prev_frame, self_frame):
+        g = self.geometry
+        for pli in range(3):
+            pl = g.planes[pli]
+            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+            cm = coded[sl].reshape(pl.nvfrags, pl.nhfrags)
+            if cm.all():
+                continue
+            vpad, hpad = g.plane_padding(pli)
+            src = prev_frame.planes[pli]
+            dst = self_frame.planes[pli]
+            ys, xs = np.where(~cm)
+            for y, x in zip(ys, xs):
+                py, px = vpad + y * 8, hpad + x * 8
+                dst[py : py + 8, px : px + 8] = src[py : py + 8, px : px + 8]
+
+    # ------------------------------------------------------------------
+    def ycbcr_out(self):
+        """Full-frame planes in display orientation (top-down), like
+        th_decode_ycbcr_out (decode.c:2988-2992)."""
+        out = []
+        frame = self._out_frame
+        for pli in range(3):
+            vpad, hpad = self.geometry.plane_padding(pli)
+            h, w = self.geometry.plane_shape(pli)
+            p = frame.planes[pli][vpad : vpad + h, hpad : hpad + w]
+            out.append(p[::-1].copy())
+        return out
