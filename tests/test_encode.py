@@ -1,0 +1,67 @@
+"""Encoder conformance: our packets must decode bit-identically in our own
+decoder (closed loop) and carry correct granule positions. Cross-validation
+against the reference decoder binary happens in refbuild (see
+tools/crosscheck.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import TESTDATA
+from theora_tpu.decode.decoder import Decoder
+from theora_tpu.encode.encoder import Encoder
+from theora_tpu.headers import (
+    parse_info_header,
+    parse_setup_header,
+)
+from theora_tpu.info import TheoraInfo
+
+
+def _load_clip(name, W, H):
+    raw = np.fromfile(os.path.join(TESTDATA, name), dtype=np.uint8)
+    fsz = W * H + 2 * (W // 2) * (H // 2)
+    n = len(raw) // fsz
+    frames = []
+    for i in range(n):
+        f = raw[i * fsz : (i + 1) * fsz]
+        frames.append(
+            [
+                f[: W * H].reshape(H, W),
+                f[W * H : W * H + W * H // 4].reshape(H // 2, W // 2),
+                f[W * H + W * H // 4 :].reshape(H // 2, W // 2),
+            ]
+        )
+    return frames
+
+
+@pytest.mark.parametrize("quality,kf_freq", [(48, 1), (20, 1), (48, 4)])
+def test_encode_decode_closed_loop(quality, kf_freq):
+    W, H = 64, 48
+    frames = _load_clip("clip64x48.i420", W, H)[:4]
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=quality,
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = kf_freq
+    pkts = enc.flush_headers()
+    for i, fr in enumerate(frames):
+        pkts.append(enc.encode_frame(fr, e_o_s=(i == len(frames) - 1)))
+
+    dinfo = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
+    dec = Decoder(dinfo, setup)
+    for i, p in enumerate(pkts[3:]):
+        dec.decode_packet(p.data)
+        assert dec.granpos == p.granulepos
+        out = dec.ycbcr_out()
+        # The encoder's embedded decoder state must match an independent
+        # decode of the stream.
+        for pli in range(3):
+            enc_recon = enc._dec.ycbcr_out()[pli] if i == len(frames) - 1 else None
+            if enc_recon is not None:
+                assert np.array_equal(out[pli], enc_recon)
+        # Sanity: reconstruction should be reasonably close to the input.
+        err = out[0].astype(float) - frames[i][0].astype(float)
+        psnr = 10 * np.log10(255.0**2 / max(np.mean(err**2), 1e-9))
+        assert psnr > 28.0, f"frame {i} PSNR {psnr}"

@@ -1,0 +1,691 @@
+"""Theora encoder (th_encode_* analogue).
+
+Host tier: bitstream packing, token streams, DC prediction.
+Compute tier: batched fDCT/quantize (numpy reference ops; JAX/Pallas twins
+under theora_tpu/ops/).
+
+The encoder is closed-loop through the decoder: each packed packet is decoded
+by an embedded theora_tpu Decoder to produce the reconstructed reference
+frames, guaranteeing encoder/decoder state sync by construction (the
+reference instead duplicates the reconstruction in the encoder,
+analyze.c:667-882).
+
+Reference behavior: lib/encode.c (oc_enc_frame_pack:908-935,
+th_encode_ycbcr_in:1640-1784).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from theora_tpu.bitio import BitWriter
+from theora_tpu.constants import (
+    FRAME_NONE,
+    FRAME_SELF,
+    HUFF_LIST_MAX,
+    MODE_INTRA,
+    DCT_TOKEN_EXTRA_BITS,
+)
+from theora_tpu.decode.dcpred import dc_predict_plane_enc
+from theora_tpu.decode.decoder import Decoder
+from theora_tpu.encode.tokenize import TokenLog
+from theora_tpu.geometry import get_geometry
+from theora_tpu.headers import (
+    SetupInfo,
+    pack_comment_header,
+    pack_info_header,
+    pack_setup_header,
+)
+from theora_tpu.huffman import Codebook
+from theora_tpu.info import INTRA_FRAME, INTER_FRAME, TheoraInfo
+from theora_tpu.ops.fdct_np import fdct8x8_batch, quantize_batch
+from theora_tpu.quant import dequant_tables_init
+from theora_tpu import tables
+from theora_tpu.tpkt import Packet
+
+# Super-block run codes (encode.c:383-388).
+_SB_RUN_VAL_MIN = [1, 2, 4, 6, 10, 18, 34, 4130]
+_SB_RUN_CODE_PREFIX = [0, 4, 0xC, 0x38, 0xF0, 0x3E0, 0x3F000]
+_SB_RUN_CODE_NBITS = [1, 3, 4, 6, 8, 10, 18]
+
+# Block run codes (encode.c:433-441).
+_BLOCK_RUN_CODE_NBITS = [2, 2, 3, 3, 4, 4, 6, 6, 6, 6, 7, 7, 7, 7] + [9] * 16
+_BLOCK_RUN_CODE_PATTERN = [
+    0x000, 0x001, 0x004, 0x005, 0x00C, 0x00D, 0x038,
+    0x039, 0x03A, 0x03B, 0x078, 0x079, 0x07A, 0x07B, 0x1F0,
+    0x1F1, 0x1F2, 0x1F3, 0x1F4, 0x1F5, 0x1F6, 0x1F7, 0x1F8,
+    0x1F9, 0x1FA, 0x1FB, 0x1FC, 0x1FD, 0x1FE, 0x1FF,
+]
+
+
+def sb_run_pack(bw: BitWriter, run: int, flag: int, done: bool) -> None:
+    """(encode.c:405-421)"""
+    if run >= 4129:
+        while run >= 4129:
+            bw.write(0x3FFFF, 18)
+            run -= 4129
+            if run > 0:
+                bw.write(flag, 1)
+            elif not done:
+                bw.write(0 if flag else 1, 1)
+        if run <= 0:
+            return
+    i = 0
+    while run >= _SB_RUN_VAL_MIN[i + 1]:
+        i += 1
+    bw.write(_SB_RUN_CODE_PREFIX[i] + run - _SB_RUN_VAL_MIN[i], _SB_RUN_CODE_NBITS[i])
+
+
+def block_run_pack(bw: BitWriter, run: int) -> None:
+    bw.write(_BLOCK_RUN_CODE_PATTERN[run - 1], _BLOCK_RUN_CODE_NBITS[run - 1])
+
+
+def _book_to_codes(book: Codebook, n: int) -> list[tuple[int, int]]:
+    per = [(0, 0)] * n
+    for t, p, nb in book.codes:
+        if per[t] == (0, 0):
+            per[t] = (p, nb)
+    return per
+
+
+class Encoder:
+    """Theora encoder; v1 supports intra frames and basic inter coding."""
+
+    def __init__(
+        self,
+        info: TheoraInfo,
+        qinfo: dict | None = None,
+        huff_codes: list[list[tuple[int, int]]] | None = None,
+    ):
+        info.validate()
+        self.info = info
+        self.qinfo = qinfo if qinfo is not None else tables.DEF_QUANT_INFO
+        self.huff_codes = (
+            huff_codes if huff_codes is not None else tables.VP31_HUFF_CODES
+        )
+        self.geometry = get_geometry(
+            info.frame_width, info.frame_height, int(info.pixel_fmt)
+        )
+        self.dequant = dequant_tables_init(self.qinfo)
+        # Embedded decoder for closed-loop reconstruction.
+        books = [Codebook([(t, p, n) for t, (p, n) in enumerate(tb)])
+                 for tb in self.huff_codes]
+        self._setup = SetupInfo(qinfo=self.qinfo, codebooks=books)
+        self._dec = Decoder(info, self._setup)
+        self.qi = max(0, min(63, info.quality))
+        self.curframe_num = -1
+        self.keyframe_num = 0
+        self.packetno = 0
+        self.keyframe_freq = 64
+        self._frames_since_keyframe = -1
+        self.granpos = -1
+        self._prev_orig = None
+        self._gold_orig = None
+        self._frag_mv4 = np.zeros((self.geometry.nfrags, 2), dtype=np.int32)
+
+    # ------------------------------------------------------------------
+    def flush_headers(self) -> list[Packet]:
+        pkts = [
+            Packet(pack_info_header(self.info), b_o_s=True, granulepos=0,
+                   packetno=0),
+            Packet(pack_comment_header(), granulepos=0, packetno=1),
+            Packet(pack_setup_header(self.qinfo, self.huff_codes),
+                   granulepos=0, packetno=2),
+        ]
+        self.packetno = 3
+        return pkts
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, ycbcr: list[np.ndarray], e_o_s: bool = False) -> Packet:
+        """Encode one frame (display-orientation planes) -> Packet."""
+        self.curframe_num += 1
+        self._frames_since_keyframe += 1
+        is_key = (
+            self.curframe_num == 0
+            or self._frames_since_keyframe >= self.keyframe_freq
+        )
+        if is_key:
+            self._frames_since_keyframe = 0
+        # Flip to bitstream orientation.
+        planes = [p[::-1].astype(np.uint8) for p in ycbcr]
+        if is_key:
+            data = self._encode_intra(planes)
+            self.keyframe_num = self.curframe_num
+        else:
+            data = self._encode_inter(planes)
+        # Track original frames for motion estimation (the *_ORIG refs,
+        # mcenc.c:314-316).
+        self._prev_orig = planes
+        if is_key:
+            self._gold_orig = planes
+        # Feed the packet through the embedded decoder to update refs.
+        self._dec.decode_packet(data)
+        shift = self.info.keyframe_granule_shift
+        self.granpos = ((self.keyframe_num + 1) << shift) + (
+            self.curframe_num - self.keyframe_num
+        )
+        pkt = Packet(
+            data,
+            granulepos=self.granpos,
+            packetno=self.packetno,
+            e_o_s=e_o_s,
+        )
+        self.packetno += 1
+        return pkt
+
+    # ------------------------------------------------------------------
+    def _frame_header_pack(self, bw: BitWriter, frame_type: int, qis) -> None:
+        bw.write(0, 1)
+        bw.write(frame_type, 1)
+        bw.write(qis[0], 6)
+        if len(qis) > 1:
+            bw.write(1, 1)
+            bw.write(qis[1], 6)
+            if len(qis) > 2:
+                bw.write(1, 1)
+                bw.write(qis[2], 6)
+            else:
+                bw.write(0, 1)
+        else:
+            bw.write(0, 1)
+        if frame_type == INTRA_FRAME:
+            bw.write(0, 3)
+
+    # ------------------------------------------------------------------
+    def _transform_quantize(self, planes, coded, frag_refi, residual_fn):
+        """fDCT + quantize all coded fragments; returns per-plane qdct
+        arrays in scan layout plus the DC-residual token vectors.
+
+        residual_fn(pli, fragis) -> [n, 8, 8] int16 residual blocks.
+        """
+        g = self.geometry
+        qi = self.qi
+        out = {}
+        for pli in range(3):
+            pl = g.planes[pli]
+            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+            coded_pl = coded[sl]
+            fragis = np.where(coded_pl)[0] + pl.froffset
+            if len(fragis) == 0:
+                out[pli] = (fragis, np.zeros((0, 64), np.int32))
+                continue
+            res = residual_fn(pli, fragis)
+            dct = fdct8x8_batch(res)
+            qti = (frag_refi[fragis] != FRAME_SELF).astype(np.int32)
+            qdct = np.empty_like(dct)
+            for t in (0, 1):
+                m = qti == t
+                if m.any():
+                    qdct[m] = quantize_batch(
+                        dct[m], self.dequant[qi, pli, t]
+                    )
+            out[pli] = (fragis, qdct)
+        return out
+
+    # ------------------------------------------------------------------
+    def _encode_intra(self, planes) -> bytes:
+        g = self.geometry
+        info = self.info
+        nfrags = g.nfrags
+        coded = np.zeros(nfrags, dtype=bool)
+        coded[g.scan_fragis] = True
+        frag_refi = np.full(nfrags, FRAME_SELF, dtype=np.int32)
+
+        def residual(pli, fragis):
+            pl = g.planes[pli]
+            p = planes[pli]
+            fy = g.frag_y[fragis] * 8
+            fx = g.frag_x[fragis] * 8
+            ay = fy[:, None, None] + np.arange(8)[None, :, None]
+            ax = fx[:, None, None] + np.arange(8)[None, None, :]
+            return p[ay, ax].astype(np.int32) - 128
+
+        per_plane = self._transform_quantize(planes, coded, frag_refi, residual)
+
+        # DC prediction per plane (raster order), then tokenize in coded
+        # (scan) order.
+        log = TokenLog()
+        for pli in range(3):
+            pl = g.planes[pli]
+            fragis, qdct = per_plane[pli]
+            shape = (pl.nvfrags, pl.nhfrags)
+            dc_plane = np.zeros(shape, dtype=np.int32)
+            local = fragis - pl.froffset
+            dc_plane.reshape(-1)[local] = qdct[:, 0]
+            coded_plane = np.zeros(shape, dtype=bool)
+            coded_plane.reshape(-1)[local] = True
+            refi_plane = np.full(shape, FRAME_SELF, dtype=np.int32)
+            pred = dc_predict_plane_enc(
+                coded_plane, refi_plane, dc_plane, [0, 0, 0]
+            )
+            dc_resid = pred.reshape(-1)
+            # scan order within this plane
+            sel = g.scan_pli == pli
+            scan = g.scan_fragis[sel]
+            scan = scan[coded[scan]]
+            qdct_by_frag = np.zeros((pl.nfrags, 64), dtype=np.int32)
+            qdct_by_frag[local] = qdct
+            for fragi in scan:
+                li = fragi - pl.froffset
+                vec = qdct_by_frag[li].copy()
+                vec[0] = dc_resid[li]
+                log.tokenize_block(pli, vec)
+        log.finish()
+
+        bw = BitWriter()
+        self._frame_header_pack(bw, INTRA_FRAME, [self.qi])
+        self._residual_tokens_pack(bw, log, INTRA_FRAME)
+        return bw.bytes()
+
+    # ------------------------------------------------------------------
+    def _encode_inter(self, planes) -> bytes:
+        """Inter frame: ME + mode decision + skip + pack
+        (analyze.c:2288-2711 in spirit; v1 uses simplified heuristics)."""
+        from theora_tpu.constants import (
+            FRAME_FOR_MODE,
+            FRAME_GOLD,
+            FRAME_PREV,
+            MODE_GOLDEN_NOMV,
+            MODE_INTER_MV,
+            MODE_INTER_MV_LAST,
+            MODE_INTER_MV_LAST2,
+            MODE_INTER_NOMV,
+        )
+        from theora_tpu.decode.decoder import mv_offsets
+        from theora_tpu.encode import mcenc
+
+        g = self.geometry
+        info = self.info
+        nfrags = g.nfrags
+
+        # --- Motion estimation on the luma plane (original refs) ----------
+        cur_y = planes[0]
+        prev_o = self._pad_plane(self._prev_orig[0])
+        gold_o = self._pad_plane(self._gold_orig[0])
+        mb_list = np.where(g.mb_valid)[0]
+        # MB top-left in luma pixels: from the MB's block 0 fragment.
+        mb_fy = g.frag_y[g.mb_maps[mb_list, 0, 0]] * 8
+        mb_fx = g.frag_x[g.mb_maps[mb_list, 0, 0]] * 8
+        full_mvs, _ = mcenc.full_pel_search(cur_y, prev_o, mb_fy, mb_fx)
+        mvs, sad_mv = mcenc.half_pel_refine(cur_y, prev_o, full_mvs, mb_fy, mb_fx)
+        sad_nomv = mcenc._per_mb_sad(
+            cur_y, prev_o, np.zeros(len(mb_list), int), np.zeros(len(mb_list), int),
+            mb_fy, mb_fx,
+        )
+        sad_gold = mcenc._per_mb_sad(
+            cur_y, gold_o, np.zeros(len(mb_list), int), np.zeros(len(mb_list), int),
+            mb_fy, mb_fx,
+        )
+        # Crude intra cost: deviation from per-block means.
+        ay = mb_fy[:, None, None] + np.arange(16)[None, :, None]
+        ax = mb_fx[:, None, None] + np.arange(16)[None, None, :]
+        blocks = cur_y[ay, ax].astype(np.int32).reshape(len(mb_list), 4, 8, 8)
+        blocks = cur_y[ay, ax].astype(np.int32)
+        b8 = (
+            blocks.reshape(len(mb_list), 2, 8, 2, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(len(mb_list), 4, 64)
+        )
+        sad_intra = (
+            np.abs(b8 - b8.mean(axis=2, keepdims=True).astype(np.int32))
+            .sum(axis=(1, 2))
+            .astype(np.int64)
+        )
+
+        # --- Mode decision with MV-predictor state machine ----------------
+        mb_modes = np.full(g.nmbs, 0, dtype=np.int32)
+        mb_mvs = np.zeros((g.nmbs, 2), dtype=np.int32)
+        last_mv = (0, 0)
+        prior_mv = (0, 0)
+        for i, mbi in enumerate(mb_list):
+            mv = (int(mvs[i, 0]), int(mvs[i, 1]))
+            costs = {
+                MODE_INTER_NOMV: int(sad_nomv[i]),
+                MODE_INTRA: int(sad_intra[i]) + 350,
+                MODE_GOLDEN_NOMV: int(sad_gold[i]) + 80,
+            }
+            if mv != (0, 0):
+                mv_cost = 160
+                mode_for_mv = MODE_INTER_MV
+                if mv == last_mv:
+                    mv_cost = 48
+                    mode_for_mv = MODE_INTER_MV_LAST
+                elif mv == prior_mv:
+                    mv_cost = 64
+                    mode_for_mv = MODE_INTER_MV_LAST2
+                costs[mode_for_mv] = int(sad_mv[i]) + mv_cost
+            mode = min(costs, key=costs.get)
+            mb_modes[mbi] = mode
+            if mode == MODE_INTER_MV:
+                mb_mvs[mbi] = mv
+                prior_mv = last_mv
+                last_mv = mv
+            elif mode == MODE_INTER_MV_LAST:
+                mb_mvs[mbi] = last_mv
+            elif mode == MODE_INTER_MV_LAST2:
+                mb_mvs[mbi] = prior_mv
+                prior_mv, last_mv = last_mv, prior_mv
+        # NOTE: the decoder's last/prior state only advances on transmitted
+        # modes; MBs that end up with no coded luma blocks don't transmit.
+        # We conservatively avoid LAST/LAST2 modes becoming untransmitted by
+        # keeping all luma blocks of MV-mode MBs coded (see skip rule).
+
+        # --- Per-fragment mode/MV/refi fill -------------------------------
+        frag_refi = np.full(nfrags, FRAME_NONE, dtype=np.int32)
+        frag_mode = np.zeros(nfrags, dtype=np.int32)
+        frag_mv = np.zeros((nfrags, 2), dtype=np.int32)
+        for mbi in mb_list:
+            mode = int(mb_modes[mbi])
+            refi = int(FRAME_FOR_MODE[mode])
+            for pli in range(3):
+                for bi in range(4):
+                    fragi = g.mb_maps[mbi, pli, bi]
+                    if fragi >= 0:
+                        frag_refi[fragi] = refi
+                        frag_mode[fragi] = mode
+                        frag_mv[fragi] = mb_mvs[mbi]
+
+        # --- Transform + quantize + skip ----------------------------------
+        prev_rec = self._dec.buffers[self._dec.ref_idx[FRAME_PREV]]
+        gold_rec = self._dec.buffers[self._dec.ref_idx[FRAME_GOLD]]
+
+        def residual(pli, fragis):
+            p = planes[pli]
+            vpad, hpad = g.plane_padding(pli)
+            qpx = 1 if (pli != 0 and not (info.pixel_fmt & 1)) else 0
+            qpy = 1 if (pli != 0 and not (info.pixel_fmt & 2)) else 0
+            out = np.empty((len(fragis), 8, 8), dtype=np.int32)
+            for j, fragi in enumerate(fragis):
+                fy = g.frag_y[fragi] * 8
+                fx = g.frag_x[fragi] * 8
+                cur = p[fy : fy + 8, fx : fx + 8].astype(np.int32)
+                if frag_refi[fragi] == FRAME_SELF:
+                    out[j] = cur - 128
+                    continue
+                ref = (
+                    prev_rec if frag_refi[fragi] == FRAME_PREV else gold_rec
+                ).planes[pli]
+                o1, o2 = mv_offsets(
+                    int(frag_mv[fragi, 0]), int(frag_mv[fragi, 1]), qpx, qpy
+                )
+                y0, x0 = fy + vpad + o1[0], fx + hpad + o1[1]
+                blk = ref[y0 : y0 + 8, x0 : x0 + 8].astype(np.int32)
+                if o2 is not None:
+                    y1, x1 = fy + vpad + o2[0], fx + hpad + o2[1]
+                    blk = (blk + ref[y1 : y1 + 8, x1 : x1 + 8].astype(np.int32)) >> 1
+                out[j] = cur - blk
+            return out
+
+        # First pass: everything potentially coded.
+        coded = np.zeros(nfrags, dtype=bool)
+        coded[g.scan_fragis] = True
+        coded &= frag_refi != FRAME_NONE
+        per_plane = self._transform_quantize(planes, coded, frag_refi, residual)
+
+        # Skip rule: NOMV-predicted blocks with all-zero coefficients are
+        # left uncoded (identical to the PREV copy the decoder performs).
+        nomv_modes = (MODE_INTER_NOMV,)
+        for pli in range(3):
+            fragis, qdct = per_plane[pli]
+            if len(fragis) == 0:
+                continue
+            allzero = (qdct == 0).all(axis=1)
+            skip = allzero & np.isin(frag_mode[fragis], nomv_modes)
+            if skip.any():
+                coded[fragis[skip]] = False
+                per_plane[pli] = (fragis[~skip], qdct[~skip])
+
+        ncoded_total = int(coded.sum())
+        if ncoded_total == 0:
+            return b""  # 0-byte dup-frame packet (encode.c:926-928)
+
+        # Uncoded fragments keep FRAME_NONE so DC prediction skips them.
+        frag_refi[~coded] = FRAME_NONE
+
+        # --- DC prediction + tokenization ---------------------------------
+        log = TokenLog()
+        for pli in range(3):
+            pl = g.planes[pli]
+            fragis, qdct = per_plane[pli]
+            shape = (pl.nvfrags, pl.nhfrags)
+            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+            dc_plane = np.zeros(shape, dtype=np.int32)
+            local = fragis - pl.froffset
+            dc_plane.reshape(-1)[local] = qdct[:, 0]
+            coded_plane = coded[sl].reshape(shape)
+            refi_plane = frag_refi[sl].reshape(shape)
+            dc_resid = dc_predict_plane_enc(
+                coded_plane, refi_plane, dc_plane, [0, 0, 0]
+            ).reshape(-1)
+            qdct_by_frag = np.zeros((pl.nfrags, 64), dtype=np.int32)
+            qdct_by_frag[local] = qdct
+            sel = g.scan_pli == pli
+            scan = g.scan_fragis[sel]
+            scan = scan[coded[scan]]
+            for fragi in scan:
+                li = fragi - pl.froffset
+                vec = qdct_by_frag[li].copy()
+                vec[0] = dc_resid[li]
+                log.tokenize_block(pli, vec)
+        log.finish()
+
+        # --- Packing -------------------------------------------------------
+        bw = BitWriter()
+        self._frame_header_pack(bw, INTER_FRAME, [self.qi])
+        self._coded_flags_pack(bw, coded)
+        mb_luma_coded = np.zeros(g.nmbs, dtype=bool)
+        for mbi in mb_list:
+            for bi in range(4):
+                fragi = g.mb_maps[mbi, 0, bi]
+                if fragi >= 0 and coded[fragi]:
+                    mb_luma_coded[mbi] = True
+        coded_mbis = [mbi for mbi in range(g.nmbs) if mb_luma_coded[mbi]]
+        self._mb_modes_pack(bw, mb_modes, coded_mbis)
+        self._mvs_pack(bw, mb_modes, mb_mvs, coded_mbis, coded)
+        self._residual_tokens_pack(bw, log, INTER_FRAME)
+        return bw.bytes()
+
+    # ------------------------------------------------------------------
+    def _pad_plane(self, plane: np.ndarray, pad: int = 16) -> np.ndarray:
+        return np.pad(plane, pad, mode="edge")
+
+    # ------------------------------------------------------------------
+    def _coded_flags_pack(self, bw: BitWriter, coded: np.ndarray) -> None:
+        """(encode.c:487-589)"""
+        g = self.geometry
+        # SB classification.
+        sb_any = np.zeros(g.nsbs, dtype=bool)
+        sb_all = np.ones(g.nsbs, dtype=bool)
+        for i in range(len(g.scan_fragis)):
+            c = coded[g.scan_fragis[i]]
+            sbi = g.scan_sbi[i]
+            sb_any[sbi] |= c
+            sb_all[sbi] &= c
+        has_frags = np.zeros(g.nsbs, dtype=bool)
+        has_frags[g.scan_sbi] = True
+        sb_partial = sb_any & ~(sb_all & has_frags)
+        sb_full = sb_all & has_frags & ~sb_partial
+        # partial flags
+        flag = int(sb_partial[0])
+        bw.write(flag, 1)
+        sbi = 0
+        while sbi < g.nsbs:
+            run = 0
+            while sbi < g.nsbs and int(sb_partial[sbi]) == flag:
+                run += 1
+                sbi += 1
+            sb_run_pack(bw, run, flag, sbi >= g.nsbs)
+            flag = 1 - flag
+        # full flags (for non-partial SBs)
+        if sb_partial.sum() < g.nsbs:
+            order = [s for s in range(g.nsbs) if not sb_partial[s]]
+            flag = int(sb_full[order[0]])
+            bw.write(flag, 1)
+            i = 0
+            while i < len(order):
+                run = 0
+                while i < len(order) and int(sb_full[order[i]]) == flag:
+                    run += 1
+                    i += 1
+                sb_run_pack(bw, run, flag, i >= len(order))
+                flag = 1 - flag
+        # block flags within partial SBs
+        if sb_partial.any():
+            scan_sel = sb_partial[g.scan_sbi]
+            flags = coded[g.scan_fragis[scan_sel]].astype(int)
+            flag = int(flags[0])
+            bw.write(flag, 1)
+            i = 0
+            while i < len(flags):
+                run = 0
+                while i < len(flags) and flags[i] == flag:
+                    run += 1
+                    i += 1
+                # Runs cannot exceed 30: a partial SB has <= 15 same-flag
+                # blocks, and a run can span at most 2 partial SBs
+                # (encode.c:425-452).
+                assert run <= 30, "impossible block run length"
+                block_run_pack(bw, run)
+                flag = 1 - flag
+        self._sb_partial = sb_partial
+
+    # ------------------------------------------------------------------
+    def _mb_modes_pack(self, bw: BitWriter, mb_modes, coded_mbis) -> None:
+        """Scheme selection by exact bit count + emission
+        (encode.c:591-621)."""
+        from theora_tpu.constants import MODE_ALPHABETS
+
+        vlc_bits = [1, 2, 3, 4, 5, 6, 7, 7]
+        hist = np.zeros(8, dtype=np.int64)
+        for mbi in coded_mbis:
+            hist[mb_modes[mbi]] += 1
+        # Scheme 0: custom ranking by descending frequency.
+        order0 = np.argsort(-hist, kind="stable")
+        ranks0 = np.empty(8, dtype=np.int64)
+        ranks0[order0] = np.arange(8)
+        cost0 = 24 + int(sum(hist[m] * vlc_bits[ranks0[m]] for m in range(8)))
+        costs = [cost0]
+        for scheme in range(1, 7):
+            alpha = MODE_ALPHABETS[scheme - 1]
+            rank = {int(alpha[r]): r for r in range(8)}
+            costs.append(int(sum(hist[m] * vlc_bits[rank[m]] for m in range(8))))
+        costs.append(3 * int(hist.sum()))  # scheme 7 CLC
+        scheme = int(np.argmin(costs))
+        bw.write(scheme, 3)
+        if scheme == 0:
+            for m in range(8):
+                bw.write(int(ranks0[m]), 3)
+            rank = {m: int(ranks0[m]) for m in range(8)}
+        elif scheme == 7:
+            rank = {m: m for m in range(8)}
+        else:
+            alpha = MODE_ALPHABETS[scheme - 1]
+            rank = {int(alpha[r]): r for r in range(8)}
+        vlc_codes = [0b0, 0b10, 0b110, 0b1110, 0b11110, 0b111110, 0b1111110,
+                     0b1111111]
+        for mbi in coded_mbis:
+            r = rank[int(mb_modes[mbi])]
+            if scheme == 7:
+                bw.write(r, 3)
+            else:
+                bw.write(vlc_codes[r], vlc_bits[r])
+
+    # ------------------------------------------------------------------
+    def _mvs_pack(self, bw: BitWriter, mb_modes, mb_mvs, coded_mbis, coded) -> None:
+        """(encode.c:623-683)"""
+        from theora_tpu.constants import (
+            MODE_GOLDEN_MV,
+            MODE_INTER_MV,
+            MODE_INTER_MV_FOUR,
+        )
+        from theora_tpu.huffman import MV_VLC_BOOK
+
+        # Build encode tables from the decode books.
+        if not hasattr(self, "_mv_vlc_codes"):
+            codes = {}
+            for t, p, n in MV_VLC_BOOK.codes:
+                codes.setdefault(t - 32, (p, n))
+            self._mv_vlc_codes = codes
+        g = self.geometry
+        mvs_to_code = []
+        for mbi in coded_mbis:
+            mode = int(mb_modes[mbi])
+            if mode in (MODE_INTER_MV, MODE_GOLDEN_MV):
+                mvs_to_code.append(tuple(mb_mvs[mbi]))
+            elif mode == MODE_INTER_MV_FOUR:
+                for bi in range(4):
+                    fragi = g.mb_maps[mbi, 0, bi]
+                    if fragi >= 0 and coded[fragi]:
+                        mvs_to_code.append(
+                            (int(self._frag_mv4[fragi, 0]),
+                             int(self._frag_mv4[fragi, 1]))
+                        )
+        vlc_total = sum(
+            self._mv_vlc_codes[dx][1] + self._mv_vlc_codes[dy][1]
+            for dx, dy in mvs_to_code
+        )
+        clc_total = 12 * len(mvs_to_code)
+        scheme = 1 if clc_total < vlc_total else 0
+        bw.write(scheme, 1)
+        for dx, dy in mvs_to_code:
+            for v in (dx, dy):
+                if scheme == 0:
+                    p, n = self._mv_vlc_codes[v]
+                    bw.write(p, n)
+                else:
+                    bw.write(2 * abs(v) + (1 if v < 0 else 0), 6)
+
+    # ------------------------------------------------------------------
+    def _residual_tokens_pack(self, bw: BitWriter, log: TokenLog, ftype) -> None:
+        """Huffman table selection + token emission (encode.c:816-863)."""
+        neb = DCT_TOKEN_EXTRA_BITS
+
+        def count_bits(counts, hgi):
+            bits = np.zeros(16, dtype=np.int64)
+            for huffi in range(16):
+                nb = np.array(
+                    [self.huff_codes[huffi + (hgi << 4)][t][1] for t in range(32)]
+                )
+                bits[huffi] = int((counts * nb).sum())
+            return bits
+
+        # DC group.
+        cy, cc = log.count_tokens(0, 1)
+        huff_y = int(np.argmin(count_bits(cy, 0)))
+        huff_c = int(np.argmin(count_bits(cc, 0)))
+        bw.write(huff_y, 4)
+        bw.write(huff_c, 4)
+        self._emit_group(bw, log, 0, 1, [huff_y, huff_c])
+        # AC groups share one index pair across all 4 groups.
+        bits_y = np.zeros(16, dtype=np.int64)
+        bits_c = np.zeros(16, dtype=np.int64)
+        for hgi in range(1, 5):
+            cy, cc = log.count_tokens(HUFF_LIST_MAX[hgi - 1], HUFF_LIST_MAX[hgi])
+            bits_y += count_bits(cy, hgi)
+            bits_c += count_bits(cc, hgi)
+        huff_y = int(np.argmin(bits_y))
+        huff_c = int(np.argmin(bits_c))
+        bw.write(huff_y, 4)
+        bw.write(huff_c, 4)
+        for hgi in range(1, 5):
+            self._emit_group(
+                bw,
+                log,
+                HUFF_LIST_MAX[hgi - 1],
+                HUFF_LIST_MAX[hgi],
+                [huff_y + (hgi << 4), huff_c + (hgi << 4)],
+            )
+
+    def _emit_group(self, bw, log, zzi_start, zzi_end, huff_idxs) -> None:
+        neb = DCT_TOKEN_EXTRA_BITS
+        for zzi in range(zzi_start, zzi_end):
+            for pli in range(3):
+                codes = self.huff_codes[huff_idxs[(pli + 1) >> 1]]
+                offs = int(log.token_offs[pli, zzi])
+                toks = log.tokens[pli][zzi]
+                ebs = log.ebs[pli][zzi]
+                for ti in range(offs, len(toks)):
+                    t = toks[ti]
+                    pattern, nbits = codes[t]
+                    bw.write(pattern, nbits)
+                    if neb[t]:
+                        bw.write(ebs[ti], int(neb[t]))

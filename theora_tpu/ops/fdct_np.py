@@ -1,0 +1,114 @@
+"""Batched forward 8x8 DCT matching the reference encoder's integer
+transform (fdct.c:20-154). Host/numpy tier; JAX twin in fdct_jax.py.
+
+Output is in ZIG-ZAG order, scaled x4 vs orthonormal, with the reference's
+working-precision biases and rounding.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from theora_tpu.constants import (
+    C1S7,
+    C2S6,
+    C3S5,
+    C4S4,
+    C5S3,
+    C6S2,
+    C7S1,
+    ZIGZAG_TO_NAT,
+)
+
+
+def _i16(x: np.ndarray) -> np.ndarray:
+    return ((x + 0x8000) & 0xFFFF) - 0x8000
+
+
+def fdct8(x: np.ndarray) -> np.ndarray:
+    """1-D 8-point fDCT over the last axis (fdct.c:27-120).
+
+    int64 in (int16-range values), int64 out (int16 wrapped)."""
+    t0 = x[..., 0] + x[..., 7]
+    t7 = x[..., 0] - x[..., 7]
+    t1 = x[..., 1] + x[..., 6]
+    t6 = x[..., 1] - x[..., 6]
+    t2 = x[..., 2] + x[..., 5]
+    t5 = x[..., 2] - x[..., 5]
+    t3 = x[..., 3] + x[..., 4]
+    t4 = x[..., 3] - x[..., 4]
+    # Stage 2
+    r = t0 + t3
+    t3 = t0 - t3
+    t0 = r
+    r = t1 + t2
+    t2 = t1 - t2
+    t1 = r
+    r = t6 + t5
+    t5 = t6 - t5
+    t6 = r
+    # Stage 3
+    s = ((27146 * t5 + 0xB500) >> 16) + t5 + (t5 != 0) >> 1
+    r = t4 + s
+    t5 = t4 - s
+    t4 = r
+    s = ((27146 * t6 + 0xB500) >> 16) + t6 + (t6 != 0) >> 1
+    r = t7 + s
+    t6 = t7 - s
+    t7 = r
+    # Stage 4
+    r = ((27146 * t0 + 0x4000) >> 16) + t0 + (t0 != 0)
+    s = ((27146 * t1 + 0xB500) >> 16) + t1 + (t1 != 0)
+    u = r + s >> 1
+    v = r - u
+    y0 = u
+    y4 = v
+    u = ((C6S2 * t2 + C2S6 * t3 + 0x6CB7) >> 16) + (t3 != 0)
+    s = ((C6S2 * u) >> 16) - t2
+    v = ((s * 21600 + 0x2800) >> 18) + s + (s != 0)
+    y2 = u
+    y6 = v
+    u = ((C5S3 * t6 + C3S5 * t5 + 0x0E3D) >> 16) + (t5 != 0)
+    s = t6 - ((C5S3 * u) >> 16)
+    v = ((s * 26568 + 0x3400) >> 17) + s + (s != 0)
+    y5 = u
+    y3 = v
+    u = ((C7S1 * t4 + C1S7 * t7 + 0x7B1B) >> 16) + (t7 != 0)
+    s = ((C7S1 * u) >> 16) - t4
+    v = ((s * 20539 + 0x3000) >> 20) + s + (s != 0)
+    y1 = u
+    y7 = v
+    return _i16(np.stack([y0, y1, y2, y3, y4, y5, y6, y7], axis=-1))
+
+
+def fdct8x8_batch(res: np.ndarray) -> np.ndarray:
+    """[N, 8, 8] residuals -> [N, 64] zig-zag-order DCT coefficients
+    (fdct.c:128-154)."""
+    w = res.astype(np.int64) << 2
+    # Systematic-error biases (fdct.c:134-141); w is [N, row, col], the C
+    # flat indices 0, 1, 8 are (0,0), (0,1), (1,0).
+    w[:, 0, 0] += (w[:, 0, 0] != 0) + 1
+    w[:, 0, 1] += 1
+    w[:, 1, 0] -= 1
+    # Transform columns of w into rows of y: oc_fdct8 reads every 8th entry
+    # (a column) and writes 8 consecutive entries (a row).
+    y = fdct8(np.swapaxes(w, -1, -2))      # y[i] = fdct(col i of w)
+    # y currently [N, col_index, 8]; C's _y layout: row i = transform of
+    # column i, i.e. _y[i*8+j]. Second pass transforms columns of _y.
+    w2 = fdct8(np.swapaxes(y, -1, -2))     # w2[i] = fdct(col i of y)
+    # w2[i][j] == C w[i*8+j]; final: out[zzi] = w[ZIGZAG_TO_NAT[zzi]] + 2 >> 2
+    flat = w2.reshape(w2.shape[0], 64)
+    out = _i16(flat[:, ZIGZAG_TO_NAT[:64]] + 2 >> 2)
+    return out.astype(np.int32)
+
+
+def quantize_batch(dct_zz: np.ndarray, dequant_zz: np.ndarray) -> np.ndarray:
+    """Round-to-nearest quantizer, ties away from zero (enquant.c:220-249).
+
+    dct_zz: [N, 64] zig-zag coefficients; dequant_zz: [64] or [N, 64].
+    Returns [N, 64] quantized values.
+    """
+    d = dequant_zz.astype(np.int64)
+    v2 = np.abs(dct_zz.astype(np.int64)) << 1
+    q = (v2 + d) // (2 * d)
+    q = np.where(v2 >= d, q, 0)
+    return (np.sign(dct_zz) * q).astype(np.int32)
