@@ -3,12 +3,22 @@ import sys
 
 # Hermetic CPU-only JAX for tests: an 8-device virtual mesh exercises the
 # multi-chip sharding paths without TPU hardware (SURVEY.md section 4).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Note: the environment's TPU plugin may force jax_platforms via config at
+# interpreter start (sitecustomize), so overriding the env var alone is not
+# enough -- fix the config after import too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+try:
+    import jax
+
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
