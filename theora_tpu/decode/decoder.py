@@ -15,6 +15,7 @@ import numpy as np
 
 from theora_tpu.bitio import BitReader
 from theora_tpu.constants import (
+    ZIGZAG_TO_NAT,
     FRAME_FOR_MODE,
     FRAME_GOLD,
     FRAME_NONE,
@@ -43,7 +44,8 @@ from theora_tpu.huffman import (
 )
 from theora_tpu.info import INTRA_FRAME, INTER_FRAME, TheoraInfo
 from theora_tpu.ops.idct_np import dc_fill_batch, idct8x8_batch
-from theora_tpu.ops.loopfilter_np import build_bounding_values, loop_filter_plane
+from theora_tpu.ops.loopfilter_np import build_bounding_values
+from theora_tpu.ops.loopfilter_vec import loop_filter_plane_vec
 from theora_tpu.quant import dequant_tables_init
 
 # Integer and half-pel components of MV offsets (state.c:901-928):
@@ -123,9 +125,14 @@ class RefFrame:
 
 
 class Decoder:
-    """Theora decoder (th_decode_* analogue)."""
+    """Theora decoder (th_decode_* analogue).
 
-    def __init__(self, info: TheoraInfo, setup: SetupInfo):
+    Entropy decoding uses the native C++ tier when available (falling back
+    to the Python tier); pixel reconstruction runs through the batched ops
+    in theora_tpu/ops.
+    """
+
+    def __init__(self, info: TheoraInfo, setup: SetupInfo, use_native=True):
         info.validate()
         self.info = info
         self.setup = setup
@@ -145,6 +152,14 @@ class Decoder:
         # Persistent per-fragment state (refi survives for DC prediction of
         # skipped rows? no -- rebuilt per frame; dc/qii rebuilt per frame).
         self._out_frame = None
+        self._native = None
+        if use_native:
+            try:
+                from theora_tpu.native import NativeEntropy
+
+                self._native = NativeEntropy(self.codebooks)
+            except Exception:
+                self._native = None
 
     # ------------------------------------------------------------------
     def decode_packet(self, packet: bytes) -> int:
@@ -225,13 +240,30 @@ class Decoder:
             coded_fragis_per_plane.append(fr[coded[fr]])
         ncoded_per_plane = [len(f) for f in coded_fragis_per_plane]
 
-        streams = residual_tokens_unpack(
-            br, self.codebooks, ncoded_per_plane, coded_fragis_per_plane, nfrags
+        order = (
+            np.concatenate(coded_fragis_per_plane).astype(np.int32)
+            if ncoded_total
+            else np.zeros(0, np.int32)
         )
+        if self._native is not None:
+            qz, last_zzi, dc_coded, _end = self._native.decode_frame_tokens(
+                packet, br.pos, ncoded_per_plane
+            )
+            qz = qz.astype(np.int32)
+            dc_full = np.zeros(nfrags, dtype=np.int32)
+            dc_full[order] = dc_coded
+        else:
+            streams = residual_tokens_unpack(
+                br, self.codebooks, ncoded_per_plane, coded_fragis_per_plane,
+                nfrags,
+            )
+            qz, last_zzi, order = replay_coefficients(
+                streams, coded_fragis_per_plane
+            )
+            dc_full = streams.dc  # [nfrags]
         self._update_granpos()
 
         # DC prediction reversal, per plane, row-scan (decode.c:1392-1500).
-        dc_full = streams.dc  # [nfrags]
         pred_last = [[0, 0, 0] for _ in range(3)]
         for pli in range(3):
             pl = g.planes[pli]
@@ -254,13 +286,13 @@ class Decoder:
                 for pli in range(3)
             ]
         )
-
         frag_is_inter = (frag_mode != MODE_INTRA).astype(np.int32)
-        coeffs, last_zzi, order = replay_coefficients(
-            streams, coded_fragis_per_plane, frame_dequant, frag_qii, frag_is_inter
-        )
 
-        # Batched residual computation.
+        # Per-fragment dequant rows (zig-zag) and batched dequantization.
+        deq_rows = frame_dequant[
+            g.frag_pli[order], frag_qii[order], frag_is_inter[order]
+        ].astype(np.int64)
+        # DC always dequantizes with qii=0 (decode.c:1530).
         dc_quant = frame_dequant[
             g.frag_pli[order], 0, frag_is_inter[order], 0
         ].astype(np.int64)
@@ -271,13 +303,14 @@ class Decoder:
             residual[dc_only] = dc_fill_batch(dcs[dc_only], dc_quant[dc_only])
         full = ~dc_only
         if full.any():
-            c = coeffs[full]
-            c[:, 0] = ((dcs[full] * dc_quant[full] + 0x8000) % 0x10000 - 0x8000).astype(
-                np.int32
-            )
-            # int16 wraparound on all dequantized coefficients
-            c = ((c.astype(np.int64) + 0x8000) % 0x10000 - 0x8000).astype(np.int32)
-            residual[full] = idct8x8_batch(c.reshape(-1, 8, 8))
+            deq = qz[full].astype(np.int64) * deq_rows[full]
+            deq[:, 0] = dcs[full] * dc_quant[full]
+            # int16 wraparound on all dequantized coefficients, then
+            # de-zig-zag into natural order.
+            deq = ((deq + 0x8000) % 0x10000 - 0x8000).astype(np.int32)
+            nat = np.zeros_like(deq)
+            nat[:, ZIGZAG_TO_NAT[:64]] = deq
+            residual[full] = idct8x8_batch(nat.reshape(-1, 8, 8))
 
         # Reconstruction (state.c:959-1000).
         self._reconstruct(order, residual, frag_refi, frag_mv, self_frame)
@@ -293,7 +326,7 @@ class Decoder:
             for pli in range(3):
                 pl = g.planes[pli]
                 sl = slice(pl.froffset, pl.froffset + pl.nfrags)
-                loop_filter_plane(
+                loop_filter_plane_vec(
                     self_frame.planes[pli],
                     coded[sl].reshape(pl.nvfrags, pl.nhfrags),
                     bv,

@@ -127,37 +127,30 @@ def residual_tokens_unpack(
 def replay_coefficients(
     streams: TokenStreams,
     coded_fragis_per_plane: list[np.ndarray],
-    dequant: np.ndarray,          # [3][nqis][2][64] uint16 (zigzag order)
-    frag_qii: np.ndarray,         # [nfrags]
-    frag_is_inter: np.ndarray,    # [nfrags] bool (qti)
 ):
     """Replay token streams per coded fragment (decode.c:1531-1586).
 
-    Returns (coeffs, last_zzi, order) where
-      coeffs: [ncoded_total, 64] int32 dequantized coefficients in natural
-        order (DC slot holds the *un-dequantized* predicted DC; callers apply
-        dc_quant per the frag_recon semantics),
+    Returns (qcoeffs, last_zzi, order) where
+      qcoeffs: [ncoded_total, 64] int32 quantized coefficients at their
+        final zig-zag positions (dequantization happens downstream with the
+        per-position factors),
       last_zzi: [ncoded_total] int32,
       order: [ncoded_total] int32 fragment indices (coded order).
     """
     total = sum(len(f) for f in coded_fragis_per_plane)
-    coeffs = np.zeros((total, 65), dtype=np.int32)
+    qcoeffs = np.zeros((total, 64), dtype=np.int32)
     last_zzis = np.zeros(total, dtype=np.int32)
     order = np.concatenate(
         [f for f in coded_fragis_per_plane]
     ).astype(np.int32) if total else np.zeros(0, dtype=np.int32)
-    fzig = ZIGZAG_TO_NAT
     out_i = 0
     for pli in range(3):
         toks = streams.tokens[pli]
         ebl = streams.ebs[pli]
         ti = [0] * 64
         eob_runs = streams.eob_start[pli].copy()
-        for fragi in coded_fragis_per_plane[pli]:
-            qii = int(frag_qii[fragi])
-            qti = int(frag_is_inter[fragi])
-            ac_quant = dequant[pli][qii][qti]
-            row = coeffs[out_i]
+        for _fragi in coded_fragis_per_plane[pli]:
+            row = qcoeffs[out_i]
             zzi = 0
             last_zzi = 0
             while zzi < 64:
@@ -172,10 +165,9 @@ def replay_coefficients(
                 eob_runs[zzi] = t_eobs
                 zzi += rlen
                 if zzi < 64:
-                    row[fzig[zzi]] = coeff * int(ac_quant[zzi])
-                else:
-                    row[64] = 0  # overflow dump slot (bogus streams)
+                    row[zzi] = coeff
+                # else: overflow dump (bogus streams), dropped
                 zzi += 1 if t_eobs == 0 else 0
             last_zzis[out_i] = last_zzi
             out_i += 1
-    return coeffs[:, :64], last_zzis, order
+    return qcoeffs, last_zzis, order

@@ -1,0 +1,150 @@
+"""Native (C++) entropy tier: builds and loads the shared library on demand
+via ctypes. Falls back to the pure-Python tier when unavailable."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "build", "libtheora_entropy.so")
+_SRC = os.path.join(_DIR, "entropy.cpp")
+
+_lib = None
+
+
+def _build() -> None:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+        check=True,
+        capture_output=True,
+    )
+
+
+def get_lib():
+    """Load (building if needed) the native entropy library, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+            _SRC
+        ):
+            _build()
+        lib = ctypes.CDLL(_SO)
+    except Exception:
+        return None
+    lib.th_entropy_create.restype = ctypes.c_void_p
+    lib.th_entropy_create.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.th_entropy_destroy.argtypes = [ctypes.c_void_p]
+    lib.th_decode_frame_tokens.restype = ctypes.c_int64
+    lib.th_decode_frame_tokens.argtypes = [
+        ctypes.c_void_p,  # ctx
+        ctypes.c_void_p,  # packet
+        ctypes.c_int64,   # packet_len
+        ctypes.c_int64,   # bit_offset
+        ctypes.c_void_p,  # ncoded[3]
+        ctypes.c_void_p,  # qcoeffs out
+        ctypes.c_void_p,  # last_zzi out
+        ctypes.c_void_p,  # dc out
+    ]
+    lib.th_encode_frame_tokens.restype = ctypes.c_int64
+    lib.th_encode_frame_tokens.argtypes = [
+        ctypes.c_void_p,  # vecs
+        ctypes.c_void_p,  # ncoded[3]
+        ctypes.c_void_p,  # huff_codes
+        ctypes.c_void_p,  # prefix
+        ctypes.c_int64,   # prefix_bits
+        ctypes.c_void_p,  # out
+        ctypes.c_int64,   # cap
+    ]
+    _lib = lib
+    return _lib
+
+
+class NativeEntropy:
+    """ctypes wrapper around the C++ entropy codec."""
+
+    def __init__(self, codebooks):
+        """codebooks: list of 80 Codebook objects (theora_tpu.huffman)."""
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native entropy library unavailable")
+        self._lib = lib
+        codes = np.zeros((80, 32, 3), dtype=np.int32)
+        ncodes = np.zeros(80, dtype=np.int32)
+        for b, book in enumerate(codebooks):
+            for i, (t, p, n) in enumerate(book.codes):
+                codes[b, i] = (t, p, n)
+            ncodes[b] = len(book.codes)
+        self._codes = np.ascontiguousarray(codes)
+        self._ncodes = np.ascontiguousarray(ncodes)
+        self._ctx = lib.th_entropy_create(
+            self._codes.ctypes.data, self._ncodes.ctypes.data
+        )
+
+    def __del__(self):
+        if getattr(self, "_ctx", None):
+            self._lib.th_entropy_destroy(self._ctx)
+            self._ctx = None
+
+    def decode_frame_tokens(self, packet: bytes, bit_offset: int, ncoded):
+        """Returns (qcoeffs [total,64] int16 zig-zag, last_zzi [total],
+        dc [total], end_bitpos)."""
+        total = int(sum(ncoded))
+        nc = np.asarray(ncoded, dtype=np.int64)
+        qcoeffs = np.zeros((max(total, 1), 64), dtype=np.int16)
+        last_zzi = np.zeros(max(total, 1), dtype=np.int32)
+        dc = np.zeros(max(total, 1), dtype=np.int32)
+        buf = np.frombuffer(packet, dtype=np.uint8)
+        end = self._lib.th_decode_frame_tokens(
+            self._ctx,
+            buf.ctypes.data,
+            len(packet),
+            bit_offset,
+            nc.ctypes.data,
+            qcoeffs.ctypes.data,
+            last_zzi.ctypes.data,
+            dc.ctypes.data,
+        )
+        if end < 0:
+            raise ValueError("native token decode failed")
+        return qcoeffs[:total], last_zzi[:total], dc[:total], int(end)
+
+
+class NativeTokenPacker:
+    """Encode-side: tokenize + residual section packing in C++."""
+
+    def __init__(self, huff_codes):
+        """huff_codes: [80][32] of (pattern, nbits)."""
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native entropy library unavailable")
+        self._lib = lib
+        arr = np.zeros((80, 32, 2), dtype=np.int32)
+        for b in range(80):
+            for t in range(32):
+                arr[b, t] = huff_codes[b][t]
+        self._codes = np.ascontiguousarray(arr)
+
+    def pack_frame(self, vecs: np.ndarray, ncoded, prefix: bytes, prefix_bits: int) -> bytes:
+        vecs = np.ascontiguousarray(vecs, dtype=np.int16)
+        nc = np.asarray(ncoded, dtype=np.int64)
+        cap = 64 + prefix_bits // 8 + vecs.size * 4
+        out = np.zeros(cap, dtype=np.uint8)
+        pre = np.frombuffer(prefix, dtype=np.uint8) if prefix else np.zeros(1, np.uint8)
+        n = self._lib.th_encode_frame_tokens(
+            vecs.ctypes.data,
+            nc.ctypes.data,
+            self._codes.ctypes.data,
+            pre.ctypes.data,
+            prefix_bits,
+            out.ctypes.data,
+            cap,
+        )
+        if n < 0:
+            raise ValueError("native token pack failed")
+        return out[:n].tobytes()

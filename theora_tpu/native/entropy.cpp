@@ -1,0 +1,596 @@
+// Native host-side entropy codec for theora_tpu.
+//
+// This is the production tier for the bit-serial work the TPU cannot do:
+// Huffman token decode/encode and bitstream pack/unpack. The structure
+// mirrors the Python host tier (theora_tpu/decode/tokens.py,
+// theora_tpu/encode/tokenize.py), which serves as its test oracle; both
+// follow the per-(plane, zigzag) token-stream layout of the format
+// (decode.c:1141-1162 in the reference).
+//
+// Pure C ABI (loaded via ctypes). No Python.h dependency.
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- bit I/O
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbits;
+  int64_t pos;
+  bool eof;
+
+  void init(const uint8_t* d, int64_t nbytes) {
+    data = d;
+    nbits = nbytes * 8;
+    pos = 0;
+    eof = false;
+  }
+  // MSB-first read; zero bits past EOF (bitpack.c:30-70).
+  uint32_t read(int bits) {
+    if (bits == 0) return 0;
+    uint32_t v = 0;
+    for (int i = 0; i < bits; i++) {
+      int64_t p = pos + i;
+      int b = (p < nbits) ? ((data[p >> 3] >> (7 - (p & 7))) & 1) : 0;
+      v = (v << 1) | (uint32_t)b;
+    }
+    pos += bits;
+    if (pos > nbits) eof = true;
+    return v;
+  }
+  // Fast multi-bit peek (zero padded).
+  uint32_t peek(int bits) const {
+    uint32_t v = 0;
+    for (int i = 0; i < bits; i++) {
+      int64_t p = pos + i;
+      int b = (p < nbits) ? ((data[p >> 3] >> (7 - (p & 7))) & 1) : 0;
+      v = (v << 1) | (uint32_t)b;
+    }
+    return v;
+  }
+};
+
+struct BitWriter {
+  std::vector<uint8_t> buf;
+  uint64_t cur = 0;
+  int curbits = 0;
+
+  void write(uint32_t value, int bits) {
+    if (bits <= 0) return;
+    cur = (cur << bits) | (value & ((bits >= 32) ? 0xFFFFFFFFu : ((1u << bits) - 1)));
+    curbits += bits;
+    while (curbits >= 8) {
+      curbits -= 8;
+      buf.push_back((uint8_t)((cur >> curbits) & 0xFF));
+    }
+    cur &= (1ull << curbits) - 1;
+  }
+  void flush() {
+    if (curbits) {
+      buf.push_back((uint8_t)((cur << (8 - curbits)) & 0xFF));
+      cur = 0;
+      curbits = 0;
+    }
+  }
+};
+
+// ------------------------------------------------------------- Huffman LUT
+// Two-level LUT per codebook: root ROOT_BITS wide; entries:
+//   >0: ((nbits<<8)|token)+1 for short codes
+//   <0: -(index into long-code chain start)  [handled linearly: rare]
+constexpr int ROOT_BITS = 10;
+
+struct Codebook {
+  int32_t lut[1 << ROOT_BITS];   // packed as above; 0 = long code
+  // Long codes (len > ROOT_BITS): linear list.
+  struct Long { uint32_t pattern; int nbits; int token; };
+  std::vector<Long> longs;
+
+  int decode(BitReader& br) const {
+    uint32_t p = br.peek(ROOT_BITS);
+    int32_t e = lut[p];
+    if (e) {
+      e -= 1;
+      br.pos += (e >> 8);
+      if (br.pos > br.nbits) { /* virtual zero bits consumed */ }
+      return e & 0xFF;
+    }
+    // Long code: extend bit by bit.
+    uint32_t code = p;
+    int nb = ROOT_BITS;
+    while (nb < 33) {
+      for (const Long& L : longs)
+        if (L.nbits == nb && L.pattern == code) {
+          br.pos += nb;
+          return L.token;
+        }
+      int64_t q = br.pos + nb;
+      int b = (q < br.nbits) ? ((br.data[q >> 3] >> (7 - (q & 7))) & 1) : 0;
+      code = (code << 1) | (uint32_t)b;
+      nb++;
+    }
+    return -1;
+  }
+};
+
+// Extra bits per spec token (internal.c:82-95).
+const int TOKEN_EB[32] = {0, 0, 0, 2, 3, 4, 12, 3, 6, 0, 0, 0, 0,
+                          1, 1, 1, 1, 2, 3, 4, 5, 6, 10,
+                          1, 1, 1, 1, 1, 3, 4, 2, 3};
+
+constexpr int64_t EOB_FINISH = 1ll << 60;
+
+// token+eb -> (eobs, rlen, coeff); see theora_tpu/huffman.py expand_token.
+inline void expand_token(int t, int eb, int64_t* eobs, int* rlen, int* coeff) {
+  *eobs = 0; *rlen = 0; *coeff = 0;
+  if (t < 3) { *eobs = t + 1; return; }
+  if (t == 3) { *eobs = 4 + eb; return; }
+  if (t == 4) { *eobs = 8 + eb; return; }
+  if (t == 5) { *eobs = 16 + eb; return; }
+  if (t == 6) { *eobs = eb ? eb : EOB_FINISH; return; }
+  if (t == 7 || t == 8) { *rlen = eb; return; }
+  if (t < 13) { static const int v[4] = {1, -1, 2, -2}; *coeff = v[t - 9]; return; }
+  if (t < 17) { int m = 3 + t - 13; *coeff = eb ? -m : m; return; }
+  if (t < 23) {
+    static const int nb[6] = {1, 2, 3, 4, 5, 9};
+    static const int base[6] = {7, 9, 13, 21, 37, 69};
+    int k = t - 17;
+    int m = base[k] + (eb & ((1 << nb[k]) - 1));
+    *coeff = (eb >> nb[k]) ? -m : m;
+    return;
+  }
+  if (t < 28) { *rlen = t - 22; *coeff = eb ? -1 : 1; return; }
+  if (t == 28) { *rlen = 6 + (eb & 3); *coeff = (eb >> 2) ? -1 : 1; return; }
+  if (t == 29) { *rlen = 10 + (eb & 7); *coeff = (eb >> 3) ? -1 : 1; return; }
+  if (t == 30) { int m = 2 + (eb & 1); *rlen = 1; *coeff = (eb >> 1) ? -m : m; return; }
+  int m = 2 + ((eb >> 1) & 1);
+  *rlen = 2 + (eb & 1);
+  *coeff = (eb >> 2) ? -m : m;
+}
+
+// Zig-zag -> natural map (64 + dump).
+const int ZIG[64] = {
+  0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+  12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+  35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+  58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+const int HUFF_LIST_MAX[5] = {1, 6, 15, 28, 64};
+
+struct Ctx {
+  Codebook books[80];
+};
+
+}  // namespace
+
+extern "C" {
+
+// codes: [80][32][3] int32 (token, pattern, nbits); entries with nbits==0
+// and token<0 unused. ncodes[80]: number of codes per book.
+void* th_entropy_create(const int32_t* codes, const int32_t* ncodes) {
+  Ctx* ctx = new Ctx();
+  for (int b = 0; b < 80; b++) {
+    Codebook& cb = ctx->books[b];
+    memset(cb.lut, 0, sizeof(cb.lut));
+    for (int i = 0; i < ncodes[b]; i++) {
+      const int32_t* c = codes + (b * 32 + i) * 3;
+      int token = c[0];
+      uint32_t pattern = (uint32_t)c[1];
+      int nbits = c[2];
+      if (nbits <= ROOT_BITS) {
+        uint32_t base = pattern << (ROOT_BITS - nbits);
+        int32_t entry = ((nbits << 8) | token) + 1;
+        for (uint32_t k = 0; k < (1u << (ROOT_BITS - nbits)); k++)
+          cb.lut[base + k] = entry;
+      } else {
+        cb.longs.push_back({pattern, nbits, token});
+      }
+    }
+  }
+  return ctx;
+}
+
+void th_entropy_destroy(void* p) { delete (Ctx*)p; }
+
+// Decode all residual tokens of a frame and replay them into per-fragment
+// zig-zag coefficient rows.
+//
+// Inputs:
+//   packet/packet_len: the frame packet; bit_offset: position of the
+//     residual-token section (after qi RLE).
+//   ncoded[3]: coded fragment counts per plane.
+//   qtis: [total] 0/1 per coded fragment (coded order).
+// Outputs:
+//   qcoeffs: [total, 64] int16 quantized coefficients at final zig-zag
+//     positions (DC slot = raw DC token value, pre-prediction).
+//   last_zzi: [total] int32.
+//   dc: [total] int32 (pre-prediction DC values, coded order).
+// Returns final bit position, or -1 on error.
+int64_t th_decode_frame_tokens(
+    void* pctx, const uint8_t* packet, int64_t packet_len, int64_t bit_offset,
+    const int64_t* ncoded, int16_t* qcoeffs, int32_t* last_zzi, int32_t* dc) {
+  Ctx* ctx = (Ctx*)pctx;
+  BitReader br;
+  br.init(packet, packet_len);
+  br.pos = bit_offset;
+  int64_t total = ncoded[0] + ncoded[1] + ncoded[2];
+  memset(qcoeffs, 0, sizeof(int16_t) * total * 64);
+  memset(dc, 0, sizeof(int32_t) * total);
+
+  // Token streams: store per (pli, zzi).
+  std::vector<uint8_t> toks[3][64];
+  std::vector<int32_t> ebs[3][64];
+  int64_t eob_start[3][64];
+  int64_t ntoks_left[3][64];
+  for (int pli = 0; pli < 3; pli++)
+    for (int z = 0; z < 64; z++) ntoks_left[pli][z] = ncoded[pli];
+
+  // ---- DC tokens ----
+  int huff[2];
+  huff[0] = br.read(4);
+  huff[1] = br.read(4);
+  int64_t eobs = 0;
+  int64_t frag_base = 0;
+  for (int pli = 0; pli < 3; pli++) {
+    const Codebook& book = ctx->books[huff[(pli + 1) >> 1]];
+    int64_t run_counts[64] = {0};
+    eob_start[pli][0] = eobs;
+    int64_t n = ncoded[pli];
+    int64_t fragii = 0;
+    int64_t eobi = eobs < n ? eobs : n;
+    int64_t eob_count = eobi;
+    eobs -= eobi;
+    fragii += eobi;
+    while (fragii < n) {
+      int t = book.decode(br);
+      if (t < 0) return -1;
+      int eb = TOKEN_EB[t] ? (int)br.read(TOKEN_EB[t]) : 0;
+      toks[pli][0].push_back((uint8_t)t);
+      ebs[pli][0].push_back(eb);
+      int64_t te; int rl, cf;
+      expand_token(t, eb, &te, &rl, &cf);
+      if (te) {
+        eobi = te < n - fragii ? te : n - fragii;
+        eob_count += eobi;
+        eobs = te - eobi;
+        fragii += eobi;
+      } else {
+        run_counts[rl]++;
+        dc[frag_base + fragii] = rl ? 0 : cf;
+        fragii++;
+      }
+    }
+    run_counts[63] += eob_count;
+    int64_t acc = 0;
+    for (int r = 63; r >= 0; r--) {
+      acc += run_counts[r];
+      ntoks_left[pli][r] -= acc;
+    }
+    frag_base += n;
+  }
+
+  // ---- AC tokens ----
+  huff[0] = br.read(4);
+  huff[1] = br.read(4);
+  int zzi = 1;
+  for (int hgi = 1; hgi < 5; hgi++) {
+    huff[0] += 16;
+    huff[1] += 16;
+    for (; zzi < HUFF_LIST_MAX[hgi]; zzi++) {
+      for (int pli = 0; pli < 3; pli++) {
+        const Codebook& book = ctx->books[huff[(pli + 1) >> 1]];
+        eob_start[pli][zzi] = eobs;
+        int64_t run_counts[64] = {0};
+        int64_t eob_count = 0;
+        int64_t ntl = ntoks_left[pli][zzi];
+        int64_t ntoks = 0;
+        while (ntoks + eobs < ntl) {
+          ntoks += eobs;
+          eob_count += eobs;
+          int t = book.decode(br);
+          if (t < 0) return -1;
+          int eb = TOKEN_EB[t] ? (int)br.read(TOKEN_EB[t]) : 0;
+          toks[pli][zzi].push_back((uint8_t)t);
+          ebs[pli][zzi].push_back(eb);
+          int64_t te; int rl, cf;
+          expand_token(t, eb, &te, &rl, &cf);
+          eobs = te;
+          if (eobs == 0) {
+            run_counts[rl]++;
+            ntoks++;
+          }
+        }
+        eob_count += ntl - ntoks;
+        eobs -= ntl - ntoks;
+        run_counts[63] += eob_count;
+        int64_t acc = 0;
+        for (int r = 63; r >= 0; r--) {
+          acc += run_counts[r];
+          if (zzi + r < 64) ntoks_left[pli][zzi + r] -= acc;
+        }
+      }
+    }
+  }
+
+  // ---- Replay per fragment (decode.c:1531-1586) ----
+  frag_base = 0;
+  for (int pli = 0; pli < 3; pli++) {
+    size_t ti[64] = {0};
+    int64_t eob_runs[64];
+    for (int z = 0; z < 64; z++) eob_runs[z] = eob_start[pli][z];
+    for (int64_t f = 0; f < ncoded[pli]; f++) {
+      int16_t* row = qcoeffs + (frag_base + f) * 64;
+      int z = 0;
+      int last = 0;
+      while (z < 64) {
+        last = z;
+        if (eob_runs[z]) {
+          eob_runs[z]--;
+          break;
+        }
+        int t = toks[pli][z][ti[z]];
+        int eb = ebs[pli][z][ti[z]];
+        ti[z]++;
+        int64_t te; int rl, cf;
+        expand_token(t, eb, &te, &rl, &cf);
+        eob_runs[z] = te;
+        int zold = z;
+        z += rl;
+        if (z < 64) row[z] = (int16_t)cf;
+        (void)zold;
+        if (te == 0) z++;
+      }
+      last_zzi[frag_base + f] = last;
+    }
+    frag_base += ncoded[pli];
+  }
+  return br.pos;
+}
+
+// ------------------------------------------------------------------ encode
+namespace {
+
+struct EncStreams {
+  std::vector<uint8_t> toks[3][64];
+  std::vector<int32_t> ebs[3][64];
+  int64_t eob_run[3][64];
+  int64_t offs[3][64];
+};
+
+const uint8_t EOB_TOKEN_TAB[31] = {0, 1, 2, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+                                   5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5};
+const uint8_t EOB_EB_TAB[31] = {0, 0, 0, 0, 1, 2, 3, 0, 1, 2, 3, 4, 5, 6, 7,
+                                0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+inline void make_eob(int64_t run, int* tok, int* eb) {
+  if (run < 32) {
+    *tok = EOB_TOKEN_TAB[run - 1];
+    *eb = EOB_EB_TAB[run - 1];
+  } else {
+    *tok = 6;
+    *eb = (int)run;
+  }
+}
+
+inline int64_t decode_eob(int tok, int eb) {
+  return ((0x20820C41u >> (tok * 5)) & 0x1F) + eb;
+}
+
+inline void value_token(int v, int* tok, int* eb) {
+  int a = v < 0 ? -v : v;
+  int neg = v < 0;
+  if (a == 1) { *tok = neg ? 10 : 9; *eb = 0; }
+  else if (a == 2) { *tok = neg ? 12 : 11; *eb = 0; }
+  else if (a <= 6) { *tok = 13 + a - 3; *eb = neg; }
+  else if (a <= 8) { *tok = 17; *eb = (neg << 1) | (a - 7); }
+  else if (a <= 12) { *tok = 18; *eb = (neg << 2) | (a - 9); }
+  else if (a <= 20) { *tok = 19; *eb = (neg << 3) | (a - 13); }
+  else if (a <= 36) { *tok = 20; *eb = (neg << 4) | (a - 21); }
+  else if (a <= 68) { *tok = 21; *eb = (neg << 5) | (a - 37); }
+  else { *tok = 22; *eb = (neg << 9) | (a - 69); }
+}
+
+inline bool combo_token(int nz, int v, int* tok, int* eb) {
+  int a = v < 0 ? -v : v;
+  int neg = v < 0;
+  if (a == 1 && nz >= 1 && nz <= 17) {
+    if (nz <= 5) { *tok = 23 + nz - 1; *eb = neg; }
+    else if (nz <= 9) { *tok = 28; *eb = (neg << 2) | (nz - 6); }
+    else { *tok = 29; *eb = (neg << 3) | (nz - 10); }
+    return true;
+  }
+  if (a >= 2 && a <= 3 && nz >= 1 && nz <= 3) {
+    if (nz == 1) { *tok = 30; *eb = (neg << 1) | (a - 2); }
+    else { *tok = 31; *eb = (neg << 2) | ((a - 2) << 1) | (nz - 2); }
+    return true;
+  }
+  return false;
+}
+
+void log_token(EncStreams& es, int pli, int zzi, int tok, int eb) {
+  if (es.eob_run[pli][zzi] > 0) {
+    int t, e;
+    make_eob(es.eob_run[pli][zzi], &t, &e);
+    es.toks[pli][zzi].push_back((uint8_t)t);
+    es.ebs[pli][zzi].push_back(e);
+    es.eob_run[pli][zzi] = 0;
+  }
+  es.toks[pli][zzi].push_back((uint8_t)tok);
+  es.ebs[pli][zzi].push_back(eb);
+}
+
+}  // namespace
+
+// Tokenize all coded blocks and pack the residual-token section.
+//
+// Inputs:
+//   vecs: [total, 64] int16 zig-zag coefficients with the DC *residual* at
+//     index 0, in coded order; ncoded[3] per-plane counts.
+//   huff_codes: [80][32][2] int32 (pattern, nbits).
+//   prefix / prefix_bits: already-packed packet prefix.
+// Output: out (caller-allocated, cap bytes); returns byte length or -1.
+int64_t th_encode_frame_tokens(
+    const int16_t* vecs, const int64_t* ncoded, const int32_t* huff_codes,
+    const uint8_t* prefix, int64_t prefix_bits, uint8_t* out, int64_t cap) {
+  EncStreams es;
+  memset(es.eob_run, 0, sizeof(es.eob_run));
+  memset(es.offs, 0, sizeof(es.offs));
+
+  int64_t idx = 0;
+  for (int pli = 0; pli < 3; pli++) {
+    for (int64_t f = 0; f < ncoded[pli]; f++, idx++) {
+      const int16_t* vec = vecs + idx * 64;
+      int zzi = 0;
+      for (int p = 0; p < 64; p++) {
+        if (!vec[p]) continue;
+        int v = vec[p];
+        int nz = p - zzi;
+        int tok, eb;
+        if (nz == 0) {
+          value_token(v, &tok, &eb);
+          log_token(es, pli, zzi, tok, eb);
+        } else if (combo_token(nz, v, &tok, &eb)) {
+          log_token(es, pli, zzi, tok, eb);
+        } else {
+          // Pure zero run consuming nz positions, then the value.
+          tok = nz <= 8 ? 7 : 8;
+          log_token(es, pli, zzi, tok, nz - 1);
+          value_token(v, &tok, &eb);
+          log_token(es, pli, p, tok, eb);
+        }
+        zzi = p + 1;
+      }
+      if (zzi < 64) {
+        int64_t run = es.eob_run[pli][zzi] + 1;
+        if (run >= 4095) {
+          es.toks[pli][zzi].push_back(6);
+          es.ebs[pli][zzi].push_back((int)run);
+          run = 0;
+        }
+        es.eob_run[pli][zzi] = run;
+      }
+    }
+  }
+  // Flush trailing runs.
+  for (int pli = 0; pli < 3; pli++)
+    for (int z = 0; z < 64; z++)
+      if (es.eob_run[pli][z] > 0) {
+        int t, e;
+        make_eob(es.eob_run[pli][z], &t, &e);
+        es.toks[pli][z].push_back((uint8_t)t);
+        es.ebs[pli][z].push_back(e);
+        es.eob_run[pli][z] = 0;
+      }
+  // Cross-stream EOB merge (tokenize.c:1319-1366).
+  for (int z = 0; z < 64; z++) {
+    for (int pli = 0; pli < 3; pli++) {
+      if ((int64_t)es.toks[pli][z].size() <= es.offs[pli][z]) continue;
+      int64_t first = es.offs[pli][z];
+      int tok2 = es.toks[pli][z][first];
+      if (tok2 > 6) continue;
+      int zj = z, pj = pli;
+      int64_t ti = -1;
+      bool found = false;
+      while (!found) {
+        pj--;
+        if (pj < 0) {
+          zj--;
+          if (zj < 0) break;
+          pj = 2;
+        }
+        ti = (int64_t)es.toks[pj][zj].size() - 1;
+        if (ti >= es.offs[pj][zj]) found = true;
+      }
+      if (!found) continue;
+      int tok1 = es.toks[pj][zj][ti];
+      if (tok1 > 6) continue;
+      int64_t run = decode_eob(tok1, es.ebs[pj][zj][ti]) +
+                    decode_eob(tok2, es.ebs[pli][z][first]);
+      if (run >= 4096) continue;
+      int t, e;
+      make_eob(run, &t, &e);
+      es.toks[pj][zj][ti] = (uint8_t)t;
+      es.ebs[pj][zj][ti] = e;
+      es.offs[pli][z]++;
+    }
+  }
+
+  // Table selection by exact bit counting (encode.c:816-863).
+  auto group_counts = [&](int z0, int z1, int64_t cy[32], int64_t cc[32]) {
+    memset(cy, 0, 32 * sizeof(int64_t));
+    memset(cc, 0, 32 * sizeof(int64_t));
+    for (int z = z0; z < z1; z++) {
+      for (size_t t = es.offs[0][z]; t < es.toks[0][z].size(); t++)
+        cy[es.toks[0][z][t]]++;
+      for (int pli = 1; pli < 3; pli++)
+        for (size_t t = es.offs[pli][z]; t < es.toks[pli][z].size(); t++)
+          cc[es.toks[pli][z][t]]++;
+    }
+  };
+  auto select = [&](const int64_t counts[32], int hgi) {
+    int best = 0;
+    int64_t best_bits = -1;
+    for (int h = 0; h < 16; h++) {
+      int64_t bits = 0;
+      for (int t = 0; t < 32; t++)
+        bits += counts[t] * huff_codes[((hgi * 16 + h) * 32 + t) * 2 + 1];
+      if (best_bits < 0 || bits < best_bits) { best_bits = bits; best = h; }
+    }
+    return best;
+  };
+
+  BitWriter bw;
+  // Copy the prefix.
+  for (int64_t i = 0; i < prefix_bits; i++)
+    bw.write((prefix[i >> 3] >> (7 - (i & 7))) & 1, 1);
+
+  auto emit_group = [&](int z0, int z1, int hy, int hc) {
+    for (int z = z0; z < z1; z++) {
+      for (int pli = 0; pli < 3; pli++) {
+        int h = pli == 0 ? hy : hc;
+        for (size_t t = es.offs[pli][z]; t < es.toks[pli][z].size(); t++) {
+          int tok = es.toks[pli][z][t];
+          const int32_t* c = huff_codes + (h * 32 + tok) * 2;
+          bw.write((uint32_t)c[0], c[1]);
+          if (TOKEN_EB[tok]) bw.write((uint32_t)es.ebs[pli][z][t], TOKEN_EB[tok]);
+        }
+      }
+    }
+  };
+
+  int64_t cy[32], cc[32];
+  group_counts(0, 1, cy, cc);
+  int hy = select(cy, 0), hc = select(cc, 0);
+  bw.write(hy, 4);
+  bw.write(hc, 4);
+  emit_group(0, 1, hy, hc);
+  int64_t bits_y[16] = {0}, bits_c[16] = {0};
+  for (int hgi = 1; hgi < 5; hgi++) {
+    group_counts(HUFF_LIST_MAX[hgi - 1], HUFF_LIST_MAX[hgi], cy, cc);
+    for (int h = 0; h < 16; h++)
+      for (int t = 0; t < 32; t++) {
+        bits_y[h] += cy[t] * huff_codes[((hgi * 16 + h) * 32 + t) * 2 + 1];
+        bits_c[h] += cc[t] * huff_codes[((hgi * 16 + h) * 32 + t) * 2 + 1];
+      }
+  }
+  hy = 0; hc = 0;
+  for (int h = 1; h < 16; h++) {
+    if (bits_y[h] < bits_y[hy]) hy = h;
+    if (bits_c[h] < bits_c[hc]) hc = h;
+  }
+  bw.write(hy, 4);
+  bw.write(hc, 4);
+  for (int hgi = 1; hgi < 5; hgi++)
+    emit_group(HUFF_LIST_MAX[hgi - 1], HUFF_LIST_MAX[hgi], hgi * 16 + hy,
+               hgi * 16 + hc);
+
+  bw.flush();
+  if ((int64_t)bw.buf.size() > cap) return -1;
+  memcpy(out, bw.buf.data(), bw.buf.size());
+  return (int64_t)bw.buf.size();
+}
+
+}  // extern "C"
