@@ -269,13 +269,24 @@ class Decoder:
             pl = g.planes[pli]
             sl = slice(pl.froffset, pl.froffset + pl.nfrags)
             shape = (pl.nvfrags, pl.nhfrags)
-            dc_pl = dc_full[sl].reshape(shape)
-            dc_unpredict_plane(
-                coded[sl].reshape(shape),
-                frag_refi[sl].reshape(shape),
-                dc_pl,
-                pred_last[pli],
-            )
+            dc_pl = np.ascontiguousarray(dc_full[sl].reshape(shape))
+            if self._native is not None:
+                from theora_tpu.native import dc_predict_native
+
+                dc_predict_native(
+                    0,
+                    coded[sl].reshape(shape),
+                    frag_refi[sl].reshape(shape),
+                    dc_pl,
+                    pred_last[pli],
+                )
+            else:
+                dc_unpredict_plane(
+                    coded[sl].reshape(shape),
+                    frag_refi[sl].reshape(shape),
+                    dc_pl,
+                    pred_last[pli],
+                )
             dc_full[sl] = dc_pl.reshape(-1)
 
         # Condensed dequant tables for this frame's qis
@@ -326,11 +337,16 @@ class Decoder:
             for pli in range(3):
                 pl = g.planes[pli]
                 sl = slice(pl.froffset, pl.froffset + pl.nfrags)
-                loop_filter_plane_vec(
-                    self_frame.planes[pli],
-                    coded[sl].reshape(pl.nvfrags, pl.nhfrags),
-                    bv,
-                )
+                cm = coded[sl].reshape(pl.nvfrags, pl.nhfrags)
+                vpad, hpad = g.plane_padding(pli)
+                if self._native is not None:
+                    from theora_tpu.native import loop_filter_native
+
+                    loop_filter_native(
+                        self_frame.planes[pli], cm, bv, vpad, hpad
+                    )
+                else:
+                    loop_filter_plane_vec(self_frame.planes[pli], cm, bv)
 
         self_frame.fill_borders()
         self._out_frame = self_frame
@@ -613,24 +629,34 @@ class Decoder:
             # Intra: residual + 128
             if intra_m.any():
                 out[intra_m] = res[intra_m] + 128
-            # Inter: gather reference block(s)
-            inter_m = ~intra_m
-            if inter_m.any():
+            # Inter: vectorized MV offsets + batched block gathers.
+            for rf in (FRAME_PREV, FRAME_GOLD):
+                m = refi == rf
+                if not m.any():
+                    continue
                 qpx = 1 if (pli != 0 and not (info.pixel_fmt & 1)) else 0
                 qpy = 1 if (pli != 0 and not (info.pixel_fmt & 2)) else 0
-                ii = np.where(inter_m)[0]
-                for i in ii:
-                    ref_frame = self.buffers[self.ref_idx[int(refi[i])]]
-                    src = ref_frame.planes[pli]
-                    dx, dy = int(frag_mv[fragis[i], 0]), int(frag_mv[fragis[i], 1])
-                    o1, o2 = mv_offsets(dx, dy, qpx, qpy)
-                    y0, x0 = int(fy[i]) + o1[0], int(fx[i]) + o1[1]
-                    blk = src[y0 : y0 + 8, x0 : x0 + 8].astype(np.int32)
-                    if o2 is not None:
-                        y1, x1 = int(fy[i]) + o2[0], int(fx[i]) + o2[1]
-                        blk2 = src[y1 : y1 + 8, x1 : x1 + 8].astype(np.int32)
-                        blk = (blk + blk2) >> 1
-                    out[i] = res[i] + blk
+                src = self.buffers[self.ref_idx[rf]].planes[pli]
+                dx = frag_mv[fragis[m], 0]
+                dy = frag_mv[fragis[m], 1]
+                mx = _MVMAP[qpx][dx + 31]
+                mx2 = _MVMAP2[qpx][dx + 31]
+                my = _MVMAP[qpy][dy + 31]
+                my2 = _MVMAP2[qpy][dy + 31]
+                use2 = (mx2 != 0) | (my2 != 0)
+                gy = (fy[m] + my)[:, None, None] + np.arange(8)[None, :, None]
+                gx = (fx[m] + mx)[:, None, None] + np.arange(8)[None, None, :]
+                blk = src[gy, gx].astype(np.int32)
+                if use2.any():
+                    g2y = (fy[m] + my + my2)[:, None, None] + np.arange(8)[
+                        None, :, None
+                    ]
+                    g2x = (fx[m] + mx + mx2)[:, None, None] + np.arange(8)[
+                        None, None, :
+                    ]
+                    blk2 = src[g2y, g2x].astype(np.int32)
+                    blk = np.where(use2[:, None, None], (blk + blk2) >> 1, blk)
+                out[m] = res[m] + blk
             np.clip(out, 0, 255, out=out)
             dst[ay, ax] = out.astype(np.uint8)
 
@@ -647,9 +673,9 @@ class Decoder:
             src = prev_frame.planes[pli]
             dst = self_frame.planes[pli]
             ys, xs = np.where(~cm)
-            for y, x in zip(ys, xs):
-                py, px = vpad + y * 8, hpad + x * 8
-                dst[py : py + 8, px : px + 8] = src[py : py + 8, px : px + 8]
+            ay = (vpad + ys * 8)[:, None, None] + np.arange(8)[None, :, None]
+            ax = (hpad + xs * 8)[:, None, None] + np.arange(8)[None, None, :]
+            dst[ay, ax] = src[ay, ax]
 
     # ------------------------------------------------------------------
     def ycbcr_out(self):

@@ -148,3 +148,56 @@ class NativeTokenPacker:
         if n < 0:
             raise ValueError("native token pack failed")
         return out[:n].tobytes()
+
+
+def _setup_filters(lib):
+    lib.th_dc_predict_plane.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.th_loop_filter_plane.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+
+
+def dc_predict_native(mode, coded, refi, dc, pred_last):
+    """mode 0: decode (dc updated in place); mode 1: encode (returns
+    residuals). pred_last: length-3 list, updated in place."""
+    lib = get_lib()
+    if not hasattr(lib, "_filters_setup"):
+        _setup_filters(lib)
+        lib._filters_setup = True
+    nv, nh = coded.shape
+    coded8 = np.ascontiguousarray(coded, dtype=np.uint8)
+    refi32 = np.ascontiguousarray(refi, dtype=np.int32)
+    dc32 = np.ascontiguousarray(dc, dtype=np.int32)
+    out = np.zeros((nv, nh), dtype=np.int32)
+    pl = np.asarray(pred_last, dtype=np.int32)
+    lib.th_dc_predict_plane(
+        mode, nv, nh, coded8.ctypes.data, refi32.ctypes.data,
+        dc32.ctypes.data, out.ctypes.data, pl.ctypes.data,
+    )
+    pred_last[:] = pl.tolist()
+    if mode == 0:
+        dc[...] = dc32
+        return None
+    return out
+
+
+def loop_filter_native(plane, coded, bv, pad_y, pad_x=None):
+    if pad_x is None:
+        pad_x = pad_y
+    lib = get_lib()
+    if not hasattr(lib, "_filters_setup"):
+        _setup_filters(lib)
+        lib._filters_setup = True
+    nv, nh = coded.shape
+    coded8 = np.ascontiguousarray(coded, dtype=np.uint8)
+    bv32 = np.ascontiguousarray(bv, dtype=np.int32)
+    assert plane.flags["C_CONTIGUOUS"]
+    lib.th_loop_filter_plane(
+        plane.ctypes.data, plane.shape[1], pad_y, pad_x, nv, nh,
+        coded8.ctypes.data, bv32.ctypes.data,
+    )

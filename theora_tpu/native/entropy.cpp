@@ -594,3 +594,122 @@ int64_t th_encode_frame_tokens(
 }
 
 }  // extern "C"
+
+// ===================================================================
+// DC prediction (shared 16-case predictor; decode.c:1392-1500 /
+// tokenize.c:977-1074) and the VP3-order loop filter (state.c:1002-1105).
+extern "C" {
+
+static inline int cdiv(int a, int b) {
+  int q = (a < 0 ? -a : a) / b;
+  return a < 0 ? -q : q;
+}
+static inline int wrap16(int v) { return (int16_t)v; }
+
+// mode=0: decode (dc += pred); mode=1: encode (out = dc - pred, dc kept).
+// coded: [nv*nh] uint8; refi: [nv*nh] int32; dc: [nv*nh] int32 (in/out);
+// out: [nv*nh] int32 (encode residuals; may be null for decode);
+// pred_last: [3] int32 running state (updated).
+void th_dc_predict_plane(int mode, int nv, int nh, const uint8_t* coded,
+                         const int32_t* refi, int32_t* dc, int32_t* out,
+                         int32_t* pred_last) {
+  for (int fy = 0; fy < nv; fy++) {
+    for (int fx = 0; fx < nh; fx++) {
+      int i = fy * nh + fx;
+      if (!coded[i]) continue;
+      int r = refi[i];
+      int pred;
+      if (fy == 0) {
+        pred = pred_last[r];
+      } else {
+        int l_ref = (fx > 0 && coded[i - 1]) ? refi[i - 1] : -1;
+        int ul_ref = (fx > 0 && coded[i - nh - 1]) ? refi[i - nh - 1] : -1;
+        int u_ref = coded[i - nh] ? refi[i - nh] : -1;
+        int ur_ref =
+            (fx + 1 < nh && coded[i - nh + 1]) ? refi[i - nh + 1] : -1;
+        int cs = (l_ref == r) | ((ul_ref == r) << 1) | ((u_ref == r) << 2) |
+                 ((ur_ref == r) << 3);
+        switch (cs) {
+          case 1:
+          case 3: pred = dc[i - 1]; break;
+          case 2: pred = dc[i - nh - 1]; break;
+          case 4:
+          case 6:
+          case 12: pred = dc[i - nh]; break;
+          case 5: pred = cdiv(dc[i - 1] + dc[i - nh], 2); break;
+          case 8: pred = dc[i - nh + 1]; break;
+          case 9:
+          case 11:
+          case 13: pred = cdiv(75 * dc[i - 1] + 53 * dc[i - nh + 1], 128); break;
+          case 10: pred = cdiv(dc[i - nh - 1] + dc[i - nh + 1], 2); break;
+          case 14:
+            pred = cdiv(3 * (dc[i - nh - 1] + dc[i - nh + 1]) + 10 * dc[i - nh],
+                        16);
+            break;
+          case 7:
+          case 15: {
+            int p0 = dc[i - 1], p1 = dc[i - nh - 1], p2 = dc[i - nh];
+            pred = cdiv(29 * (p0 + p2) - 26 * p1, 32);
+            if (abs(pred - p2) > 128) pred = p2;
+            else if (abs(pred - p0) > 128) pred = p0;
+            else if (abs(pred - p1) > 128) pred = p1;
+            break;
+          }
+          default: pred = pred_last[r]; break;
+        }
+      }
+      if (mode == 0) {
+        int v = wrap16(dc[i] + pred);
+        dc[i] = v;
+        pred_last[r] = v;
+      } else {
+        out[i] = wrap16(dc[i] - pred);
+        pred_last[r] = dc[i];
+      }
+    }
+  }
+}
+
+// VP3-order loop filter over one padded plane (uint8 [H,W], image origin at
+// (pad,pad)); coded: [nv*nh] uint8; bv: [256] int32 indexed ((f+4)>>3)+127.
+void th_loop_filter_plane(uint8_t* plane, int W, int pad_y, int pad_x,
+                          int nv, int nh, const uint8_t* coded,
+                          const int32_t* bv) {
+  auto fh = [&](int y, int x) {  // vertical edge at column x
+    for (int i = 0; i < 8; i++) {
+      uint8_t* p = plane + (int64_t)(y + i) * W + x - 2;
+      int f = p[0] - p[3] + 3 * (p[2] - p[1]);
+      int r = bv[((f + 4) >> 3) + 127];
+      int a = p[1] + r;
+      int b = p[2] - r;
+      p[1] = (uint8_t)(a < 0 ? 0 : (a > 255 ? 255 : a));
+      p[2] = (uint8_t)(b < 0 ? 0 : (b > 255 ? 255 : b));
+    }
+  };
+  auto fv = [&](int y, int x) {  // horizontal edge at row y
+    uint8_t* p0 = plane + (int64_t)(y - 2) * W + x;
+    uint8_t* p1 = p0 + W;
+    uint8_t* p2 = p1 + W;
+    uint8_t* p3 = p2 + W;
+    for (int i = 0; i < 8; i++) {
+      int f = p0[i] - p3[i] + 3 * (p2[i] - p1[i]);
+      int r = bv[((f + 4) >> 3) + 127];
+      int a = p1[i] + r;
+      int b = p2[i] - r;
+      p1[i] = (uint8_t)(a < 0 ? 0 : (a > 255 ? 255 : a));
+      p2[i] = (uint8_t)(b < 0 ? 0 : (b > 255 ? 255 : b));
+    }
+  };
+  for (int fy = 0; fy < nv; fy++) {
+    for (int fx = 0; fx < nh; fx++) {
+      if (!coded[fy * nh + fx]) continue;
+      int y = pad_y + fy * 8, x = pad_x + fx * 8;
+      if (fx > 0) fh(y, x);
+      if (fy > 0) fv(y, x);
+      if (fx + 1 < nh && !coded[fy * nh + fx + 1]) fh(y, x + 8);
+      if (fy + 1 < nv && !coded[(fy + 1) * nh + fx]) fv(y + 8, x);
+    }
+  }
+}
+
+}  // extern "C"
