@@ -1,0 +1,218 @@
+"""Ogg container: page framing, CRC, mux and demux.
+
+Self-contained implementation of the Ogg bitstream format (RFC 3533) --
+enough to produce .ogv files any player accepts and to demux real-world
+Theora streams. The reference delegates this to libogg; packet payloads
+produced by theora_tpu are byte-identical either way.
+"""
+from __future__ import annotations
+
+import struct
+
+from theora_tpu.tpkt import Packet
+
+# Ogg CRC: 32-bit, polynomial 0x04c11db7, no reflection, init/xorout 0.
+_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) if (_r & 0x80000000) else (_r << 1)
+        _r &= 0xFFFFFFFF
+    _CRC_TABLE.append(_r)
+
+
+def _crc(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+class PageWriter:
+    """Packs packets of one logical stream into Ogg pages."""
+
+    def __init__(self, serialno: int):
+        self.serialno = serialno
+        self.pageno = 0
+        self._lacing: list[int] = []
+        self._data = bytearray()
+        self._granulepos = -1
+        self._bos_pending = True
+        self._continued = False
+
+    def _flush_page(self, granulepos: int, eos: bool, continued: bool) -> bytes:
+        header_type = (
+            (0x01 if self._continued else 0)
+            | (0x02 if self._bos_pending else 0)
+            | (0x04 if eos else 0)
+        )
+        self._bos_pending = False
+        seg_table = bytes(self._lacing)
+        header = struct.pack(
+            "<4sBBqIIi",
+            b"OggS",
+            0,
+            header_type,
+            granulepos,
+            self.serialno,
+            self.pageno,
+            0,  # crc placeholder
+        ) + bytes([len(seg_table)]) + seg_table
+        page = bytearray(header + bytes(self._data))
+        crc = _crc(bytes(page))
+        page[22:26] = struct.pack("<I", crc)
+        self.pageno += 1
+        self._lacing = []
+        self._data = bytearray()
+        self._continued = continued
+        return bytes(page)
+
+    def add_packet(self, pkt: Packet, flush: bool = False) -> list[bytes]:
+        """Add a packet; returns zero or more completed pages."""
+        pages = []
+        data = pkt.data
+        # Lacing values: n//255 values of 255 + one of n%255.
+        n = len(data)
+        lacing = [255] * (n // 255) + [n % 255]
+        self._data += data
+        pos = 0
+        for lv in lacing:
+            self._lacing.append(lv)
+            pos += lv
+            if len(self._lacing) == 255:
+                # Page full mid-packet: emit as continued.
+                partial = pos < n or lv == 255
+                pages.append(
+                    self._flush_page(
+                        -1 if partial else pkt.granulepos,
+                        False,
+                        continued=partial,
+                    )
+                )
+        self._granulepos = pkt.granulepos
+        if flush or pkt.e_o_s:
+            if self._lacing or pkt.e_o_s:
+                pages.append(
+                    self._flush_page(pkt.granulepos, pkt.e_o_s, False)
+                )
+        return pages
+
+    def flush(self, granulepos: int | None = None, eos: bool = False) -> list[bytes]:
+        if not self._lacing and not eos:
+            return []
+        gp = self._granulepos if granulepos is None else granulepos
+        return [self._flush_page(gp, eos, False)]
+
+
+def mux_stream(packets: list[Packet], serialno: int = 0x74707531) -> bytes:
+    """Mux a full Theora packet list into an Ogg byte stream.
+
+    Headers go on their own pages (header packet 0 alone on the first page,
+    as required for stream identification).
+    """
+    w = PageWriter(serialno)
+    out = bytearray()
+    for i, p in enumerate(packets):
+        # Flush after each header packet and each data packet (one packet
+        # per page keeps latency simple; players accept it).
+        for page in w.add_packet(p, flush=True):
+            out += page
+    for page in w.flush(eos=False):
+        out += page
+    return bytes(out)
+
+
+class PageReader:
+    """Demuxes Ogg pages back into per-stream packets."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._partial: dict[int, bytearray] = {}
+
+    def pages(self):
+        data = self.data
+        pos = 0
+        while True:
+            idx = data.find(b"OggS", pos)
+            if idx < 0:
+                return
+            if idx + 27 > len(data):
+                return
+            (
+                _magic,
+                version,
+                htype,
+                granulepos,
+                serialno,
+                pageno,
+                crc,
+            ) = struct.unpack_from("<4sBBqIIi", data, idx)
+            nsegs = data[idx + 26]
+            seg_table = data[idx + 27 : idx + 27 + nsegs]
+            body_len = sum(seg_table)
+            end = idx + 27 + nsegs + body_len
+            if end > len(data):
+                return
+            body = data[idx + 27 + nsegs : end]
+            yield {
+                "htype": htype,
+                "granulepos": granulepos,
+                "serialno": serialno,
+                "pageno": pageno,
+                "segments": seg_table,
+                "body": body,
+            }
+            pos = end
+
+    def packets(self):
+        """Yield (serialno, Packet) in stream order."""
+        for page in self.pages():
+            sn = page["serialno"]
+            buf = self._partial.setdefault(sn, bytearray())
+            body = page["body"]
+            off = 0
+            continued = bool(page["htype"] & 0x01)
+            if not continued and buf:
+                # Lost continuation; drop.
+                buf.clear()
+            segs = page["segments"]
+            i = 0
+            while i < len(segs):
+                # Accumulate one packet's lacing values.
+                plen = 0
+                while i < len(segs):
+                    lv = segs[i]
+                    plen += lv
+                    i += 1
+                    if lv < 255:
+                        break
+                else:
+                    lv = 255
+                buf += body[off : off + plen]
+                off += plen
+                if lv < 255:
+                    yield sn, Packet(
+                        bytes(buf),
+                        b_o_s=bool(page["htype"] & 0x02),
+                        e_o_s=bool(page["htype"] & 0x04) and i >= len(segs),
+                        granulepos=page["granulepos"] if i >= len(segs) else -1,
+                    )
+                    buf.clear()
+            # lv == 255 at page end: packet continues on next page.
+
+
+def demux_stream(data: bytes) -> list[Packet]:
+    """Extract the first Theora stream's packets from an Ogg byte stream."""
+    reader = PageReader(data)
+    theora_sn = None
+    out = []
+    for sn, pkt in reader.packets():
+        if theora_sn is None:
+            if len(pkt.data) >= 7 and pkt.data[1:7] == b"theora":
+                theora_sn = sn
+            else:
+                continue
+        if sn == theora_sn:
+            out.append(pkt)
+    return out
