@@ -121,6 +121,39 @@ class Encoder:
         self._prev_orig = None
         self._gold_orig = None
         self._frag_mv4 = np.zeros((self.geometry.nfrags, 2), dtype=np.int32)
+        # Native token packer (C++ tier); None -> pure-Python path.
+        self._packer = None
+        try:
+            from theora_tpu.native import NativeTokenPacker
+
+            self._packer = NativeTokenPacker(self.huff_codes)
+        except Exception:
+            self._packer = None
+
+    # ------------------------------------------------------------------
+    def _pack_tokens(self, bw: BitWriter, vecs_by_plane, ftype) -> bytes:
+        """Tokenize + pack the residual section after the prefix in `bw`.
+
+        vecs_by_plane: per-plane [n, 64] int16 zig-zag coefficient vectors
+        (DC residual at slot 0) in coded order. Returns the full packet.
+        """
+        ncoded = [len(v) for v in vecs_by_plane]
+        if self._packer is not None:
+            vecs = (
+                np.concatenate(vecs_by_plane)
+                if sum(ncoded)
+                else np.zeros((0, 64), np.int16)
+            )
+            return self._packer.pack_frame(
+                vecs.astype(np.int16), ncoded, bw.bytes(), bw.bitpos
+            )
+        log = TokenLog()
+        for pli in range(3):
+            for vec in vecs_by_plane[pli]:
+                log.tokenize_block(pli, vec)
+        log.finish()
+        self._residual_tokens_pack(bw, log, ftype)
+        return bw.bytes()
 
     # ------------------------------------------------------------------
     def flush_headers(self) -> list[Packet]:
@@ -243,38 +276,49 @@ class Encoder:
 
         # DC prediction per plane (raster order), then tokenize in coded
         # (scan) order.
-        log = TokenLog()
+        vecs_by_plane = self._dc_predict_and_order(per_plane, coded, frag_refi)
+        bw = BitWriter()
+        self._frame_header_pack(bw, INTRA_FRAME, [self.qi])
+        return self._pack_tokens(bw, vecs_by_plane, INTRA_FRAME)
+
+    # ------------------------------------------------------------------
+    def _dc_predict_and_order(self, per_plane, coded, frag_refi):
+        """DC-predict all planes (raster) and order coefficient vectors in
+        coded (scan) order; returns per-plane [n, 64] int16 vecs with the
+        DC residual in slot 0."""
+        g = self.geometry
+        out = []
         for pli in range(3):
             pl = g.planes[pli]
             fragis, qdct = per_plane[pli]
             shape = (pl.nvfrags, pl.nhfrags)
+            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
             dc_plane = np.zeros(shape, dtype=np.int32)
             local = fragis - pl.froffset
             dc_plane.reshape(-1)[local] = qdct[:, 0]
-            coded_plane = np.zeros(shape, dtype=bool)
-            coded_plane.reshape(-1)[local] = True
-            refi_plane = np.full(shape, FRAME_SELF, dtype=np.int32)
-            pred = dc_predict_plane_enc(
-                coded_plane, refi_plane, dc_plane, [0, 0, 0]
+            coded_plane = coded[sl].reshape(shape)
+            refi_plane = np.ascontiguousarray(
+                frag_refi[sl].reshape(shape), dtype=np.int32
             )
-            dc_resid = pred.reshape(-1)
-            # scan order within this plane
+            try:
+                from theora_tpu.native import dc_predict_native
+
+                dc_resid = dc_predict_native(
+                    1, coded_plane, refi_plane, dc_plane, [0, 0, 0]
+                ).reshape(-1)
+            except Exception:
+                dc_resid = dc_predict_plane_enc(
+                    coded_plane, refi_plane, dc_plane, [0, 0, 0]
+                ).reshape(-1)
+            qdct_by_frag = np.zeros((pl.nfrags, 64), dtype=np.int16)
+            qdct_by_frag[local] = qdct.astype(np.int16)
             sel = g.scan_pli == pli
             scan = g.scan_fragis[sel]
-            scan = scan[coded[scan]]
-            qdct_by_frag = np.zeros((pl.nfrags, 64), dtype=np.int32)
-            qdct_by_frag[local] = qdct
-            for fragi in scan:
-                li = fragi - pl.froffset
-                vec = qdct_by_frag[li].copy()
-                vec[0] = dc_resid[li]
-                log.tokenize_block(pli, vec)
-        log.finish()
-
-        bw = BitWriter()
-        self._frame_header_pack(bw, INTRA_FRAME, [self.qi])
-        self._residual_tokens_pack(bw, log, INTRA_FRAME)
-        return bw.bytes()
+            scan = scan[coded[scan]] - pl.froffset
+            vecs = qdct_by_frag[scan]
+            vecs[:, 0] = dc_resid[scan]
+            out.append(vecs)
+        return out
 
     # ------------------------------------------------------------------
     def _encode_inter(self, planes) -> bytes:
@@ -441,34 +485,8 @@ class Encoder:
         # Uncoded fragments keep FRAME_NONE so DC prediction skips them.
         frag_refi[~coded] = FRAME_NONE
 
-        # --- DC prediction + tokenization ---------------------------------
-        log = TokenLog()
-        for pli in range(3):
-            pl = g.planes[pli]
-            fragis, qdct = per_plane[pli]
-            shape = (pl.nvfrags, pl.nhfrags)
-            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
-            dc_plane = np.zeros(shape, dtype=np.int32)
-            local = fragis - pl.froffset
-            dc_plane.reshape(-1)[local] = qdct[:, 0]
-            coded_plane = coded[sl].reshape(shape)
-            refi_plane = frag_refi[sl].reshape(shape)
-            dc_resid = dc_predict_plane_enc(
-                coded_plane, refi_plane, dc_plane, [0, 0, 0]
-            ).reshape(-1)
-            qdct_by_frag = np.zeros((pl.nfrags, 64), dtype=np.int32)
-            qdct_by_frag[local] = qdct
-            sel = g.scan_pli == pli
-            scan = g.scan_fragis[sel]
-            scan = scan[coded[scan]]
-            for fragi in scan:
-                li = fragi - pl.froffset
-                vec = qdct_by_frag[li].copy()
-                vec[0] = dc_resid[li]
-                log.tokenize_block(pli, vec)
-        log.finish()
-
-        # --- Packing -------------------------------------------------------
+        # --- DC prediction + tokenization + packing ------------------------
+        vecs_by_plane = self._dc_predict_and_order(per_plane, coded, frag_refi)
         bw = BitWriter()
         self._frame_header_pack(bw, INTER_FRAME, [self.qi])
         self._coded_flags_pack(bw, coded)
@@ -481,8 +499,7 @@ class Encoder:
         coded_mbis = [mbi for mbi in range(g.nmbs) if mb_luma_coded[mbi]]
         self._mb_modes_pack(bw, mb_modes, coded_mbis)
         self._mvs_pack(bw, mb_modes, mb_mvs, coded_mbis, coded)
-        self._residual_tokens_pack(bw, log, INTER_FRAME)
-        return bw.bytes()
+        return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
 
     # ------------------------------------------------------------------
     def _pad_plane(self, plane: np.ndarray, pad: int = 16) -> np.ndarray:
