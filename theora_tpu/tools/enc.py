@@ -1,0 +1,63 @@
+"""Encode a .y4m clip to Ogg Theora (.ogv).
+
+Usage: python -m theora_tpu.tools.enc [-q QUALITY] [-k KF_FREQ] in.y4m out.ogv
+The encoder_example analogue (examples/encoder_example.c in the reference),
+minus audio muxing.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("input")
+    ap.add_argument("output")
+    ap.add_argument("-q", "--quality", type=int, default=48)
+    ap.add_argument("-k", "--keyframe-freq", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from theora_tpu.encode.encoder import Encoder
+    from theora_tpu.info import TheoraInfo
+    from theora_tpu.ogg import mux_stream
+    from theora_tpu.tools.y4m import read_y4m
+
+    W, H, fps, frames = read_y4m(args.input)
+    if W % 16 or H % 16:
+        # Pad to multiples of 16 with a crop rectangle.
+        fw, fh = (W + 15) & ~15, (H + 15) & ~15
+        raise NotImplementedError(
+            f"picture {W}x{H} needs crop padding to {fw}x{fh}; "
+            "use multiples of 16 for now"
+        )
+    info = TheoraInfo(
+        frame_width=W,
+        frame_height=H,
+        pic_width=W,
+        pic_height=H,
+        fps_numerator=fps[0],
+        fps_denominator=fps[1],
+        quality=args.quality,
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = args.keyframe_freq
+    pkts = enc.flush_headers()
+    t0 = time.perf_counter()
+    for i, fr in enumerate(frames):
+        pkts.append(enc.encode_frame(fr, e_o_s=(i == len(frames) - 1)))
+    dt = time.perf_counter() - t0
+    with open(args.output, "wb") as f:
+        f.write(mux_stream(pkts))
+    total = sum(len(p.data) for p in pkts[3:])
+    mpix = len(frames) * (W * H * 1.5) / 1e6
+    print(
+        f"{len(frames)} frames, {total} bytes, {dt:.2f}s"
+        f" ({mpix/dt:.2f} Mpix/s)",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Per-frame and global PSNR between two .y4m files (the dump_psnr
+analogue, examples/dump_psnr.c)."""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("file1")
+    ap.add_argument("file2")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    from theora_tpu.tools.y4m import read_y4m
+
+    _, _, _, fa = read_y4m(args.file1)
+    _, _, _, fb = read_y4m(args.file2)
+    n = min(len(fa), len(fb))
+    gsse = np.zeros(3)
+    gn = np.zeros(3)
+    for i in range(n):
+        psnrs = []
+        for pli in range(3):
+            a = fa[i][pli].astype(np.float64)
+            b = fb[i][pli].astype(np.float64)
+            sse = float(((a - b) ** 2).sum())
+            gsse[pli] += sse
+            gn[pli] += a.size
+            mse = sse / a.size
+            psnrs.append(10 * np.log10(255.0**2 / mse) if mse else float("inf"))
+        if not args.quiet:
+            print(
+                f"frame {i}: Y {psnrs[0]:.4f}  Cb {psnrs[1]:.4f}  "
+                f"Cr {psnrs[2]:.4f}"
+            )
+    names = "Y", "Cb", "Cr"
+    out = {}
+    for pli in range(3):
+        mse = gsse[pli] / gn[pli] if gn[pli] else 0.0
+        p = 10 * np.log10(255.0**2 / mse) if mse else float("inf")
+        out[names[pli]] = p
+        print(f"Total {names[pli]}: {p:.4f} dB", file=sys.stderr)
+    return out
+
+
+if __name__ == "__main__":
+    main()
