@@ -112,6 +112,10 @@ class Encoder:
         self._setup = SetupInfo(qinfo=self.qinfo, codebooks=books)
         self._dec = Decoder(info, self._setup)
         self.qi = max(0, min(63, info.quality))
+        # R/D-aware quantization (the trellis-lite pass); strength scales
+        # the lambda.
+        self.rd_quant = True
+        self.rd_strength = 1.0
         self.curframe_num = -1
         self.keyframe_num = 0
         self.packetno = 0
@@ -248,9 +252,17 @@ class Encoder:
             for t in (0, 1):
                 m = qti == t
                 if m.any():
-                    qdct[m] = quantize_batch(
-                        dct[m], self.dequant[qi, pli, t]
-                    )
+                    dq = self.dequant[qi, pli, t]
+                    if self.rd_quant:
+                        from theora_tpu.ops.fdct_np import (
+                            quantize_rd_batch,
+                            rd_lambda,
+                        )
+
+                        lam = rd_lambda(qi, int(dq[1])) * self.rd_strength
+                        qdct[m] = quantize_rd_batch(dct[m], dq, lam)
+                    else:
+                        qdct[m] = quantize_batch(dct[m], dq)
             out[pli] = (fragis, qdct)
         return out
 

@@ -101,6 +101,43 @@ def fdct8x8_batch(res: np.ndarray) -> np.ndarray:
     return out.astype(np.int32)
 
 
+# Approximate token bit costs per coefficient magnitude (VP31 tables,
+# averaged): index min(|q|, 8). Used by the fast R/D quantizer, which plays
+# the role of the reference's trellis tokenizer cost model
+# (tokenize.c:457-744) with static biases.
+_MAG_BITS = np.array([0.0, 4.5, 5.5, 6.5, 6.5, 7.5, 7.5, 8.5, 9.5])
+
+
+def quantize_rd_batch(
+    dct_zz: np.ndarray, dequant_zz: np.ndarray, lam: float
+) -> np.ndarray:
+    """Rate/distortion-aware quantizer: per AC coefficient, choose between
+    the round-to-nearest value and its magnitude reduced by one (possibly
+    zero), minimizing d^2 + lambda*bits. A vectorized one-step version of
+    the reference's per-block trellis (tokenize.c:746-975).
+    """
+    q0 = quantize_batch(dct_zz, dequant_zz)
+    d = dequant_zz.astype(np.int64)
+    v = dct_zz.astype(np.int64)
+    a0 = np.abs(q0)
+    a1 = np.maximum(a0 - 1, 0)
+    err0 = (a0 * d - np.abs(v)) ** 2
+    err1 = (a1 * d - np.abs(v)) ** 2
+    bits0 = _MAG_BITS[np.minimum(a0, 8)]
+    bits1 = _MAG_BITS[np.minimum(a1, 8)]
+    take1 = err1 + lam * bits1 <= err0 + lam * bits0
+    out = np.where(take1, np.sign(q0) * a1, q0)
+    out[:, 0] = q0[:, 0]  # never degrade DC
+    return out.astype(np.int32)
+
+
+def rd_lambda(qi: int, dequant_ac: int) -> float:
+    """Lambda for the R/D quantizer, following the reference's model
+    lambda ~= 0.2125 * qavg^2 (rate.c:151-202) with qavg the typical AC
+    quantizer in the x4-scaled domain."""
+    return 0.2125 * float(dequant_ac) * float(dequant_ac) / 16.0
+
+
 def quantize_batch(dct_zz: np.ndarray, dequant_zz: np.ndarray) -> np.ndarray:
     """Round-to-nearest quantizer, ties away from zero (enquant.c:220-249).
 
