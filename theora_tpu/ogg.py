@@ -71,22 +71,22 @@ class PageWriter:
         """Add a packet; returns zero or more completed pages."""
         pages = []
         data = pkt.data
-        # Lacing values: n//255 values of 255 + one of n%255.
         n = len(data)
+        # Lacing values: n//255 values of 255 + one of n%255 (always ends
+        # with a value < 255).
         lacing = [255] * (n // 255) + [n % 255]
-        self._data += data
         pos = 0
-        for lv in lacing:
+        for k, lv in enumerate(lacing):
             self._lacing.append(lv)
+            self._data += data[pos : pos + lv]
             pos += lv
             if len(self._lacing) == 255:
-                # Page full mid-packet: emit as continued.
-                partial = pos < n or lv == 255
+                last = k == len(lacing) - 1
                 pages.append(
                     self._flush_page(
-                        -1 if partial else pkt.granulepos,
+                        pkt.granulepos if last else -1,
                         False,
-                        continued=partial,
+                        continued=not last,
                     )
                 )
         self._granulepos = pkt.granulepos
@@ -166,7 +166,8 @@ class PageReader:
             pos = end
 
     def packets(self):
-        """Yield (serialno, Packet) in stream order."""
+        """Yield (serialno, Packet) in stream order. The page granulepos is
+        attached to the last packet completed on each page."""
         for page in self.pages():
             sn = page["serialno"]
             buf = self._partial.setdefault(sn, bytearray())
@@ -174,32 +175,26 @@ class PageReader:
             off = 0
             continued = bool(page["htype"] & 0x01)
             if not continued and buf:
-                # Lost continuation; drop.
-                buf.clear()
-            segs = page["segments"]
-            i = 0
-            while i < len(segs):
-                # Accumulate one packet's lacing values.
-                plen = 0
-                while i < len(segs):
-                    lv = segs[i]
-                    plen += lv
-                    i += 1
-                    if lv < 255:
-                        break
-                else:
-                    lv = 255
-                buf += body[off : off + plen]
-                off += plen
+                buf.clear()  # lost continuation; drop
+            completed: list[Packet] = []
+            for lv in page["segments"]:
+                buf += body[off : off + lv]
+                off += lv
                 if lv < 255:
-                    yield sn, Packet(
-                        bytes(buf),
-                        b_o_s=bool(page["htype"] & 0x02),
-                        e_o_s=bool(page["htype"] & 0x04) and i >= len(segs),
-                        granulepos=page["granulepos"] if i >= len(segs) else -1,
+                    completed.append(
+                        Packet(
+                            bytes(buf),
+                            b_o_s=bool(page["htype"] & 0x02),
+                            granulepos=-1,
+                        )
                     )
                     buf.clear()
-            # lv == 255 at page end: packet continues on next page.
+            if completed:
+                completed[-1].granulepos = page["granulepos"]
+                if page["htype"] & 0x04 and not buf:
+                    completed[-1].e_o_s = True
+            for p in completed:
+                yield sn, p
 
 
 def demux_stream(data: bytes) -> list[Packet]:
