@@ -116,6 +116,8 @@ class Encoder:
         # the lambda.
         self.rd_quant = True
         self.rd_strength = 1.0
+        # CBR rate control when a target bitrate is configured.
+        self.rc = None
         self.curframe_num = -1
         self.keyframe_num = 0
         self.packetno = 0
@@ -182,13 +184,38 @@ class Encoder:
         )
         if is_key:
             self._frames_since_keyframe = 0
+        # Rate control: lazy init, qi selection, frame dropping.
+        if self.info.target_bitrate > 0 and self.rc is None:
+            from theora_tpu.encode.rate import RateControl
+
+            self.rc = RateControl(self.info, self.dequant, self.keyframe_freq)
         # Flip to bitstream orientation.
         planes = [p[::-1].astype(np.uint8) for p in ycbcr]
+        if self.rc is not None:
+            ftype = 0 if is_key else 1
+            if not is_key and self.rc.should_drop(ftype):
+                # Dropped frame: 0-byte dup packet (encode.c:1259-1271).
+                self._dec.decode_packet(b"")
+                self.rc.update(ftype, self.qi, 0)
+                shift = self.info.keyframe_granule_shift
+                self.granpos = ((self.keyframe_num + 1) << shift) + (
+                    self.curframe_num - self.keyframe_num
+                )
+                pkt = Packet(
+                    b"", granulepos=self.granpos, packetno=self.packetno,
+                    e_o_s=e_o_s,
+                )
+                self.packetno += 1
+                self._prev_orig = planes
+                return pkt
+            self.qi = self.rc.select_qi(ftype, self.qi)
         if is_key:
             data = self._encode_intra(planes)
             self.keyframe_num = self.curframe_num
         else:
             data = self._encode_inter(planes)
+        if self.rc is not None:
+            self.rc.update(0 if is_key else 1, self.qi, len(data) * 8)
         # Track original frames for motion estimation (the *_ORIG refs,
         # mcenc.c:314-316).
         self._prev_orig = planes
