@@ -58,3 +58,38 @@ def test_twopass_metrics_roundtrip():
         assert a.frame_type == b.frame_type
         assert abs(a.log_scale - b.log_scale) < 1e-6
         assert a.dup_count == b.dup_count
+
+
+def test_gop_parallel_transcode_identical():
+    import os
+
+    import numpy as np
+
+    from theora_tpu.parallel.transcode import transcode
+
+    W, H = 64, 48
+    raw = np.fromfile(os.path.join(TESTDATA, "clip64x48.i420"), np.uint8)
+    fsz = W * H * 3 // 2
+    frames = []
+    for i in range(len(raw) // fsz):
+        f = raw[i * fsz : (i + 1) * fsz]
+        frames.append(
+            [
+                f[: W * H].reshape(H, W),
+                f[W * H : W * H + fsz // 6].reshape(H // 2, W // 2),
+                f[W * H + fsz // 6 :].reshape(H // 2, W // 2),
+            ]
+        )
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H, quality=40
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 4
+    seq = enc.flush_headers()
+    for i, fr in enumerate(frames):
+        seq.append(enc.encode_frame(fr, e_o_s=(i == len(frames) - 1)))
+    par = transcode(frames, info, keyframe_freq=4, max_workers=4)
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        assert a.data == b.data
+        assert a.granulepos == b.granulepos

@@ -179,7 +179,7 @@ class Encoder:
         self.curframe_num += 1
         self._frames_since_keyframe += 1
         is_key = (
-            self.curframe_num == 0
+            self._prev_orig is None
             or self._frames_since_keyframe >= self.keyframe_freq
         )
         if is_key:

@@ -1,0 +1,77 @@
+"""GOP-parallel transcode: split a clip at keyframe boundaries, encode GOPs
+independently (in parallel), and gather packets in stream order.
+
+A GOP (keyframe + dependent delta frames) is the codec's natural elastic
+unit: no coding state crosses a keyframe except the golden frame, which the
+keyframe resets (SURVEY.md section 2.7). GOP outputs are byte-identical to a
+sequential encode at the same keyframe schedule, so parallelism is free.
+
+Ordered gather mirrors the multi-host plan: each worker returns (gop_index,
+packets); the muxer concatenates by index. Across hosts the same structure
+rides jax.distributed with per-GOP byte blobs gathered to host 0.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+
+from theora_tpu.encode.encoder import Encoder
+from theora_tpu.info import TheoraInfo
+from theora_tpu.tpkt import Packet
+
+
+def split_gops(frames: list, keyframe_freq: int) -> list[list]:
+    return [
+        frames[i : i + keyframe_freq]
+        for i in range(0, len(frames), keyframe_freq)
+    ]
+
+
+def _encode_gop(info: TheoraInfo, gop_frames, frame_base: int,
+                keyframe_freq: int, is_last: bool, rd_strength: float):
+    enc = Encoder(info)
+    enc.keyframe_freq = keyframe_freq
+    enc.curframe_num = frame_base - 1
+    pkts = []
+    for j, fr in enumerate(gop_frames):
+        last = is_last and j == len(gop_frames) - 1
+        enc.rd_strength = rd_strength
+        pkts.append(enc.encode_frame(fr, e_o_s=last))
+    return pkts
+
+
+def transcode(
+    frames: list,
+    info: TheoraInfo,
+    keyframe_freq: int = 64,
+    max_workers: int | None = None,
+    rd_strength: float = 1.0,
+) -> list[Packet]:
+    """Encode a clip GOP-parallel; returns headers + data packets in
+    stream order with correct granule positions and packet numbers."""
+    enc0 = Encoder(info)
+    header_pkts = enc0.flush_headers()
+    gops = split_gops(frames, keyframe_freq)
+    results: list = [None] * len(gops)
+    with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = {
+            ex.submit(
+                _encode_gop,
+                info,
+                gop,
+                gi * keyframe_freq,
+                keyframe_freq,
+                gi == len(gops) - 1,
+                rd_strength,
+            ): gi
+            for gi, gop in enumerate(gops)
+        }
+        for fut in cf.as_completed(futs):
+            results[futs[fut]] = fut.result()
+    out = list(header_pkts)
+    pn = 3
+    for pkts in results:
+        for p in pkts:
+            p.packetno = pn
+            pn += 1
+            out.append(p)
+    return out
