@@ -41,6 +41,7 @@ int main(int argc, char **argv) {
   int ph = argc > 10 ? atoi(argv[10]) : 0;
   int px = argc > 11 ? atoi(argv[11]) : 0;
   int py = argc > 12 ? atoi(argv[12]) : 0;
+  int fmt = argc > 13 ? atoi(argv[13]) : 0; /* 0=420, 2=422, 3=444 */
   FILE *fin = fopen(argv[6], "rb");
   FILE *fout = fopen(argv[7], "wb");
   if (!fin || !fout) { perror("open"); return 1; }
@@ -59,7 +60,7 @@ int main(int argc, char **argv) {
   ti.aspect_numerator = 1;
   ti.aspect_denominator = 1;
   ti.colorspace = TH_CS_UNSPECIFIED;
-  ti.pixel_fmt = TH_PF_420;
+  ti.pixel_fmt = fmt == 2 ? TH_PF_422 : (fmt == 3 ? TH_PF_444 : TH_PF_420);
   ti.quality = quality;
   ti.target_bitrate = bitrate;
   ti.keyframe_granule_shift = 6;
@@ -78,7 +79,9 @@ int main(int argc, char **argv) {
   while (th_encode_flushheader(enc, &tc, &op) > 0) put_packet(fout, &op);
   th_comment_clear(&tc);
 
-  size_t ysz = (size_t)w * h, csz = ysz / 4;
+  int cw = fmt ? (fmt == 3 ? w : w / 2) : w / 2;
+  int ch = fmt ? h : h / 2;
+  size_t ysz = (size_t)w * h, csz = (size_t)cw * ch;
   unsigned char *buf = malloc(ysz + 2 * csz);
   th_ycbcr_buffer ycbcr;
   int f;
@@ -88,8 +91,8 @@ int main(int argc, char **argv) {
       return 1;
     }
     ycbcr[0].width = w; ycbcr[0].height = h; ycbcr[0].stride = w; ycbcr[0].data = buf;
-    ycbcr[1].width = w / 2; ycbcr[1].height = h / 2; ycbcr[1].stride = w / 2; ycbcr[1].data = buf + ysz;
-    ycbcr[2].width = w / 2; ycbcr[2].height = h / 2; ycbcr[2].stride = w / 2; ycbcr[2].data = buf + ysz + csz;
+    ycbcr[1].width = cw; ycbcr[1].height = ch; ycbcr[1].stride = cw; ycbcr[1].data = buf + ysz;
+    ycbcr[2].width = cw; ycbcr[2].height = ch; ycbcr[2].stride = cw; ycbcr[2].data = buf + ysz + csz;
     int ret = th_encode_ycbcr_in(enc, ycbcr);
     if (ret != 0) { fprintf(stderr, "ycbcr_in=%d at frame %d\n", ret, f); return 1; }
     while (th_encode_packetout(enc, f == nframes - 1, &op) > 0) put_packet(fout, &op);

@@ -19,6 +19,8 @@ STREAMS = [
     "cif_k4_q40",           # CIF inter
     "cif_cbr",              # rate-controlled (dup frames possible)
     "crop80x64",            # cropped picture region
+    "clip422",              # 4:2:2 chroma
+    "clip444",              # 4:4:4 chroma
 ]
 
 
