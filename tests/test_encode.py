@@ -65,3 +65,27 @@ def test_encode_decode_closed_loop(quality, kf_freq):
         err = out[0].astype(float) - frames[i][0].astype(float)
         psnr = 10 * np.log10(255.0**2 / max(np.mean(err**2), 1e-9))
         assert psnr > 28.0, f"frame {i} PSNR {psnr}"
+
+
+def test_adaptive_quant_stream_decodes():
+    W, H = 64, 48
+    frames = _load_clip("clip64x48.i420", W, H)[:3]
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H, quality=40
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 8
+    enc.adaptive_quant = True
+    pkts = enc.flush_headers()
+    for i, fr in enumerate(frames):
+        pkts.append(enc.encode_frame(fr))
+    assert len(enc.frame_qis) == 3
+    dinfo = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
+    dec = Decoder(dinfo, setup)
+    for i, p in enumerate(pkts[3:]):
+        dec.decode_packet(p.data)
+        out = dec.ycbcr_out()
+        err = out[0].astype(float) - frames[i][0].astype(float)
+        psnr = 10 * np.log10(255.0**2 / max(np.mean(err**2), 1e-9))
+        assert psnr > 28.0

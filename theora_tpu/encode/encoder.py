@@ -116,6 +116,8 @@ class Encoder:
         # the lambda.
         self.rd_quant = True
         self.rd_strength = 1.0
+        # Adaptive quantization (3-qi frames with activity masking).
+        self.adaptive_quant = False
         # CBR rate control when a target bitrate is configured.
         self.rc = None
         self.curframe_num = -1
@@ -255,14 +257,18 @@ class Encoder:
             bw.write(0, 3)
 
     # ------------------------------------------------------------------
-    def _transform_quantize(self, planes, coded, frag_refi, residual_fn):
+    def _transform_quantize(self, planes, coded, frag_refi, residual_fn,
+                            frag_qii=None):
         """fDCT + quantize all coded fragments; returns per-plane qdct
         arrays in scan layout plus the DC-residual token vectors.
 
         residual_fn(pli, fragis) -> [n, 8, 8] int16 residual blocks.
+        frag_qii: optional [nfrags] qi-index per fragment (adaptive quant);
+        the DC coefficient always quantizes with qis[0] (matching the
+        decoder's dc_quant, decode.c:1530).
         """
         g = self.geometry
-        qi = self.qi
+        qis = self.frame_qis
         out = {}
         for pli in range(3):
             pl = g.planes[pli]
@@ -275,23 +281,124 @@ class Encoder:
             res = residual_fn(pli, fragis)
             dct = fdct8x8_batch(res)
             qti = (frag_refi[fragis] != FRAME_SELF).astype(np.int32)
+            qiis = (
+                frag_qii[fragis]
+                if frag_qii is not None
+                else np.zeros(len(fragis), np.int32)
+            )
             qdct = np.empty_like(dct)
             for t in (0, 1):
-                m = qti == t
-                if m.any():
-                    dq = self.dequant[qi, pli, t]
+                for qii in range(len(qis)):
+                    m = (qti == t) & (qiis == qii)
+                    if not m.any():
+                        continue
+                    dq = self.dequant[qis[qii], pli, t]
                     if self.rd_quant:
                         from theora_tpu.ops.fdct_np import (
                             quantize_rd_batch,
                             rd_lambda,
                         )
 
-                        lam = rd_lambda(qi, int(dq[1])) * self.rd_strength
+                        lam = rd_lambda(qis[qii], int(dq[1])) * self.rd_strength
                         qdct[m] = quantize_rd_batch(dct[m], dq, lam)
                     else:
                         qdct[m] = quantize_batch(dct[m], dq)
+                # DC always uses qis[0]'s quantizer.
+                m = qti == t
+                if m.any() and len(qis) > 1:
+                    dq0 = self.dequant[qis[0], pli, t]
+                    qdct[m, 0] = quantize_batch(
+                        dct[m][:, :1], dq0[:1]
+                    ).reshape(-1)
             out[pli] = (fragis, qdct)
         return out
+
+    # ------------------------------------------------------------------
+    @property
+    def frame_qis(self):
+        return getattr(self, "_frame_qis", None) or [self.qi]
+
+    def _select_adaptive_qis(self, planes, coded):
+        """Pick 3 qis (base, finer, coarser) and a per-fragment qii from
+        luma activity -- the activity-masking analogue (rate.c:175-201,
+        analyze.c:1152-1300): textured blocks take a coarser quantizer,
+        smooth blocks a finer one."""
+        g = self.geometry
+        if not self.adaptive_quant or self.qi in (0, 63):
+            self._frame_qis = None
+            return None
+        lq = np.log(np.maximum(self.dequant[:, 0, 1, 1:].astype(np.float64), 1)).mean(
+            axis=1
+        )
+        base = self.qi
+
+        def at_offset(delta):
+            return int(np.argmin(np.abs(lq - (lq[base] + delta))))
+
+        finer = at_offset(-0.3)
+        coarser = at_offset(0.7)
+        if finer == base or coarser == base:
+            self._frame_qis = None
+            return None
+        qis = [base, finer, coarser]
+        # Luma block variance -> activity terciles.
+        y = planes[0]
+        H, W = y.shape
+        blocks = (
+            y.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+        ).astype(np.float64)
+        var = blocks.var(axis=1)
+        lo, hi = np.quantile(var, [0.10, 0.55])
+        frag_qii = np.zeros(g.nfrags, dtype=np.int32)
+        yq = np.where(var <= lo, 1, np.where(var >= hi, 2, 0)).astype(np.int32)
+        frag_qii[: g.planes[0].nfrags] = yq
+        # Chroma keeps the base qi.
+        self._frame_qis = qis
+        return frag_qii
+
+    # ------------------------------------------------------------------
+    def _block_qis_pack(self, bw: BitWriter, frag_qii, coded) -> None:
+        """qi-index RLE over coded fragments (encode.c:685-725)."""
+        qis = self.frame_qis
+        if len(qis) <= 1:
+            return
+        g = self.geometry
+        order = []
+        for pli in range(3):
+            sel = g.scan_pli == pli
+            fr = g.scan_fragis[sel]
+            order.append(fr[coded[fr]])
+        order = np.concatenate(order)
+        if len(order) == 0:
+            return
+        qii = frag_qii[order]
+        flags = (qii > 0).astype(int)
+        flag = int(flags[0])
+        bw.write(flag, 1)
+        i = 0
+        n = len(flags)
+        nqi0 = int((qii == 0).sum())
+        while i < n:
+            run = 0
+            while i < n and flags[i] == flag:
+                run += 1
+                i += 1
+            sb_run_pack(bw, run, flag, i >= n)
+            flag = 1 - flag
+        if len(qis) < 3 or nqi0 >= n:
+            return
+        sub = qii[qii > 0] - 1
+        flag = int(sub[0])
+        bw.write(flag, 1)
+        i = 0
+        n = len(sub)
+        while i < n:
+            run = 0
+            while i < n and sub[i] == flag:
+                run += 1
+                i += 1
+            sb_run_pack(bw, run, flag, i >= n)
+            flag = 1 - flag
 
     # ------------------------------------------------------------------
     def _encode_intra(self, planes) -> bytes:
@@ -301,6 +408,7 @@ class Encoder:
         coded = np.zeros(nfrags, dtype=bool)
         coded[g.scan_fragis] = True
         frag_refi = np.full(nfrags, FRAME_SELF, dtype=np.int32)
+        frag_qii = self._select_adaptive_qis(planes, coded)
 
         def residual(pli, fragis):
             pl = g.planes[pli]
@@ -311,13 +419,17 @@ class Encoder:
             ax = fx[:, None, None] + np.arange(8)[None, None, :]
             return p[ay, ax].astype(np.int32) - 128
 
-        per_plane = self._transform_quantize(planes, coded, frag_refi, residual)
+        per_plane = self._transform_quantize(
+            planes, coded, frag_refi, residual, frag_qii
+        )
 
         # DC prediction per plane (raster order), then tokenize in coded
         # (scan) order.
         vecs_by_plane = self._dc_predict_and_order(per_plane, coded, frag_refi)
         bw = BitWriter()
-        self._frame_header_pack(bw, INTRA_FRAME, [self.qi])
+        self._frame_header_pack(bw, INTRA_FRAME, self.frame_qis)
+        if frag_qii is not None:
+            self._block_qis_pack(bw, frag_qii, coded)
         return self._pack_tokens(bw, vecs_by_plane, INTRA_FRAME)
 
     # ------------------------------------------------------------------
@@ -502,7 +614,10 @@ class Encoder:
         coded = np.zeros(nfrags, dtype=bool)
         coded[g.scan_fragis] = True
         coded &= frag_refi != FRAME_NONE
-        per_plane = self._transform_quantize(planes, coded, frag_refi, residual)
+        frag_qii = self._select_adaptive_qis(planes, coded)
+        per_plane = self._transform_quantize(
+            planes, coded, frag_refi, residual, frag_qii
+        )
 
         # Skip rule: NOMV-predicted blocks with all-zero coefficients are
         # left uncoded (identical to the PREV copy the decoder performs).
@@ -527,7 +642,7 @@ class Encoder:
         # --- DC prediction + tokenization + packing ------------------------
         vecs_by_plane = self._dc_predict_and_order(per_plane, coded, frag_refi)
         bw = BitWriter()
-        self._frame_header_pack(bw, INTER_FRAME, [self.qi])
+        self._frame_header_pack(bw, INTER_FRAME, self.frame_qis)
         self._coded_flags_pack(bw, coded)
         mb_luma_coded = np.zeros(g.nmbs, dtype=bool)
         for mbi in mb_list:
@@ -538,6 +653,8 @@ class Encoder:
         coded_mbis = [mbi for mbi in range(g.nmbs) if mb_luma_coded[mbi]]
         self._mb_modes_pack(bw, mb_modes, coded_mbis)
         self._mvs_pack(bw, mb_modes, mb_mvs, coded_mbis, coded)
+        if frag_qii is not None:
+            self._block_qis_pack(bw, frag_qii, coded)
         return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
 
     # ------------------------------------------------------------------
