@@ -583,31 +583,48 @@ class Encoder:
         prev_rec = self._dec.buffers[self._dec.ref_idx[FRAME_PREV]]
         gold_rec = self._dec.buffers[self._dec.ref_idx[FRAME_GOLD]]
 
+        from theora_tpu.decode.decoder import _MVMAP, _MVMAP2
+
         def residual(pli, fragis):
             p = planes[pli]
             vpad, hpad = g.plane_padding(pli)
             qpx = 1 if (pli != 0 and not (info.pixel_fmt & 1)) else 0
             qpy = 1 if (pli != 0 and not (info.pixel_fmt & 2)) else 0
+            fy = g.frag_y[fragis] * 8
+            fx = g.frag_x[fragis] * 8
+            ay = fy[:, None, None] + np.arange(8)[None, :, None]
+            ax = fx[:, None, None] + np.arange(8)[None, None, :]
+            cur = p[ay, ax].astype(np.int32)
             out = np.empty((len(fragis), 8, 8), dtype=np.int32)
-            for j, fragi in enumerate(fragis):
-                fy = g.frag_y[fragi] * 8
-                fx = g.frag_x[fragi] * 8
-                cur = p[fy : fy + 8, fx : fx + 8].astype(np.int32)
-                if frag_refi[fragi] == FRAME_SELF:
-                    out[j] = cur - 128
+            refi = frag_refi[fragis]
+            m_intra = refi == FRAME_SELF
+            if m_intra.any():
+                out[m_intra] = cur[m_intra] - 128
+            for rf, rec in ((FRAME_PREV, prev_rec), (FRAME_GOLD, gold_rec)):
+                m = refi == rf
+                if not m.any():
                     continue
-                ref = (
-                    prev_rec if frag_refi[fragi] == FRAME_PREV else gold_rec
-                ).planes[pli]
-                o1, o2 = mv_offsets(
-                    int(frag_mv[fragi, 0]), int(frag_mv[fragi, 1]), qpx, qpy
-                )
-                y0, x0 = fy + vpad + o1[0], fx + hpad + o1[1]
-                blk = ref[y0 : y0 + 8, x0 : x0 + 8].astype(np.int32)
-                if o2 is not None:
-                    y1, x1 = fy + vpad + o2[0], fx + hpad + o2[1]
-                    blk = (blk + ref[y1 : y1 + 8, x1 : x1 + 8].astype(np.int32)) >> 1
-                out[j] = cur - blk
+                ref = rec.planes[pli]
+                dx = frag_mv[fragis[m], 0]
+                dy = frag_mv[fragis[m], 1]
+                mx = _MVMAP[qpx][dx + 31]
+                mx2 = _MVMAP2[qpx][dx + 31]
+                my = _MVMAP[qpy][dy + 31]
+                my2 = _MVMAP2[qpy][dy + 31]
+                gy = (fy[m] + vpad + my)[:, None, None] + np.arange(8)[None, :, None]
+                gx = (fx[m] + hpad + mx)[:, None, None] + np.arange(8)[None, None, :]
+                blk = ref[gy, gx].astype(np.int32)
+                use2 = (mx2 != 0) | (my2 != 0)
+                if use2.any():
+                    g2y = (fy[m] + vpad + my + my2)[:, None, None] + np.arange(8)[
+                        None, :, None
+                    ]
+                    g2x = (fx[m] + hpad + mx + mx2)[:, None, None] + np.arange(8)[
+                        None, None, :
+                    ]
+                    blk2 = ref[g2y, g2x].astype(np.int32)
+                    blk = np.where(use2[:, None, None], (blk + blk2) >> 1, blk)
+                out[m] = cur[m] - blk
             return out
 
         # First pass: everything potentially coded.
