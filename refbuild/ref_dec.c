@@ -26,7 +26,8 @@ static int get_i64(FILE *f, ogg_int64_t *v) {
 }
 
 int main(int argc, char **argv) {
-  if (argc < 3) { fprintf(stderr, "usage: %s in.tpkt out.yuv\n", argv[0]); return 1; }
+  if (argc < 3) { fprintf(stderr, "usage: %s in.tpkt out.yuv [pp_level]\n", argv[0]); return 1; }
+  int pp_level = argc > 3 ? atoi(argv[3]) : 0;
   FILE *fin = fopen(argv[1], "rb");
   FILE *fout = fopen(argv[2], "wb");
   if (!fin || !fout) { perror("open"); return 1; }
@@ -67,6 +68,8 @@ int main(int argc, char **argv) {
       dec = th_decode_alloc(&ti, ts);
       th_setup_free(ts);
       if (!dec) { fprintf(stderr, "decode_alloc failed\n"); return 1; }
+      if (pp_level > 0)
+        th_decode_ctl(dec, TH_DECCTL_SET_PPLEVEL, &pp_level, sizeof(pp_level));
     }
     ogg_int64_t granout = 0;
     int ret = th_decode_packetin(dec, &op, &granout);

@@ -40,3 +40,23 @@ def test_bit_exact_decode(name):
         mine = np.concatenate([pl.reshape(-1) for pl in dec.ycbcr_out()])
         assert np.array_equal(mine, ref[i]), f"{name} frame {i} not bit-exact"
         assert dec.granpos == p.granulepos, f"{name} frame {i} granulepos"
+
+
+@pytest.mark.parametrize("pp_level", [2, 7])
+def test_postprocessor_bit_exact(pp_level):
+    name = "clip64x48_k8_q5"
+    pkts = read_tpkt(os.path.join(TESTDATA, f"{name}.tpkt"))
+    info = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
+    dec = Decoder(info, setup)
+    dec.set_pplevel(pp_level)
+    ref = np.fromfile(
+        os.path.join(TESTDATA, f"{name}.pp{pp_level}.yuv"), dtype=np.uint8
+    )
+    W, H = info.frame_width, info.frame_height
+    fsz = W * H * 3 // 2
+    ref = ref.reshape(-1, fsz)
+    for i, p in enumerate(pkts[3:]):
+        dec.decode_packet(p.data)
+        mine = np.concatenate([pl.reshape(-1) for pl in dec.ycbcr_out()])
+        assert np.array_equal(mine, ref[i]), f"pp{pp_level} frame {i}"

@@ -178,11 +178,12 @@ class th_dec_ctx:
 
     def ctl(self, req: int, buf=None):
         if req == TH_DECCTL_GET_PPLEVEL_MAX:
-            return 0  # postprocessing filters land in a later round
+            return 7
         if req == TH_DECCTL_SET_PPLEVEL:
-            if int(buf) != 0:
-                return TH_EIMPL
-            self._pp_level = 0
+            if not 0 <= int(buf) <= 7:
+                return TH_EINVAL
+            self._dec.set_pplevel(int(buf))
+            self._pp_level = int(buf)
             return 0
         if req == TH_DECCTL_SET_GRANPOS:
             gp = int(buf)

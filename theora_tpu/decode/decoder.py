@@ -160,6 +160,106 @@ class Decoder:
                 self._native = NativeEntropy(self.codebooks)
             except Exception:
                 self._native = None
+        # Out-of-loop postprocessor state (decode.c:1204-1325).
+        self.pp_level = 0
+        self._pp_dc_qis = None
+        self._pp_planes = None
+        from theora_tpu.quant import pp_dc_scale_init
+
+        self._pp_dc_scale = pp_dc_scale_init(setup.qinfo)
+        # pp_sharp_mod (decode.c:399-409).
+        sharp = np.zeros(64, dtype=np.int32)
+        for qi in range(64):
+            qsum = 0
+            for qti in range(2):
+                for pli in range(3):
+                    d = self.dequant[qi, pli, qti]
+                    qsum += (
+                        int(d[12]) + int(d[17]) + int(d[18]) + int(d[24])
+                    ) << (1 if pli == 0 else 0)
+            sharp[qi] = -(qsum >> 11)
+        self._pp_sharp_mod = sharp
+
+    # ------------------------------------------------------------------
+    def set_pplevel(self, level: int) -> None:
+        """TH_DECCTL_SET_PPLEVEL analogue: 0=off .. 7=max
+        (decode.c:31-48)."""
+        if not 0 <= level <= 7:
+            raise ValueError("pp level must be 0..7")
+        self.pp_level = level
+
+    # ------------------------------------------------------------------
+    def _postprocess(self, coded, frag_qii) -> None:
+        """Whole-frame deblock + dering into the pp buffers
+        (decode.c:2893-2915, 1204-1325)."""
+        g = self.geometry
+        level = self.pp_level
+        if level < 1:
+            self._pp_dc_qis = None
+            self._pp_planes = None
+            return
+        # DC qi tracking starts at the first INTRA frame (decode.c:1220-1244).
+        if self._pp_dc_qis is None:
+            if self.frame_type != INTRA_FRAME:
+                self._pp_planes = None
+                return
+            self._pp_dc_qis = np.full(g.nfrags, self.qis[0], dtype=np.uint8)
+        else:
+            self._pp_dc_qis[coded] = self.qis[0]
+        if level < 2:
+            self._pp_planes = None
+            return
+        from theora_tpu.native import get_lib, _setup_filters
+        import ctypes
+
+        lib = get_lib()
+        if lib is None:
+            self._pp_planes = None
+            return
+        if not hasattr(lib, "_pp_setup"):
+            lib.th_pp_deblock_plane.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p]
+            lib.th_pp_dering_plane.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            lib._pp_setup = True
+        self._pp_planes = [None, None, None]
+        self_frame = self.buffers[self.ref_idx[FRAME_SELF]]
+        dc_scale = np.ascontiguousarray(self._pp_dc_scale, dtype=np.int32)
+        sharp = np.ascontiguousarray(self._pp_sharp_mod, dtype=np.int32)
+        qis_arr = np.asarray(self.qis + [0, 0], dtype=np.uint8)
+        nplanes = 3 if level >= 5 else 1
+        for pli in range(nplanes):
+            pl = g.planes[pli]
+            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+            h, w = g.plane_shape(pli)
+            vpad, hpad = g.plane_padding(pli)
+            src = np.ascontiguousarray(
+                self_frame.planes[pli][vpad : vpad + h, hpad : hpad + w]
+            )
+            dst = np.zeros_like(src)
+            dqs = np.ascontiguousarray(self._pp_dc_qis[sl], dtype=np.uint8)
+            variances = np.zeros(pl.nfrags, dtype=np.int32)
+            lib.th_pp_deblock_plane(
+                dst.ctypes.data, w, src.ctypes.data, w, w, h,
+                pl.nhfrags, pl.nvfrags, dqs.ctypes.data,
+                dc_scale.ctypes.data, variances.ctypes.data,
+            )
+            dering_min = 3 if pli == 0 else 6
+            if level >= dering_min:
+                strong = level >= (4 if pli == 0 else 7)
+                qpf = np.ascontiguousarray(
+                    qis_arr[frag_qii[sl]], dtype=np.uint8
+                )
+                lib.th_pp_dering_plane(
+                    dst.ctypes.data, w, w, h, pl.nhfrags, pl.nvfrags,
+                    qpf.ctypes.data, dc_scale.ctypes.data, sharp.ctypes.data,
+                    variances.ctypes.data, 1 if strong else 0, pli,
+                )
+            self._pp_planes[pli] = dst
 
     # ------------------------------------------------------------------
     def decode_packet(self, packet: bytes) -> int:
@@ -350,6 +450,9 @@ class Decoder:
 
         self_frame.fill_borders()
         self._out_frame = self_frame
+        self.ref_idx[FRAME_SELF] = refi  # ensure set before postprocess
+        if self.pp_level > 0:
+            self._postprocess(coded, frag_qii)
 
         # Reference rotation (decode.c:2947-2962).
         if self.frame_type == INTRA_FRAME:
@@ -680,10 +783,15 @@ class Decoder:
     # ------------------------------------------------------------------
     def ycbcr_out(self):
         """Full-frame planes in display orientation (top-down), like
-        th_decode_ycbcr_out (decode.c:2988-2992)."""
+        th_decode_ycbcr_out (decode.c:2988-2992). Postprocessed planes are
+        returned when the postprocessor ran for this frame."""
         out = []
         frame = self._out_frame
+        pp = getattr(self, "_pp_planes", None)
         for pli in range(3):
+            if pp is not None and pp[pli] is not None:
+                out.append(pp[pli][::-1].copy())
+                continue
             vpad, hpad = self.geometry.plane_padding(pli)
             h, w = self.geometry.plane_shape(pli)
             p = frame.planes[pli][vpad : vpad + h, hpad : hpad + w]

@@ -713,3 +713,270 @@ void th_loop_filter_plane(uint8_t* plane, int W, int pad_y, int pad_x,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Out-of-loop postprocessor: deblocking + deringing (decode.c:1610-1957).
+extern "C" {
+
+static void pp_filter_hedge(uint8_t* dst, int dst_ystride, const uint8_t* src,
+                            int src_ystride, int qstep, int flimit,
+                            int32_t* var0, int32_t* var1) {
+  for (int bx = 0; bx < 8; bx++) {
+    const uint8_t* csrc = src + bx;
+    uint8_t* cdst = dst + bx;
+    int r[10];
+    for (int by = 0; by < 10; by++) {
+      r[by] = *csrc;
+      csrc += src_ystride;
+    }
+    int sum0 = 0, sum1 = 0;
+    for (int by = 0; by < 4; by++) {
+      sum0 += abs(r[by + 1] - r[by]);
+      sum1 += abs(r[by + 5] - r[by + 6]);
+    }
+    *var0 += sum0 < 255 ? sum0 : 255;
+    *var1 += sum1 < 255 ? sum1 : 255;
+    if (sum0 < flimit && sum1 < flimit && r[5] - r[4] < qstep &&
+        r[4] - r[5] < qstep) {
+      *cdst = (uint8_t)((r[0] * 3 + r[1] * 2 + r[2] + r[3] + r[4] + 4) >> 3);
+      cdst += dst_ystride;
+      *cdst = (uint8_t)((r[0] * 2 + r[1] + r[2] * 2 + r[3] + r[4] + r[5] + 4) >> 3);
+      cdst += dst_ystride;
+      for (int by = 0; by < 4; by++) {
+        *cdst = (uint8_t)((r[by] + r[by + 1] + r[by + 2] + r[by + 3] * 2 +
+                           r[by + 4] + r[by + 5] + r[by + 6] + 4) >> 3);
+        cdst += dst_ystride;
+      }
+      *cdst = (uint8_t)((r[4] + r[5] + r[6] + r[7] * 2 + r[8] + r[9] * 2 + 4) >> 3);
+      cdst += dst_ystride;
+      *cdst = (uint8_t)((r[5] + r[6] + r[7] + r[8] * 2 + r[9] * 3 + 4) >> 3);
+    } else {
+      for (int by = 1; by <= 8; by++) {
+        *cdst = (uint8_t)r[by];
+        cdst += dst_ystride;
+      }
+    }
+  }
+}
+
+static void pp_filter_vedge(uint8_t* dst, int dst_ystride, int qstep,
+                            int flimit, int32_t* variances) {
+  uint8_t* cdst = dst;
+  for (int by = 0; by < 8; by++) {
+    const uint8_t* rsrc = cdst - 1;
+    uint8_t* rdst = cdst;
+    int r[10];
+    for (int bx = 0; bx < 10; bx++) r[bx] = *rsrc++;
+    int sum0 = 0, sum1 = 0;
+    for (int bx = 0; bx < 4; bx++) {
+      sum0 += abs(r[bx + 1] - r[bx]);
+      sum1 += abs(r[bx + 5] - r[bx + 6]);
+    }
+    variances[0] += sum0 < 255 ? sum0 : 255;
+    variances[1] += sum1 < 255 ? sum1 : 255;
+    if (sum0 < flimit && sum1 < flimit && r[5] - r[4] < qstep &&
+        r[4] - r[5] < qstep) {
+      *rdst++ = (uint8_t)((r[0] * 3 + r[1] * 2 + r[2] + r[3] + r[4] + 4) >> 3);
+      *rdst++ = (uint8_t)((r[0] * 2 + r[1] + r[2] * 2 + r[3] + r[4] + r[5] + 4) >> 3);
+      for (int bx = 0; bx < 4; bx++) {
+        *rdst++ = (uint8_t)((r[bx] + r[bx + 1] + r[bx + 2] + r[bx + 3] * 2 +
+                             r[bx + 4] + r[bx + 5] + r[bx + 6] + 4) >> 3);
+      }
+      *rdst++ = (uint8_t)((r[4] + r[5] + r[6] + r[7] * 2 + r[8] + r[9] * 2 + 4) >> 3);
+      *rdst = (uint8_t)((r[5] + r[6] + r[7] + r[8] * 2 + r[9] * 3 + 4) >> 3);
+    }
+    cdst += dst_ystride;
+  }
+}
+
+// Whole-plane deblock (oc_dec_deblock_frag_rows with fragy0=0,
+// fragy_end=nv). dst/src: [H, stride] top-left origin; dc_qis: [nv*nh];
+// pp_dc_scale: [64]; variances out: [nv*nh].
+void th_pp_deblock_plane(uint8_t* dst, int dst_ystride, const uint8_t* src,
+                         int src_ystride, int width, int height, int nh,
+                         int nv, const uint8_t* dc_qis,
+                         const int32_t* pp_dc_scale, int32_t* variances) {
+  memset(variances, 0, sizeof(int32_t) * nh * nv);
+  const int32_t* vrow = variances;
+  const uint8_t* dq = dc_qis;
+  int y = 0;
+  uint8_t* d = dst;
+  const uint8_t* s = src;
+  for (; y < 4; y++) {
+    memcpy(d, s, width);
+    d += dst_ystride;
+    s += src_ystride;
+  }
+  int32_t* variance = variances;
+  int y_end = (nv - 1) << 3;
+  for (; y < y_end; y += 8) {
+    int qstep = pp_dc_scale[*dq];
+    int flimit = (qstep * 3) >> 2;
+    pp_filter_hedge(d, dst_ystride, s - src_ystride, src_ystride, qstep,
+                    flimit, variance, variance + nh);
+    variance++;
+    dq++;
+    for (int x = 8; x < width; x += 8) {
+      qstep = pp_dc_scale[*dq];
+      flimit = (qstep * 3) >> 2;
+      pp_filter_hedge(d + x, dst_ystride, s + x - src_ystride, src_ystride,
+                      qstep, flimit, variance, variance + nh);
+      pp_filter_vedge(d + x - (dst_ystride * 4) - 4, dst_ystride, qstep,
+                      flimit, variance - 1);
+      variance++;
+      dq++;
+    }
+    d += dst_ystride * 8;
+    s += src_ystride * 8;
+  }
+  for (; y < height; y++) {
+    memcpy(d, s, width);
+    d += dst_ystride;
+    s += src_ystride;
+  }
+  // Last row of vertical edges.
+  dq++;
+  for (int x = 8; x < width; x += 8) {
+    int qstep = pp_dc_scale[*dq++];
+    int flimit = (qstep * 3) >> 2;
+    pp_filter_vedge(d + x - (dst_ystride * 8) - 4, dst_ystride, qstep, flimit,
+                    variance++);
+  }
+  (void)vrow;
+}
+
+static void pp_dering_block(uint8_t* idata, int ystride, int b, int dc_scale,
+                            int sharp_mod, int strong) {
+  static const int MOD_MAX[2] = {24, 32};
+  static const int MOD_SHIFT[2] = {1, 0};
+  int vmod[72], hmod[72];
+  int mod_hi = 3 * dc_scale;
+  if (mod_hi > MOD_MAX[strong]) mod_hi = MOD_MAX[strong];
+  uint8_t* dst = idata;
+  const uint8_t* src = dst;
+  const uint8_t* psrc = src - (ystride & -!(b & 4));
+  for (int by = 0; by < 9; by++) {
+    for (int bx = 0; bx < 8; bx++) {
+      int mod = 32 + dc_scale - (abs(src[bx] - psrc[bx]) << MOD_SHIFT[strong]);
+      vmod[(by << 3) + bx] =
+          mod < -64 ? sharp_mod : (mod < 0 ? 0 : (mod > mod_hi ? mod_hi : mod));
+    }
+    psrc = src;
+    src += ystride & -(!(b & 8) | (by < 7));
+  }
+  const uint8_t* nsrc = dst;
+  psrc = dst - !(b & 1);
+  for (int bx = 0; bx < 9; bx++) {
+    src = nsrc;
+    for (int by = 0; by < 8; by++) {
+      int mod = 32 + dc_scale - (abs(*src - *psrc) << MOD_SHIFT[strong]);
+      hmod[(bx << 3) + by] =
+          mod < -64 ? sharp_mod : (mod < 0 ? 0 : (mod > mod_hi ? mod_hi : mod));
+      psrc += ystride;
+      src += ystride;
+    }
+    psrc = nsrc;
+    nsrc += !(b & 2) | (bx < 7);
+  }
+  src = dst;
+  psrc = src - (ystride & -!(b & 4));
+  nsrc = src + ystride;
+  for (int by = 0; by < 8; by++) {
+    int a, bb, w;
+    a = 128;
+    bb = 64;
+    w = hmod[by];
+    a -= w;
+    bb += w * *(src - !(b & 1));
+    w = vmod[by << 3];
+    a -= w;
+    bb += w * psrc[0];
+    w = vmod[(by + 1) << 3];
+    a -= w;
+    bb += w * nsrc[0];
+    w = hmod[(1 << 3) + by];
+    a -= w;
+    bb += w * src[1];
+    int v = (a * src[0] + bb) >> 7;
+    dst[0] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    for (int bx = 1; bx < 7; bx++) {
+      a = 128;
+      bb = 64;
+      w = hmod[(bx << 3) + by];
+      a -= w;
+      bb += w * src[bx - 1];
+      w = vmod[(by << 3) + bx];
+      a -= w;
+      bb += w * psrc[bx];
+      w = vmod[((by + 1) << 3) + bx];
+      a -= w;
+      bb += w * nsrc[bx];
+      w = hmod[((bx + 1) << 3) + by];
+      a -= w;
+      bb += w * src[bx + 1];
+      v = (a * src[bx] + bb) >> 7;
+      dst[bx] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+    a = 128;
+    bb = 64;
+    w = hmod[(7 << 3) + by];
+    a -= w;
+    bb += w * src[6];
+    w = vmod[(by << 3) + 7];
+    a -= w;
+    bb += w * psrc[7];
+    w = vmod[((by + 1) << 3) + 7];
+    a -= w;
+    bb += w * nsrc[7];
+    w = hmod[(8 << 3) + by];
+    a -= w;
+    bb += w * src[7 + !(b & 2)];
+    v = (a * src[7] + bb) >> 7;
+    dst[7] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    dst += ystride;
+    psrc = src;
+    src = nsrc;
+    nsrc += ystride & -(!(b & 8) | (by < 6));
+  }
+}
+
+// Whole-plane dering (oc_dec_dering_frag_rows, fragy0=0, fragy_end=nv).
+// qi_per_frag: [nv*nh] frame qi per fragment (qis[frag.qii]).
+void th_pp_dering_plane(uint8_t* idata, int ystride, int width, int height,
+                        int nh, int nv, const uint8_t* qi_per_frag,
+                        const int32_t* pp_dc_scale, const int32_t* pp_sharp_mod,
+                        const int32_t* variances, int strong_level, int pli) {
+  const int T1 = 384, T2 = 4 * T1, T3 = 5 * T1, T4 = 10 * T1;
+  int sthresh = pli ? T4 : T3;
+  const int32_t* variance = variances;
+  const uint8_t* qp = qi_per_frag;
+  uint8_t* row = idata;
+  for (int y = 0; y < (nv << 3); y += 8) {
+    for (int x = 0; x < width; x += 8) {
+      int qi = *qp;
+      int var = *variance;
+      int b = (x <= 0) | ((x + 8 >= width) << 1) | ((y <= 0) << 2) |
+              ((y + 8 >= height) << 3);
+      if (strong_level && var > sthresh) {
+        pp_dering_block(row + x, ystride, b, pp_dc_scale[qi], pp_sharp_mod[qi], 1);
+        if (pli ||
+            (!(b & 1) && variance[-1] > T4) ||
+            (!(b & 2) && variance[1] > T4) ||
+            (!(b & 4) && variance[-nh] > T4) ||
+            (!(b & 8) && variance[nh] > T4)) {
+          pp_dering_block(row + x, ystride, b, pp_dc_scale[qi], pp_sharp_mod[qi], 1);
+          pp_dering_block(row + x, ystride, b, pp_dc_scale[qi], pp_sharp_mod[qi], 1);
+        }
+      } else if (var > T2) {
+        pp_dering_block(row + x, ystride, b, pp_dc_scale[qi], pp_sharp_mod[qi], 1);
+      } else if (var > T1) {
+        pp_dering_block(row + x, ystride, b, pp_dc_scale[qi], pp_sharp_mod[qi], 0);
+      }
+      qp++;
+      variance++;
+    }
+    row += ystride * 8;
+  }
+}
+
+}  // extern "C"
