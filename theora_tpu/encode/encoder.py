@@ -526,6 +526,25 @@ class Encoder:
             .astype(np.int64)
         )
 
+        # --- Per-block MVs for the 4MV mode (mcenc.c:430-496 analogue) -----
+        from theora_tpu.constants import MODE_INTER_MV_FOUR
+
+        nmb = len(mb_list)
+        blk_off = np.array([(0, 0), (0, 8), (8, 0), (8, 8)])  # (dy, dx); bi=i<<1|j
+        blk_fy = (mb_fy[:, None] + blk_off[None, :, 0]).reshape(-1)
+        blk_fx = (mb_fx[:, None] + blk_off[None, :, 1]).reshape(-1)
+        seed_dy = np.repeat(full_mvs[:, 1], 4)
+        seed_dx = np.repeat(full_mvs[:, 0], 4)
+        bsad = mcenc._per_block_sad(cur_y, prev_o, blk_fy, blk_fx, 8, seed_dy, seed_dx)
+        bdy, bdx, bsad = mcenc._refine(
+            cur_y, prev_o, blk_fy, blk_fx, 8, seed_dy, seed_dx, bsad, 15, 1
+        )
+        bmvs, bsad = mcenc.half_pel_refine_blocks(
+            cur_y, prev_o, np.stack([bdx, bdy], axis=1), blk_fy, blk_fx, 8
+        )
+        sad_4mv = bsad.reshape(nmb, 4).sum(axis=1)
+        bmvs = bmvs.reshape(nmb, 4, 2)
+
         # --- Mode decision with MV-predictor state machine ----------------
         mb_modes = np.full(g.nmbs, 0, dtype=np.int32)
         mb_mvs = np.zeros((g.nmbs, 2), dtype=np.int32)
@@ -537,6 +556,7 @@ class Encoder:
                 MODE_INTER_NOMV: int(sad_nomv[i]),
                 MODE_INTRA: int(sad_intra[i]) + 350,
                 MODE_GOLDEN_NOMV: int(sad_gold[i]) + 80,
+                MODE_INTER_MV_FOUR: int(sad_4mv[i]) + 640,
             }
             if mv != (0, 0):
                 mv_cost = 160
@@ -559,6 +579,11 @@ class Encoder:
             elif mode == MODE_INTER_MV_LAST2:
                 mb_mvs[mbi] = prior_mv
                 prior_mv, last_mv = last_mv, prior_mv
+            elif mode == MODE_INTER_MV_FOUR:
+                # The decoder updates last/prior from the per-block MVs
+                # (decode.c:841-866); all 4 luma blocks stay coded.
+                prior_mv = last_mv
+                last_mv = (int(bmvs[i, 3, 0]), int(bmvs[i, 3, 1]))
         # NOTE: the decoder's last/prior state only advances on transmitted
         # modes; MBs that end up with no coded luma blocks don't transmit.
         # We conservatively avoid LAST/LAST2 modes becoming untransmitted by
@@ -568,9 +593,44 @@ class Encoder:
         frag_refi = np.full(nfrags, FRAME_NONE, dtype=np.int32)
         frag_mode = np.zeros(nfrags, dtype=np.int32)
         frag_mv = np.zeros((nfrags, 2), dtype=np.int32)
-        for mbi in mb_list:
+
+        def div_round(v, shift, rval):
+            return (int(v) + (-1 if v < 0 else 0) + rval) >> shift
+
+        pf = int(info.pixel_fmt)
+        for i, mbi in enumerate(mb_list):
             mode = int(mb_modes[mbi])
             refi = int(FRAME_FOR_MODE[mode])
+            if mode == MODE_INTER_MV_FOUR:
+                lb = bmvs[i]
+                for bi in range(4):
+                    fragi = g.mb_maps[mbi, 0, bi]
+                    if fragi >= 0:
+                        frag_refi[fragi] = refi
+                        frag_mode[fragi] = mode
+                        frag_mv[fragi] = lb[bi]
+                # Chroma MVs from the luma block MVs (state.c:33-97).
+                cb = [(0, 0)] * 4
+                if pf == 0:
+                    dx = int(lb[:, 0].sum())
+                    dy = int(lb[:, 1].sum())
+                    cb[0] = (div_round(dx, 2, 2), div_round(dy, 2, 2))
+                elif pf == 2:
+                    for k, (a, b) in enumerate(((0, 1), (2, 3))):
+                        cb[k * 2] = (
+                            div_round(int(lb[a, 0] + lb[b, 0]), 1, 1),
+                            div_round(int(lb[a, 1] + lb[b, 1]), 1, 1),
+                        )
+                else:
+                    cb = [tuple(v) for v in lb]
+                for pli in (1, 2):
+                    for bi in range(4):
+                        fragi = g.mb_maps[mbi, pli, bi]
+                        if fragi >= 0:
+                            frag_refi[fragi] = refi
+                            frag_mode[fragi] = mode
+                            frag_mv[fragi] = cb[bi]
+                continue
             for pli in range(3):
                 for bi in range(4):
                     fragi = g.mb_maps[mbi, pli, bi]
@@ -578,6 +638,7 @@ class Encoder:
                         frag_refi[fragi] = refi
                         frag_mode[fragi] = mode
                         frag_mv[fragi] = mb_mvs[mbi]
+        self._frag_mv4 = frag_mv
 
         # --- Transform + quantize + skip ----------------------------------
         prev_rec = self._dec.buffers[self._dec.ref_idx[FRAME_PREV]]

@@ -181,3 +181,32 @@ def half_pel_refine(cur, ref, full_mvs, mb_y, mb_x):
             best_dx = np.where(better, ndx, best_dx)
             best_dy = np.where(better, ndy, best_dy)
     return np.stack([best_dx, best_dy], axis=1), best_sad
+
+
+def half_pel_refine_blocks(cur, ref, full_mvs, by, bx, bs):
+    """Half-pel refinement for arbitrary block size (the 4MV per-block
+    variant, mcenc.c:763-791)."""
+    pad = (ref.shape[0] - cur.shape[0]) // 2
+    n = len(by)
+    ay = by[:, None, None] + np.arange(bs)[None, :, None]
+    ax = bx[:, None, None] + np.arange(bs)[None, None, :]
+    curblks = cur[ay, ax].astype(np.int32)
+    pby = by + pad
+    pbx = bx + pad
+    best_dx = full_mvs[:, 0] * 2
+    best_dy = full_mvs[:, 1] * 2
+    pred = _halfpel_pred_batch(ref, best_dx, best_dy, pby, pbx, bs)
+    best_sad = np.abs(curblks - pred).reshape(n, -1).sum(axis=1)
+    for ddy in (-1, 0, 1):
+        for ddx in (-1, 0, 1):
+            if ddy == 0 and ddx == 0:
+                continue
+            ndx = np.clip(best_dx + ddx, -31, 31)
+            ndy = np.clip(best_dy + ddy, -31, 31)
+            pred = _halfpel_pred_batch(ref, ndx, ndy, pby, pbx, bs)
+            s = np.abs(curblks - pred).reshape(n, -1).sum(axis=1)
+            better = s < best_sad
+            best_sad = np.where(better, s, best_sad)
+            best_dx = np.where(better, ndx, best_dx)
+            best_dy = np.where(better, ndy, best_dy)
+    return np.stack([best_dx, best_dy], axis=1), best_sad
