@@ -268,10 +268,16 @@ class Decoder:
         g = self.geometry
         info = self.info
         nfrags = g.nfrags
+        sideinfo = None
         if len(packet) == 0:
             self.frame_type = INTER_FRAME
             coded = np.zeros(nfrags, dtype=bool)
             ncoded_total = 0
+            br = None
+        elif self._native is not None:
+            sideinfo = self._parse_sideinfo_native(packet)
+            coded = sideinfo["coded"]
+            ncoded_total = int(coded.sum())
             br = None
         else:
             br = BitReader(packet)
@@ -317,20 +323,27 @@ class Decoder:
         self.ref_idx[FRAME_SELF] = refi
         self_frame = self.buffers[refi]
 
-        frag_refi = np.full(nfrags, FRAME_NONE, dtype=np.int32)
-        frag_mode = np.zeros(nfrags, dtype=np.int32)
-        frag_mv = np.zeros((nfrags, 2), dtype=np.int32)  # (dx, dy)
-        if self.frame_type == INTRA_FRAME:
-            self.keyframe_num = self.curframe_num
-            frag_refi[coded] = FRAME_SELF
-            frag_mode[coded] = MODE_INTRA
+        if sideinfo is not None:
+            frag_refi = sideinfo["refi"]
+            frag_mode = sideinfo["mode"]
+            frag_mv = sideinfo["mv"]
+            frag_qii = sideinfo["qii"]
+            if self.frame_type == INTRA_FRAME:
+                self.keyframe_num = self.curframe_num
         else:
-            mb_modes = self._mb_modes_unpack(br, mb_luma_coded)
-            self._mv_unpack_and_fill(
-                br, mb_modes, coded, frag_refi, frag_mode, frag_mv
-            )
-
-        frag_qii = self._block_qis_unpack(br, coded)
+            frag_refi = np.full(nfrags, FRAME_NONE, dtype=np.int32)
+            frag_mode = np.zeros(nfrags, dtype=np.int32)
+            frag_mv = np.zeros((nfrags, 2), dtype=np.int32)  # (dx, dy)
+            if self.frame_type == INTRA_FRAME:
+                self.keyframe_num = self.curframe_num
+                frag_refi[coded] = FRAME_SELF
+                frag_mode[coded] = MODE_INTRA
+            else:
+                mb_modes = self._mb_modes_unpack(br, mb_luma_coded)
+                self._mv_unpack_and_fill(
+                    br, mb_modes, coded, frag_refi, frag_mode, frag_mv
+                )
+            frag_qii = self._block_qis_unpack(br, coded)
 
         # Coded fragment lists per plane, in canonical scan order.
         coded_fragis_per_plane = []
@@ -346,8 +359,9 @@ class Decoder:
             else np.zeros(0, np.int32)
         )
         if self._native is not None:
+            bitpos = sideinfo["bitpos"] if sideinfo is not None else br.pos
             qz, last_zzi, dc_coded, _end = self._native.decode_frame_tokens(
-                packet, br.pos, ncoded_per_plane
+                packet, bitpos, ncoded_per_plane
             )
             qz = qz.astype(np.int32)
             dc_full = np.zeros(nfrags, dtype=np.int32)
@@ -461,6 +475,65 @@ class Decoder:
         else:
             self.ref_idx[FRAME_PREV] = refi
         return 0
+
+    # ------------------------------------------------------------------
+    def _parse_sideinfo_native(self, packet: bytes) -> dict:
+        """Frame side-info parse via the C++ tier (decode.c:442-981)."""
+        import ctypes
+
+        from theora_tpu.native import get_lib
+
+        lib = get_lib()
+        if not hasattr(lib, "_sideinfo_setup"):
+            lib.th_parse_frame_sideinfo.restype = ctypes.c_int64
+            lib.th_parse_frame_sideinfo.argtypes = [ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib._sideinfo_setup = True
+        g = self.geometry
+        if not hasattr(self, "_si_arrays"):
+            self._si_arrays = (
+                np.ascontiguousarray(g.scan_fragis, dtype=np.int32),
+                np.ascontiguousarray(g.scan_sbi, dtype=np.int32),
+                np.ascontiguousarray(g.scan_quadi, dtype=np.int32),
+                np.ascontiguousarray(g.mb_maps.reshape(-1), dtype=np.int32),
+                np.ascontiguousarray(g.mb_valid, dtype=np.uint8),
+            )
+        sf, ssb, sq, mbm, mbv = self._si_arrays
+        buf = np.frombuffer(packet, dtype=np.uint8)
+        ft = np.zeros(1, np.int32)
+        qis = np.zeros(3, np.int32)
+        nqis = np.zeros(1, np.int32)
+        coded = np.zeros(g.nfrags, np.uint8)
+        refi = np.zeros(g.nfrags, np.int32)
+        mode = np.zeros(g.nfrags, np.int32)
+        mv = np.zeros((g.nfrags, 2), np.int32)
+        qii = np.zeros(g.nfrags, np.int32)
+        pos = lib.th_parse_frame_sideinfo(
+            buf.ctypes.data, len(packet), g.nfrags, g.nsbs, g.nmbs,
+            int(self.info.pixel_fmt), sf.ctypes.data, ssb.ctypes.data,
+            sq.ctypes.data, len(sf), g.planes[0].nsbs, mbm.ctypes.data,
+            mbv.ctypes.data, ft.ctypes.data, qis.ctypes.data,
+            nqis.ctypes.data, coded.ctypes.data, refi.ctypes.data,
+            mode.ctypes.data, mv.ctypes.data, qii.ctypes.data,
+        )
+        if pos < 0:
+            raise ValueError("bad frame packet")
+        self.frame_type = int(ft[0])
+        self.qis = [int(q) for q in qis[: int(nqis[0])]]
+        return {
+            "coded": coded.astype(bool),
+            "refi": refi,
+            "mode": mode,
+            "mv": mv,
+            "qii": qii,
+            "bitpos": int(pos),
+        }
 
     # ------------------------------------------------------------------
     def _update_granpos(self) -> None:

@@ -980,3 +980,352 @@ void th_pp_dering_plane(uint8_t* idata, int ystride, int width, int height,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Frame side-info parser: frame header, coded-block flags, MB modes, MVs,
+// and block-qi RLE (decode.c:442-981), producing the per-fragment arrays
+// the reconstruction consumes.
+extern "C" {
+
+namespace {
+
+inline int sb_run_decode(BitReader& br) {
+  // 0 | 10x | 110x | 1110xx | 11110xxx | 111110xxxx | 111111x*12
+  if (!br.read(1)) return 1;
+  if (!br.read(1)) return 2 + br.read(1);
+  if (!br.read(1)) return 4 + br.read(1);
+  if (!br.read(1)) return 6 + br.read(2);
+  if (!br.read(1)) return 10 + br.read(3);
+  if (!br.read(1)) return 18 + br.read(4);
+  return 34 + br.read(12);
+}
+
+inline int block_run_decode(BitReader& br) {
+  // 0x | 10x | 110x | 1110xx | 11110xx | 11111xxxx
+  if (!br.read(1)) return 1 + br.read(1);
+  if (!br.read(1)) return 3 + br.read(1);
+  if (!br.read(1)) return 5 + br.read(1);
+  if (!br.read(1)) return 7 + br.read(2);
+  if (!br.read(1)) return 11 + br.read(2);
+  return 15 + br.read(4);
+}
+
+inline int mode_vlc_decode(BitReader& br) {
+  int n = 0;
+  while (n < 6 && br.read(1)) n++;
+  if (n < 6) return n;
+  return 6 + br.read(1);
+}
+
+// MV component VLC (decode.c:743-773).
+inline int mv_vlc_decode(BitReader& br) {
+  uint32_t p3 = br.read(3);
+  switch (p3) {
+    case 0: return 0;
+    case 1: return 1;
+    case 2: return -1;
+    case 3: {  // '011' + 1 bit: +-2
+      return br.read(1) ? -2 : 2;
+    }
+    case 4: {  // '100' + 1 bit: +-3
+      return br.read(1) ? -3 : 3;
+    }
+  }
+  // p3 in 5..7: read 2 more bits to complete a 5-bit prefix 20..31.
+  uint32_t p5 = (p3 << 2) | br.read(2);
+  if (p5 < 24) {  // 20..23: +-(4 + (p5-20)), 1 more bit for sign
+    int mag = 4 + (p5 - 20);
+    return br.read(1) ? -mag : mag;
+  }
+  if (p5 < 28) {  // 24..27: 2-bit suffix, values 8..15
+    int base = 8 + (p5 - 24) * 2;
+    uint32_t s = br.read(2);
+    int mag = base + (s >> 1);
+    return (s & 1) ? -mag : mag;
+  }
+  // 28..31: 3-bit suffix, values 16..31
+  int base = 16 + (p5 - 28) * 4;
+  uint32_t s = br.read(3);
+  int mag = base + (s >> 1);
+  return (s & 1) ? -mag : mag;
+}
+
+inline int mv_clc_decode(BitReader& br) {
+  uint32_t v = br.read(6);
+  int mag = v >> 1;
+  return (v & 1) ? -mag : mag;
+}
+
+const int8_t MODE_ALPHABETS_C[7][8] = {
+    {3, 4, 2, 0, 1, 5, 6, 7}, {3, 4, 0, 2, 1, 5, 6, 7},
+    {3, 2, 4, 0, 1, 5, 6, 7}, {3, 2, 0, 4, 1, 5, 6, 7},
+    {0, 3, 4, 2, 1, 5, 6, 7}, {0, 5, 3, 4, 2, 1, 6, 7},
+    {0, 1, 2, 3, 4, 5, 6, 7}};
+
+const int MB_MAP_IDXS_C[4][12] = {
+    {0, 1, 2, 3, 4, 8, -1, -1, -1, -1, -1, -1},
+    {0, 1, 2, 3, 4, 5, 8, 9, -1, -1, -1, -1},
+    {0, 1, 2, 3, 4, 6, 8, 10, -1, -1, -1, -1},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11}};
+const int MB_MAP_NIDXS_C[4] = {6, 8, 8, 12};
+
+const int FRAME_FOR_MODE_C[8] = {1, 2, 1, 1, 1, 0, 0, 1};
+
+inline int div_round_pow2(int x, int shift, int rval) {
+  return (x + (x < 0 ? -1 : 0) + rval) >> shift;
+}
+
+}  // namespace
+
+// Returns the bit position after the side info, or -1 on error.
+// scan_*: canonical SB scan arrays; nsbs0 = luma plane SB count.
+// Outputs: frame_type, qis[3], nqis, coded[nfrags], refi, mode,
+// mv[nfrags*2] (dx, dy), qii[nfrags].
+int64_t th_parse_frame_sideinfo(
+    const uint8_t* packet, int64_t len, int64_t nfrags, int32_t nsbs,
+    int32_t nmbs, int32_t pixel_fmt, const int32_t* scan_fragis,
+    const int32_t* scan_sbi, const int32_t* scan_quadi, int64_t nscan,
+    int32_t nsbs0, const int32_t* mb_maps, const uint8_t* mb_valid,
+    int32_t* frame_type, int32_t* qis, int32_t* nqis, uint8_t* coded,
+    int32_t* refi, int32_t* mode, int32_t* mv, int32_t* qii) {
+  BitReader br;
+  br.init(packet, len);
+  if (br.read(1) != 0) return -1;
+  *frame_type = br.read(1);
+  *nqis = 1;
+  qis[0] = br.read(6);
+  if (br.read(1)) {
+    qis[1] = br.read(6);
+    *nqis = 2;
+    if (br.read(1)) {
+      qis[2] = br.read(6);
+      *nqis = 3;
+    }
+  }
+  memset(coded, 0, nfrags);
+  for (int64_t i = 0; i < nfrags; i++) {
+    refi[i] = 3;  // FRAME_NONE
+    mode[i] = 0;
+    mv[2 * i] = mv[2 * i + 1] = 0;
+    qii[i] = 0;
+  }
+  std::vector<uint8_t> mb_luma_coded(nmbs, 0);
+  if (*frame_type == 0) {
+    // INTRA: 3 spare bits, all fragments coded.
+    if (br.read(3) != 0) return -1;
+    for (int64_t i = 0; i < nscan; i++) {
+      int32_t f = scan_fragis[i];
+      coded[f] = 1;
+      refi[f] = 2;  // SELF
+      mode[f] = 1;  // INTRA
+    }
+  } else {
+    // Coded-block flags (decode.c:523-671).
+    std::vector<uint8_t> sb_partial(nsbs, 0), sb_full(nsbs, 0);
+    int flag = br.read(1);
+    int npartial = 0;
+    int32_t sbi = 0;
+    while (sbi < nsbs) {
+      int run = sb_run_decode(br);
+      int full_run = run >= 4129;
+      while (run > 0 && sbi < nsbs) {
+        sb_partial[sbi++] = (uint8_t)flag;
+        npartial += flag;
+        run--;
+      }
+      if (full_run && sbi < nsbs) flag = br.read(1);
+      else flag = !flag;
+    }
+    if (npartial < nsbs) {
+      sbi = 0;
+      while (sb_partial[sbi]) sbi++;
+      flag = br.read(1);
+      while (sbi < nsbs) {
+        int run = sb_run_decode(br);
+        int full_run = run >= 4129;
+        while (sbi < nsbs) {
+          if (sb_partial[sbi]) { sbi++; continue; }
+          if (run <= 0) break;
+          sb_full[sbi++] = (uint8_t)flag;
+          run--;
+        }
+        if (full_run && sbi < nsbs) flag = br.read(1);
+        else flag = !flag;
+      }
+    }
+    flag = npartial > 0 ? !br.read(1) : 0;
+    int run = 0;
+    for (int64_t i = 0; i < nscan; i++) {
+      int32_t f = scan_fragis[i];
+      int32_t sb = scan_sbi[i];
+      int c;
+      if (sb_full[sb]) c = 1;
+      else if (!sb_partial[sb]) c = 0;
+      else {
+        if (run <= 0) {
+          run = block_run_decode(br);
+          flag = !flag;
+        }
+        run--;
+        c = flag;
+      }
+      coded[f] = (uint8_t)c;
+      if (c && sb < nsbs0) mb_luma_coded[(sb << 2) | scan_quadi[i]] = 1;
+    }
+    // MB modes (decode.c:702-739).
+    int scheme = br.read(3);
+    int8_t alphabet[8];
+    if (scheme == 0) {
+      for (int i = 0; i < 8; i++) alphabet[i] = 0;
+      for (int mi = 0; mi < 8; mi++)
+        alphabet[br.read(3)] = MODE_ALPHABETS_C[6][mi];
+    } else {
+      memcpy(alphabet, MODE_ALPHABETS_C[scheme - 1], 8);
+    }
+    std::vector<int8_t> mb_modes(nmbs, 0);
+    for (int32_t mbi = 0; mbi < nmbs; mbi++) {
+      if (!mb_valid[mbi]) { mb_modes[mbi] = -1; continue; }
+      if (mb_luma_coded[mbi]) {
+        int tok = scheme == 7 ? (int)br.read(3) : mode_vlc_decode(br);
+        mb_modes[mbi] = alphabet[tok];
+      }
+    }
+    // MVs + per-fragment fill (decode.c:806-900).
+    int use_clc = br.read(1);
+    auto read_comp = [&]() {
+      return use_clc ? mv_clc_decode(br) : mv_vlc_decode(br);
+    };
+    const int* map_idxs = MB_MAP_IDXS_C[pixel_fmt];
+    int map_nidxs = MB_MAP_NIDXS_C[pixel_fmt];
+    int last_x = 0, last_y = 0, prior_x = 0, prior_y = 0;
+    for (int32_t mbi = 0; mbi < nmbs; mbi++) {
+      int m = mb_modes[mbi];
+      if (m == -1) continue;
+      const int32_t* mm = mb_maps + (int64_t)mbi * 12;
+      if (m == 7) {  // INTER_MV_FOUR
+        int lbx[4] = {0, 0, 0, 0}, lby[4] = {0, 0, 0, 0};
+        prior_x = last_x;
+        prior_y = last_y;
+        for (int bi = 0; bi < 4; bi++) {
+          int32_t f = mm[bi];
+          if (f >= 0 && coded[f]) {
+            int dx = read_comp(), dy = read_comp();
+            last_x = lbx[bi] = dx;
+            last_y = lby[bi] = dy;
+            refi[f] = 1;
+            mode[f] = 7;
+            mv[2 * f] = dx;
+            mv[2 * f + 1] = dy;
+          }
+        }
+        int cbx[4] = {0, 0, 0, 0}, cby[4] = {0, 0, 0, 0};
+        if (pixel_fmt == 0) {
+          cbx[0] = div_round_pow2(lbx[0] + lbx[1] + lbx[2] + lbx[3], 2, 2);
+          cby[0] = div_round_pow2(lby[0] + lby[1] + lby[2] + lby[3], 2, 2);
+        } else if (pixel_fmt == 2) {
+          cbx[0] = div_round_pow2(lbx[0] + lbx[1], 1, 1);
+          cby[0] = div_round_pow2(lby[0] + lby[1], 1, 1);
+          cbx[2] = div_round_pow2(lbx[2] + lbx[3], 1, 1);
+          cby[2] = div_round_pow2(lby[2] + lby[3], 1, 1);
+        } else if (pixel_fmt == 1) {
+          cbx[0] = div_round_pow2(lbx[0] + lbx[2], 1, 1);
+          cby[0] = div_round_pow2(lby[0] + lby[2], 1, 1);
+          cbx[1] = div_round_pow2(lbx[1] + lbx[3], 1, 1);
+          cby[1] = div_round_pow2(lby[1] + lby[3], 1, 1);
+        } else {
+          for (int k = 0; k < 4; k++) { cbx[k] = lbx[k]; cby[k] = lby[k]; }
+        }
+        for (int mi = 4; mi < map_nidxs; mi++) {
+          int mapi = map_idxs[mi];
+          int bi = mapi & 3;
+          int32_t f = mm[(mapi >> 2) * 4 + bi];
+          if (f >= 0 && coded[f]) {
+            refi[f] = 1;
+            mode[f] = 7;
+            mv[2 * f] = cbx[bi];
+            mv[2 * f + 1] = cby[bi];
+          }
+        }
+      } else {
+        int mvx = 0, mvy = 0;
+        switch (m) {
+          case 2:  // INTER_MV
+            prior_x = last_x; prior_y = last_y;
+            mvx = read_comp(); mvy = read_comp();
+            last_x = mvx; last_y = mvy;
+            break;
+          case 3:  // LAST
+            mvx = last_x; mvy = last_y;
+            break;
+          case 4: {  // LAST2
+            mvx = prior_x; mvy = prior_y;
+            prior_x = last_x; prior_y = last_y;
+            last_x = mvx; last_y = mvy;
+            break;
+          }
+          case 6:  // GOLDEN_MV
+            mvx = read_comp(); mvy = read_comp();
+            break;
+          default:
+            break;
+        }
+        int rf = FRAME_FOR_MODE_C[m];
+        for (int mi = 0; mi < map_nidxs; mi++) {
+          int mapi = map_idxs[mi];
+          int32_t f = mm[(mapi >> 2) * 4 + (mapi & 3)];
+          if (f >= 0 && coded[f]) {
+            refi[f] = rf;
+            mode[f] = m;
+            mv[2 * f] = mvx;
+            mv[2 * f + 1] = mvy;
+          }
+        }
+      }
+    }
+  }
+  // Block qi RLE (decode.c:902-981) over coded fragments in scan order.
+  if (*nqis > 1) {
+    std::vector<int64_t> order;
+    order.reserve(nscan);
+    for (int64_t i = 0; i < nscan; i++)
+      if (coded[scan_fragis[i]]) order.push_back(scan_fragis[i]);
+    int64_t n = (int64_t)order.size();
+    if (n > 0) {
+      std::vector<int8_t> q(n, 0);
+      int flag = br.read(1);
+      int64_t nqi1 = 0, i = 0;
+      while (i < n) {
+        int run = sb_run_decode(br);
+        int full_run = run >= 4129;
+        while (run > 0 && i < n) {
+          q[i++] = (int8_t)flag;
+          nqi1 += flag;
+          run--;
+        }
+        if (full_run && i < n) flag = br.read(1);
+        else flag = !flag;
+      }
+      if (*nqis == 3 && nqi1 > 0) {
+        i = 0;
+        while (q[i] == 0) i++;
+        flag = br.read(1);
+        while (i < n) {
+          int run = sb_run_decode(br);
+          int full_run = run >= 4129;
+          while (i < n) {
+            if (q[i] == 0) { i++; continue; }
+            if (run <= 0) break;
+            q[i++] += (int8_t)flag;
+            run--;
+          }
+          if (full_run && i < n) flag = br.read(1);
+          else flag = !flag;
+        }
+      }
+      for (int64_t k = 0; k < n; k++) qii[order[k]] = q[k];
+    }
+  }
+  return br.pos;
+}
+
+}  // extern "C"
