@@ -422,20 +422,27 @@ class Decoder:
             g.frag_pli[order], 0, frag_is_inter[order], 0
         ].astype(np.int64)
         dcs = dc_full[order].astype(np.int64)
-        residual = np.empty((len(order), 8, 8), dtype=np.int32)
         dc_only = last_zzi < 2
-        if dc_only.any():
-            residual[dc_only] = dc_fill_batch(dcs[dc_only], dc_quant[dc_only])
-        full = ~dc_only
-        if full.any():
-            deq = qz[full].astype(np.int64) * deq_rows[full]
-            deq[:, 0] = dcs[full] * dc_quant[full]
-            # int16 wraparound on all dequantized coefficients, then
-            # de-zig-zag into natural order.
-            deq = ((deq + 0x8000) % 0x10000 - 0x8000).astype(np.int32)
-            nat = np.zeros_like(deq)
-            nat[:, ZIGZAG_TO_NAT[:64]] = deq
-            residual[full] = idct8x8_batch(nat.reshape(-1, 8, 8))
+        if self._native is not None:
+            from theora_tpu.native import residuals_native
+
+            residual = residuals_native(qz, deq_rows, dcs, dc_quant, dc_only)
+        else:
+            residual = np.empty((len(order), 8, 8), dtype=np.int32)
+            if dc_only.any():
+                residual[dc_only] = dc_fill_batch(
+                    dcs[dc_only], dc_quant[dc_only]
+                )
+            full = ~dc_only
+            if full.any():
+                deq = qz[full].astype(np.int64) * deq_rows[full]
+                deq[:, 0] = dcs[full] * dc_quant[full]
+                # int16 wraparound on all dequantized coefficients, then
+                # de-zig-zag into natural order.
+                deq = ((deq + 0x8000) % 0x10000 - 0x8000).astype(np.int32)
+                nat = np.zeros_like(deq)
+                nat[:, ZIGZAG_TO_NAT[:64]] = deq
+                residual[full] = idct8x8_batch(nat.reshape(-1, 8, 8))
 
         # Reconstruction (state.c:959-1000).
         self._reconstruct(order, residual, frag_refi, frag_mv, self_frame)

@@ -201,3 +201,31 @@ def loop_filter_native(plane, coded, bv, pad_y, pad_x=None):
         plane.ctypes.data, plane.shape[1], pad_y, pad_x, nv, nh,
         coded8.ctypes.data, bv32.ctypes.data,
     )
+
+
+def residuals_native(qz, deq_rows, dc, dc_quant, dc_only):
+    """Batched dequant + bit-exact iDCT (+ DC-fill path) in C++.
+
+    qz: [n,64] int zig-zag quantized; deq_rows: [n,64]; dc/dc_quant: [n];
+    dc_only: [n] bool. Returns [n,8,8] int32 residuals.
+    """
+    lib = get_lib()
+    if not hasattr(lib, "_resid_setup"):
+        lib.th_residuals_batch.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib._resid_setup = True
+    n = len(qz)
+    qz16 = np.ascontiguousarray(qz, dtype=np.int16)
+    deq32 = np.ascontiguousarray(deq_rows, dtype=np.int32)
+    dc32 = np.ascontiguousarray(dc, dtype=np.int32)
+    dq32 = np.ascontiguousarray(dc_quant, dtype=np.int32)
+    do8 = np.ascontiguousarray(dc_only, dtype=np.uint8)
+    out = np.empty((n, 64), dtype=np.int32)
+    lib.th_residuals_batch(
+        n, qz16.ctypes.data, deq32.ctypes.data, dc32.ctypes.data,
+        dq32.ctypes.data, do8.ctypes.data, out.ctypes.data,
+    )
+    return out.reshape(n, 8, 8)

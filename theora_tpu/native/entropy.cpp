@@ -1329,3 +1329,80 @@ int64_t th_parse_frame_sideinfo(
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Batched dequant + dense iDCT + DC-fill residual computation
+// (idct.c:30-330, state.c:959-980); int16-exact.
+extern "C" {
+
+namespace {
+
+inline int32_t i16w(int32_t v) { return (int16_t)v; }
+
+const int32_t C1 = 64277, C2 = 60547, C3 = 54491, C4 = 46341, C5 = 36410,
+              C6 = 25080, C7 = 12785;
+
+inline void idct8_1d(const int32_t* x, int32_t* y, int stride) {
+  int32_t t0 = (C4 * i16w(x[0] + x[4])) >> 16;
+  int32_t t1 = (C4 * i16w(x[0] - x[4])) >> 16;
+  int32_t t2 = ((C6 * x[2]) >> 16) - ((C2 * x[6]) >> 16);
+  int32_t t3 = ((C2 * x[2]) >> 16) + ((C6 * x[6]) >> 16);
+  int32_t t4 = ((C7 * x[1]) >> 16) - ((C1 * x[7]) >> 16);
+  int32_t t5 = ((C3 * x[5]) >> 16) - ((C5 * x[3]) >> 16);
+  int32_t t6 = ((C5 * x[5]) >> 16) + ((C3 * x[3]) >> 16);
+  int32_t t7 = ((C1 * x[1]) >> 16) + ((C7 * x[7]) >> 16);
+  int32_t r = t4 + t5;
+  t5 = (C4 * i16w(t4 - t5)) >> 16;
+  t4 = r;
+  r = t7 + t6;
+  t6 = (C4 * i16w(t7 - t6)) >> 16;
+  t7 = r;
+  r = t0 + t3; t3 = t0 - t3; t0 = r;
+  r = t1 + t2; t2 = t1 - t2; t1 = r;
+  r = t6 + t5; t5 = t6 - t5; t6 = r;
+  y[0 * stride] = i16w(t0 + t7);
+  y[1 * stride] = i16w(t1 + t6);
+  y[2 * stride] = i16w(t2 + t5);
+  y[3 * stride] = i16w(t3 + t4);
+  y[4 * stride] = i16w(t3 - t4);
+  y[5 * stride] = i16w(t2 - t5);
+  y[6 * stride] = i16w(t1 - t6);
+  y[7 * stride] = i16w(t0 - t7);
+}
+
+const int ZIGN[64] = {
+  0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+  12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+  35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+  58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+}  // namespace
+
+// qz: [n,64] int16 zig-zag quantized; deq: [n,64] int32 factors (zig-zag);
+// dc: [n] int32 predicted DC; dc_quant: [n]; dc_only: [n] uint8;
+// out: [n,64] int32 residual blocks (row-major).
+void th_residuals_batch(int64_t n, const int16_t* qz, const int32_t* deq,
+                        const int32_t* dc, const int32_t* dc_quant,
+                        const uint8_t* dc_only, int32_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    int32_t* o = out + i * 64;
+    if (dc_only[i]) {
+      int32_t p = i16w((dc[i] * dc_quant[i] + 15) >> 5);
+      for (int k = 0; k < 64; k++) o[k] = p;
+      continue;
+    }
+    const int16_t* q = qz + i * 64;
+    const int32_t* d = deq + i * 64;
+    int32_t nat[64];
+    memset(nat, 0, sizeof(nat));
+    nat[0] = i16w(dc[i] * dc_quant[i]);
+    for (int z = 1; z < 64; z++)
+      if (q[z]) nat[ZIGN[z]] = i16w((int32_t)q[z] * d[z]);
+    int32_t w[64];
+    for (int r = 0; r < 8; r++) idct8_1d(nat + r * 8, w + r, 8);
+    for (int r = 0; r < 8; r++) idct8_1d(w + r * 8, o + r, 8);
+    for (int k = 0; k < 64; k++) o[k] = i16w((o[k] + 8) >> 4);
+  }
+}
+
+}  // extern "C"
