@@ -792,6 +792,30 @@ class Decoder:
         fragment.c:49-80)."""
         g = self.geometry
         info = self.info
+        if self._native is not None:
+            from theora_tpu.native import recon_plane_native
+
+            prev_frame = self.buffers[self.ref_idx[FRAME_PREV]]
+            gold_frame = self.buffers[self.ref_idx[FRAME_GOLD]]
+            pli_of = g.frag_pli[order]
+            for pli in range(3):
+                sel = pli_of == pli
+                fragis = order[sel]
+                vpad, hpad = g.plane_padding(pli)
+                qpx = 1 if (pli != 0 and not (info.pixel_fmt & 1)) else 0
+                qpy = 1 if (pli != 0 and not (info.pixel_fmt & 2)) else 0
+                recon_plane_native(
+                    self_frame.planes[pli],
+                    prev_frame.planes[pli],
+                    gold_frame.planes[pli],
+                    vpad, hpad,
+                    g.frag_y[fragis], g.frag_x[fragis],
+                    frag_refi[fragis],
+                    frag_mv[fragis, 0], frag_mv[fragis, 1],
+                    residual[sel], qpx, qpy,
+                    np.zeros(0, np.int32), np.zeros(0, np.int32),
+                )
+            return
         for pli in range(3):
             pl = g.planes[pli]
             sel = (g.frag_pli[order] == pli)
@@ -856,9 +880,18 @@ class Decoder:
             src = prev_frame.planes[pli]
             dst = self_frame.planes[pli]
             ys, xs = np.where(~cm)
-            ay = (vpad + ys * 8)[:, None, None] + np.arange(8)[None, :, None]
-            ax = (hpad + xs * 8)[:, None, None] + np.arange(8)[None, None, :]
-            dst[ay, ax] = src[ay, ax]
+            if self._native is not None:
+                from theora_tpu.native import recon_plane_native
+
+                z = np.zeros(0, np.int32)
+                recon_plane_native(
+                    dst, src, src, vpad, hpad, z, z, z, z, z,
+                    np.zeros((0, 64), np.int32), 0, 0, ys, xs,
+                )
+            else:
+                ay = (vpad + ys * 8)[:, None, None] + np.arange(8)[None, :, None]
+                ax = (hpad + xs * 8)[:, None, None] + np.arange(8)[None, None, :]
+                dst[ay, ax] = src[ay, ax]
 
     # ------------------------------------------------------------------
     def ycbcr_out(self):

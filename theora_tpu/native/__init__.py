@@ -229,3 +229,31 @@ def residuals_native(qz, deq_rows, dc, dc_quant, dc_only):
         dq32.ctypes.data, do8.ctypes.data, out.ctypes.data,
     )
     return out.reshape(n, 8, 8)
+
+
+def recon_plane_native(self_plane, prev_plane, gold_plane, vpad, hpad,
+                       fy, fx, refi, mvx, mvy, residual, qpx, qpy, ufy, ufx):
+    lib = get_lib()
+    if not hasattr(lib, "_recon_setup"):
+        lib.th_recon_plane.argtypes = [ctypes.c_void_p] * 3 + [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._recon_setup = True
+    a = lambda x, dt: np.ascontiguousarray(x, dtype=dt)
+    fy32, fx32 = a(fy, np.int32), a(fx, np.int32)
+    refi32 = a(refi, np.int32)
+    mvx32, mvy32 = a(mvx, np.int32), a(mvy, np.int32)
+    res32 = a(residual.reshape(len(residual), 64) if len(residual) else residual, np.int32)
+    ufy32, ufx32 = a(ufy, np.int32), a(ufx, np.int32)
+    assert self_plane.flags["C_CONTIGUOUS"]
+    lib.th_recon_plane(
+        self_plane.ctypes.data, prev_plane.ctypes.data, gold_plane.ctypes.data,
+        self_plane.shape[1], vpad, hpad, len(fy32),
+        fy32.ctypes.data, fx32.ctypes.data, refi32.ctypes.data,
+        mvx32.ctypes.data, mvy32.ctypes.data, res32.ctypes.data,
+        qpx, qpy, len(ufy32), ufy32.ctypes.data, ufx32.ctypes.data,
+    )

@@ -1406,3 +1406,83 @@ void th_residuals_batch(int64_t n, const int16_t* qz, const int32_t* deq,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Frame reconstruction: MC prediction + residual add + clamp, plus
+// uncoded-fragment copy (state.c:959-1000, fragment.c:20-80).
+extern "C" {
+
+namespace {
+// MV offset tables (state.c:901-928).
+const int8_t MVMAP_C[2][64] = {
+    {-15, -15, -14, -14, -13, -13, -12, -12, -11, -11, -10, -10, -9, -9, -8,
+     -8, -7, -7, -6, -6, -5, -5, -4, -4, -3, -3, -2, -2, -1, -1, 0, 0, 0,
+     1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11,
+     12, 12, 13, 13, 14, 14, 15, 15, 0},
+    {-7, -7, -7, -7, -6, -6, -6, -6, -5, -5, -5, -5, -4, -4, -4, -4, -3, -3,
+     -3, -3, -2, -2, -2, -2, -1, -1, -1, -1, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1,
+     1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 6, 6, 6, 6, 7, 7,
+     7, 7, 0}};
+const int8_t MVMAP2_C[2][64] = {
+    {-1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0,
+     -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, -1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+     0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0},
+    {-1, -1, -1, 0, -1, -1, -1, 0, -1, -1, -1, 0, -1, -1, -1, 0, -1, -1, -1,
+     0, -1, -1, -1, 0, -1, -1, -1, 0, -1, -1, -1, 0, 1, 1, 1, 0, 1, 1, 1,
+     0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1,
+     1, 0}};
+}  // namespace
+
+// Reconstruct one plane. self/prev/gold: padded [Hp, Wp] planes (same
+// geometry); frag lists give coded fragments of this plane with their
+// residuals, plus uncoded fragments to copy from prev.
+void th_recon_plane(uint8_t* selfp, const uint8_t* prevp, const uint8_t* goldp,
+                    int W, int vpad, int hpad, int64_t ncoded,
+                    const int32_t* fy, const int32_t* fx, const int32_t* refi,
+                    const int32_t* mvx, const int32_t* mvy,
+                    const int32_t* residual, int qpx, int qpy,
+                    int64_t nuncoded, const int32_t* ufy, const int32_t* ufx) {
+  for (int64_t i = 0; i < ncoded; i++) {
+    int y0 = vpad + fy[i] * 8;
+    int x0 = hpad + fx[i] * 8;
+    uint8_t* dst = selfp + (int64_t)y0 * W + x0;
+    const int32_t* res = residual + i * 64;
+    if (refi[i] == 2) {  // intra
+      for (int r = 0; r < 8; r++, dst += W)
+        for (int c = 0; c < 8; c++) {
+          int v = res[r * 8 + c] + 128;
+          dst[c] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+        }
+      continue;
+    }
+    const uint8_t* refp = refi[i] == 1 ? prevp : goldp;
+    int mx = MVMAP_C[qpx][mvx[i] + 31];
+    int mx2 = MVMAP2_C[qpx][mvx[i] + 31];
+    int my = MVMAP_C[qpy][mvy[i] + 31];
+    int my2 = MVMAP2_C[qpy][mvy[i] + 31];
+    const uint8_t* s1 = refp + (int64_t)(y0 + my) * W + x0 + mx;
+    if (mx2 | my2) {
+      const uint8_t* s2 = s1 + (int64_t)my2 * W + mx2;
+      for (int r = 0; r < 8; r++, dst += W, s1 += W, s2 += W)
+        for (int c = 0; c < 8; c++) {
+          int v = res[r * 8 + c] + ((s1[c] + s2[c]) >> 1);
+          dst[c] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+        }
+    } else {
+      for (int r = 0; r < 8; r++, dst += W, s1 += W)
+        for (int c = 0; c < 8; c++) {
+          int v = res[r * 8 + c] + s1[c];
+          dst[c] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+        }
+    }
+  }
+  for (int64_t i = 0; i < nuncoded; i++) {
+    int y0 = vpad + ufy[i] * 8;
+    int x0 = hpad + ufx[i] * 8;
+    uint8_t* dst = selfp + (int64_t)y0 * W + x0;
+    const uint8_t* src = prevp + (int64_t)y0 * W + x0;
+    for (int r = 0; r < 8; r++, dst += W, src += W) memcpy(dst, src, 8);
+  }
+}
+
+}  // extern "C"
