@@ -276,7 +276,10 @@ class Encoder:
             coded_pl = coded[sl]
             fragis = np.where(coded_pl)[0] + pl.froffset
             if len(fragis) == 0:
-                out[pli] = (fragis, np.zeros((0, 64), np.int32))
+                out[pli] = (
+                    fragis, np.zeros((0, 64), np.int32),
+                    np.zeros(0, np.int64), np.zeros(0, np.int64),
+                )
                 continue
             res = residual_fn(pli, fragis)
             dct = fdct8x8_batch(res)
@@ -287,6 +290,7 @@ class Encoder:
                 else np.zeros(len(fragis), np.int32)
             )
             qdct = np.empty_like(dct)
+            err2 = np.zeros(len(fragis), dtype=np.int64)
             for t in (0, 1):
                 for qii in range(len(qis)):
                     m = (qti == t) & (qiis == qii)
@@ -310,7 +314,21 @@ class Encoder:
                     qdct[m, 0] = quantize_batch(
                         dct[m][:, :1], dq0[:1]
                     ).reshape(-1)
-            out[pli] = (fragis, qdct)
+            # Coefficient-domain coding error (for R/D skip decisions).
+            for t in (0, 1):
+                for qii in range(len(qis)):
+                    m = (qti == t) & (qiis == qii)
+                    if not m.any():
+                        continue
+                    dq = self.dequant[qis[qii], pli, t].astype(np.int64)
+                    d = dct[m].astype(np.int64) - qdct[m].astype(np.int64) * dq
+                    err2[m] = (d * d).sum(axis=1)
+            # Squared pixel-domain residual, scaled into DCT units
+            # (the transform is x4 orthonormal => energies scale by 16).
+            res2 = (res.astype(np.int64) ** 2).reshape(len(fragis), -1).sum(
+                axis=1
+            ) * 16
+            out[pli] = (fragis, qdct, err2, res2)
         return out
 
     # ------------------------------------------------------------------
@@ -441,7 +459,7 @@ class Encoder:
         out = []
         for pli in range(3):
             pl = g.planes[pli]
-            fragis, qdct = per_plane[pli]
+            fragis, qdct = per_plane[pli][:2]
             shape = (pl.nvfrags, pl.nhfrags)
             sl = slice(pl.froffset, pl.froffset + pl.nfrags)
             dc_plane = np.zeros(shape, dtype=np.int32)
@@ -697,18 +715,28 @@ class Encoder:
             planes, coded, frag_refi, residual, frag_qii
         )
 
-        # Skip rule: NOMV-predicted blocks with all-zero coefficients are
-        # left uncoded (identical to the PREV copy the decoder performs).
+        # R/D skip (analyze.c:859-867): a NOMV block stays uncoded when the
+        # coded version doesn't beat the plain PREV copy by more than its
+        # bit cost (uncoded semantics == NOMV prediction).
+        from theora_tpu.ops.fdct_np import rd_lambda
+
         nomv_modes = (MODE_INTER_NOMV,)
+        lam = rd_lambda(self.qi, int(self.dequant[self.qi, 0, 1, 1])) * (
+            self.rd_strength * 4.0
+        )
         for pli in range(3):
-            fragis, qdct = per_plane[pli]
+            fragis, qdct, err2, res2 = per_plane[pli]
             if len(fragis) == 0:
                 continue
-            allzero = (qdct == 0).all(axis=1)
-            skip = allzero & np.isin(frag_mode[fragis], nomv_modes)
+            nnz = (qdct != 0).sum(axis=1)
+            bits_est = 6 * nnz + 2
+            skip_rd = res2 <= err2 + (lam * bits_est).astype(np.int64)
+            skip = skip_rd & np.isin(frag_mode[fragis], nomv_modes)
             if skip.any():
                 coded[fragis[skip]] = False
-                per_plane[pli] = (fragis[~skip], qdct[~skip])
+                per_plane[pli] = (
+                    fragis[~skip], qdct[~skip], err2[~skip], res2[~skip]
+                )
 
         ncoded_total = int(coded.sum())
         if ncoded_total == 0:
