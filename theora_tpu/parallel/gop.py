@@ -21,8 +21,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from theora_tpu.ops import transforms_jax as tj
 
 
-def make_mesh(n_devices: int | None = None, frag_axis: int = 1) -> Mesh:
-    devices = jax.devices()
+def make_mesh(
+    n_devices: int | None = None, frag_axis: int = 1, devices=None
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)

@@ -17,6 +17,10 @@ def main(argv=None):
     ap.add_argument("output")
     ap.add_argument("-q", "--quality", type=int, default=48)
     ap.add_argument("-k", "--keyframe-freq", type=int, default=64)
+    ap.add_argument("-b", "--bitrate", type=int, default=0,
+                    help="target bitrate (bps); enables CBR")
+    ap.add_argument("--adaptive-quant", action="store_true")
+    ap.add_argument("--rd-strength", type=float, default=1.0)
     args = ap.parse_args(argv)
 
     from theora_tpu.encode.encoder import Encoder
@@ -40,9 +44,12 @@ def main(argv=None):
         fps_numerator=fps[0],
         fps_denominator=fps[1],
         quality=args.quality,
+        target_bitrate=args.bitrate,
     )
     enc = Encoder(info)
     enc.keyframe_freq = args.keyframe_freq
+    enc.adaptive_quant = args.adaptive_quant
+    enc.rd_strength = args.rd_strength
     pkts = enc.flush_headers()
     t0 = time.perf_counter()
     for i, fr in enumerate(frames):
