@@ -564,28 +564,55 @@ class Encoder:
         bmvs = bmvs.reshape(nmb, 4, 2)
 
         # --- Mode decision with MV-predictor state machine ----------------
+        # The LAST/LAST2 modes cost no MV bits, so the best MV is compared
+        # against reusing the predictors (the reference gets spatial MV
+        # coherence from its neighbor-candidate search, mcenc.c:90-165; we
+        # evaluate the predictors explicitly).
         mb_modes = np.full(g.nmbs, 0, dtype=np.int32)
         mb_mvs = np.zeros((g.nmbs, 2), dtype=np.int32)
         last_mv = (0, 0)
         prior_mv = (0, 0)
+        one = np.zeros(1, dtype=np.int64)
+        pad16 = (prev_o.shape[0] - cur_y.shape[0]) // 2
+
+        def sad_at(i, mvt):
+            pred = mcenc._halfpel_pred_batch(
+                prev_o,
+                np.array([mvt[0]]),
+                np.array([mvt[1]]),
+                np.array([mb_fy[i] + pad16]),
+                np.array([mb_fx[i] + pad16]),
+            )
+            blk = cur_y[
+                mb_fy[i] : mb_fy[i] + 16, mb_fx[i] : mb_fx[i] + 16
+            ].astype(np.int32)
+            return int(np.abs(blk - pred[0]).sum())
+
+        MV_BITS_SAD = 28 * int(self.rd_strength * 4 + 4)  # ~explicit-MV cost
         for i, mbi in enumerate(mb_list):
             mv = (int(mvs[i, 0]), int(mvs[i, 1]))
             costs = {
                 MODE_INTER_NOMV: int(sad_nomv[i]),
                 MODE_INTRA: int(sad_intra[i]) + 350,
                 MODE_GOLDEN_NOMV: int(sad_gold[i]) + 80,
-                MODE_INTER_MV_FOUR: int(sad_4mv[i]) + 640,
+                MODE_INTER_MV_FOUR: int(sad_4mv[i]) + 640 + 4 * MV_BITS_SAD,
             }
             if mv != (0, 0):
-                mv_cost = 160
-                mode_for_mv = MODE_INTER_MV
-                if mv == last_mv:
-                    mv_cost = 48
-                    mode_for_mv = MODE_INTER_MV_LAST
-                elif mv == prior_mv:
-                    mv_cost = 64
-                    mode_for_mv = MODE_INTER_MV_LAST2
-                costs[mode_for_mv] = int(sad_mv[i]) + mv_cost
+                costs[MODE_INTER_MV] = int(sad_mv[i]) + MV_BITS_SAD
+            if last_mv != (0, 0):
+                s = (
+                    int(sad_mv[i])
+                    if mv == last_mv
+                    else sad_at(i, last_mv)
+                )
+                costs[MODE_INTER_MV_LAST] = s + 16
+            if prior_mv != (0, 0) and prior_mv != last_mv:
+                s = (
+                    int(sad_mv[i])
+                    if mv == prior_mv
+                    else sad_at(i, prior_mv)
+                )
+                costs[MODE_INTER_MV_LAST2] = s + 24
             mode = min(costs, key=costs.get)
             mb_modes[mbi] = mode
             if mode == MODE_INTER_MV:
