@@ -115,7 +115,7 @@ class Encoder:
         # R/D-aware quantization (the trellis-lite pass); strength scales
         # the lambda.
         self.rd_quant = True
-        self.rd_strength = 1.0
+        self.rd_strength = 3.0
         # Adaptive quantization (3-qi frames with activity masking).
         self.adaptive_quant = False
         # CBR rate control when a target bitrate is configured.

@@ -128,7 +128,34 @@ def quantize_rd_batch(
     take1 = err1 + lam * bits1 <= err0 + lam * bits0
     out = np.where(take1, np.sign(q0) * a1, q0)
     out[:, 0] = q0[:, 0]  # never degrade DC
-    return out.astype(np.int32)
+    out = out.astype(np.int32)
+    # Tail kill: dropping the last nonzero coefficient of a block removes a
+    # whole token and usually merges EOB runs -- worth far more bits than a
+    # magnitude step (the trellis's biggest win, tokenize.c:457-744).
+    TAIL_BITS = 14.0
+    av = np.abs(v)
+    for _ in range(4):
+        nz = out != 0
+        nz[:, 0] = False  # never the DC
+        has = nz.any(axis=1)
+        if not has.any():
+            break
+        last = 63 - np.argmax(nz[:, ::-1], axis=1)
+        rows = np.arange(len(out))
+        q_at = out[rows, last]
+        d_at = d[last] if d.ndim == 1 else d[rows, last]
+        v_at = av[rows, last]
+        err_coded = (np.abs(q_at) * d_at - v_at) ** 2
+        err_zero = v_at**2
+        kill = (
+            has
+            & (np.abs(q_at) == 1)
+            & (err_zero - err_coded <= lam * TAIL_BITS)
+        )
+        if not kill.any():
+            break
+        out[rows[kill], last[kill]] = 0
+    return out
 
 
 def rd_lambda(qi: int, dequant_ac: int) -> float:
