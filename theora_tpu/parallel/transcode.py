@@ -27,14 +27,15 @@ def split_gops(frames: list, keyframe_freq: int) -> list[list]:
 
 
 def _encode_gop(info: TheoraInfo, gop_frames, frame_base: int,
-                keyframe_freq: int, is_last: bool, rd_strength: float):
+                keyframe_freq: int, is_last: bool, rd_strength):
     enc = Encoder(info)
     enc.keyframe_freq = keyframe_freq
     enc.curframe_num = frame_base - 1
+    if rd_strength is not None:
+        enc.rd_strength = rd_strength
     pkts = []
     for j, fr in enumerate(gop_frames):
         last = is_last and j == len(gop_frames) - 1
-        enc.rd_strength = rd_strength
         pkts.append(enc.encode_frame(fr, e_o_s=last))
     return pkts
 
@@ -44,7 +45,7 @@ def transcode(
     info: TheoraInfo,
     keyframe_freq: int = 64,
     max_workers: int | None = None,
-    rd_strength: float = 1.0,
+    rd_strength: float | None = None,
 ) -> list[Packet]:
     """Encode a clip GOP-parallel; returns headers + data packets in
     stream order with correct granule positions and packet numbers."""
