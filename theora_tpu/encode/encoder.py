@@ -575,18 +575,31 @@ class Encoder:
         one = np.zeros(1, dtype=np.int64)
         pad16 = (prev_o.shape[0] - cur_y.shape[0]) // 2
 
-        def sad_at(i, mvt):
-            pred = mcenc._halfpel_pred_batch(
-                prev_o,
-                np.array([mvt[0]]),
-                np.array([mvt[1]]),
-                np.array([mb_fy[i] + pad16]),
-                np.array([mb_fx[i] + pad16]),
-            )
-            blk = cur_y[
-                mb_fy[i] : mb_fy[i] + 16, mb_fx[i] : mb_fx[i] + 16
-            ].astype(np.int32)
-            return int(np.abs(blk - pred[0]).sum())
+        try:
+            from theora_tpu.native import sad_halfpel_native
+
+            cur_c = np.ascontiguousarray(cur_y)
+            prev_c = np.ascontiguousarray(prev_o)
+
+            def sad_at(i, mvt):
+                return sad_halfpel_native(
+                    cur_c, prev_c, int(mb_fy[i]), int(mb_fx[i]), pad16,
+                    int(mvt[0]), int(mvt[1]),
+                )
+        except Exception:
+
+            def sad_at(i, mvt):
+                pred = mcenc._halfpel_pred_batch(
+                    prev_o,
+                    np.array([mvt[0]]),
+                    np.array([mvt[1]]),
+                    np.array([mb_fy[i] + pad16]),
+                    np.array([mb_fx[i] + pad16]),
+                )
+                blk = cur_y[
+                    mb_fy[i] : mb_fy[i] + 16, mb_fx[i] : mb_fx[i] + 16
+                ].astype(np.int32)
+                return int(np.abs(blk - pred[0]).sum())
 
         MV_BITS_SAD = 28 * int(self.rd_strength * 4 + 4)  # ~explicit-MV cost
         for i, mbi in enumerate(mb_list):

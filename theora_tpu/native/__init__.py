@@ -257,3 +257,19 @@ def recon_plane_native(self_plane, prev_plane, gold_plane, vpad, hpad,
         mvx32.ctypes.data, mvy32.ctypes.data, res32.ctypes.data,
         qpx, qpy, len(ufy32), ufy32.ctypes.data, ufx32.ctypes.data,
     )
+
+
+def sad_halfpel_native(cur, ref, y, x, pad, mvx, mvy, bs=16):
+    lib = get_lib()
+    if not hasattr(lib, "_sad_setup"):
+        lib.th_sad_halfpel.restype = ctypes.c_int64
+        lib.th_sad_halfpel.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib._sad_setup = True
+    return lib.th_sad_halfpel(
+        cur.ctypes.data, cur.shape[1], ref.ctypes.data, ref.shape[1],
+        y, x, pad, mvx, mvy, bs,
+    )

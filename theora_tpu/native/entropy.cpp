@@ -1486,3 +1486,27 @@ void th_recon_plane(uint8_t* selfp, const uint8_t* prevp, const uint8_t* goldp,
 }
 
 }  // extern "C"
+
+// Single-block half-pel SAD (for sequential MV-predictor evaluation).
+extern "C" int64_t th_sad_halfpel(const uint8_t* cur, int cur_stride,
+                                  const uint8_t* ref, int ref_stride, int y,
+                                  int x, int pad, int mvx, int mvy, int bs) {
+  int mx = MVMAP_C[0][mvx + 31];
+  int mx2 = MVMAP2_C[0][mvx + 31];
+  int my = MVMAP_C[0][mvy + 31];
+  int my2 = MVMAP2_C[0][mvy + 31];
+  const uint8_t* c = cur + (int64_t)y * cur_stride + x;
+  const uint8_t* s1 =
+      ref + (int64_t)(y + pad + my) * ref_stride + x + pad + mx;
+  int64_t sad = 0;
+  if (mx2 | my2) {
+    const uint8_t* s2 = s1 + (int64_t)my2 * ref_stride + mx2;
+    for (int r = 0; r < bs; r++, c += cur_stride, s1 += ref_stride, s2 += ref_stride)
+      for (int k = 0; k < bs; k++)
+        sad += abs((int)c[k] - (((int)s1[k] + s2[k]) >> 1));
+  } else {
+    for (int r = 0; r < bs; r++, c += cur_stride, s1 += ref_stride)
+      for (int k = 0; k < bs; k++) sad += abs((int)c[k] - s1[k]);
+  }
+  return sad;
+}
