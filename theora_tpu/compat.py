@@ -122,11 +122,13 @@ class th_enc_ctx:
         if req == TH_ENCCTL_SET_HUFFMAN_CODES:
             if self._headers_done:
                 return TH_EINVAL
-            return TH_EIMPL  # custom codebooks: planned
+            self._enc = Encoder(e.info, qinfo=e.qinfo, huff_codes=buf)
+            return 0
         if req == TH_ENCCTL_SET_QUANT_PARAMS:
             if self._headers_done:
                 return TH_EINVAL
-            return TH_EIMPL
+            self._enc = Encoder(e.info, qinfo=buf, huff_codes=e.huff_codes)
+            return 0
         if req == TH_ENCCTL_2PASS_OUT:
             if e.rc is None:
                 return TH_EINVAL
@@ -184,6 +186,9 @@ class th_dec_ctx:
                 return TH_EINVAL
             self._dec.set_pplevel(int(buf))
             self._pp_level = int(buf)
+            return 0
+        if req == TH_DECCTL_SET_STRIPE_CB:
+            self._dec.stripe_callback = buf
             return 0
         if req == TH_DECCTL_SET_GRANPOS:
             gp = int(buf)

@@ -160,6 +160,8 @@ class Decoder:
                 self._native = NativeEntropy(self.codebooks)
             except Exception:
                 self._native = None
+        # Striped-decode callback (delivered whole-frame).
+        self.stripe_callback = None
         # Out-of-loop postprocessor state (decode.c:1204-1325).
         self.pp_level = 0
         self._pp_dc_qis = None
@@ -474,6 +476,20 @@ class Decoder:
         self.ref_idx[FRAME_SELF] = refi  # ensure set before postprocess
         if self.pp_level > 0:
             self._postprocess(coded, frag_qii)
+        # Per-frame decode metrics + striped-decode callback analogue
+        # (TH_DECCTL_SET_STRIPE_CB; we deliver whole frames,
+        # decode.c:2927-2941).
+        self.last_frame_metrics = {
+            "frame": self.curframe_num,
+            "keyframe": self.frame_type == INTRA_FRAME,
+            "qis": list(self.qis),
+            "ncoded": int(ncoded_total),
+            "granulepos": self.granpos,
+        }
+        if getattr(self, "stripe_callback", None) is not None:
+            self.stripe_callback(
+                self.ycbcr_out(), 0, self.geometry.planes[0].nvfrags
+            )
 
         # Reference rotation (decode.c:2947-2962).
         if self.frame_type == INTRA_FRAME:

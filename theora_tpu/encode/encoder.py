@@ -236,6 +236,17 @@ class Encoder:
             e_o_s=e_o_s,
         )
         self.packetno += 1
+        # Structured per-frame metrics (the observability the reference
+        # lacks; SURVEY.md section 5).
+        self.last_frame_metrics = {
+            "frame": self.curframe_num,
+            "keyframe": bool(is_key),
+            "qi": self.qi,
+            "qis": list(self.frame_qis),
+            "bytes": len(data),
+            "granulepos": self.granpos,
+            "reservoir": self.rc.fullness if self.rc else None,
+        }
         return pkt
 
     # ------------------------------------------------------------------
