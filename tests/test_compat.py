@@ -55,3 +55,43 @@ def test_packet_classifiers():
     assert not compat.th_packet_isheader(pkts[3].data)
     assert compat.th_packet_iskeyframe(pkts[3].data) == 1
     assert compat.th_packet_iskeyframe(pkts[4].data) == 0
+
+
+def test_custom_quant_params_and_stripe_cb():
+    from theora_tpu import tables
+
+    W, H = 64, 48
+    raw = np.fromfile(os.path.join(TESTDATA, "clip64x48.i420"), np.uint8)
+    fsz = W * H * 3 // 2
+    f = raw[:fsz]
+    frame = [
+        f[: W * H].reshape(H, W),
+        f[W * H : W * H + fsz // 6].reshape(H // 2, W // 2),
+        f[W * H + fsz // 6 :].reshape(H // 2, W // 2),
+    ]
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H, quality=40
+    )
+    enc = compat.th_encode_alloc(info)
+    assert enc.ctl(compat.TH_ENCCTL_SET_QUANT_PARAMS, tables.VP31_QUANT_INFO) == 0
+    headers = []
+    while True:
+        p = enc.flushheader()
+        if p is None:
+            break
+        headers.append(p)
+    enc.ycbcr_in(frame)
+    pkt = enc.packetout(True)
+    state = {}
+    for h in headers:
+        h.b_o_s = h.packetno == 0
+        assert compat.th_decode_headerin(state, h) > 0
+    assert (
+        state["setup"].qinfo["ac_scale"] == tables.VP31_QUANT_INFO["ac_scale"]
+    )
+    dec = compat.th_decode_alloc(state)
+    stripes = []
+    dec.ctl(compat.TH_DECCTL_SET_STRIPE_CB, lambda y, a, b: stripes.append((a, b)))
+    ret, gp = dec.packetin(pkt.data)
+    assert ret == 0
+    assert stripes == [(0, H // 8)]
