@@ -145,7 +145,19 @@ class th_enc_ctx:
             e.rc.set_twopass_metrics(metrics)
             return 0
         if req == TH_ENCCTL_SET_VP3_COMPATIBLE:
-            return False  # not switching; report non-compat
+            if self._headers_done:
+                return TH_EINVAL
+            from theora_tpu import tables
+
+            want = bool(buf)
+            if want:
+                self._enc = Encoder(
+                    e.info,
+                    qinfo=tables.VP31_QUANT_INFO,
+                    huff_codes=tables.VP31_HUFF_CODES,
+                )
+                self._enc.vp3_compatible = True
+            return want
         return TH_EIMPL
 
     def flushheader(self) -> Packet | None:

@@ -118,6 +118,10 @@ class Encoder:
         self.rd_strength = 3.0
         # Adaptive quantization (3-qi frames with activity masking).
         self.adaptive_quant = False
+        # VP3 compatibility: explicit drop-frame packets instead of 0-byte
+        # dups (encode.c:865-906); pair with VP31 quant/Huffman tables for
+        # full compatibility.
+        self.vp3_compatible = False
         # CBR rate control when a target bitrate is configured.
         self.rc = None
         self.curframe_num = -1
@@ -196,15 +200,20 @@ class Encoder:
         if self.rc is not None:
             ftype = 0 if is_key else 1
             if not is_key and self.rc.should_drop(ftype):
-                # Dropped frame: 0-byte dup packet (encode.c:1259-1271).
-                self._dec.decode_packet(b"")
+                # Dropped frame: 0-byte dup packet, or an explicit
+                # no-coded-blocks inter frame in VP3 mode
+                # (encode.c:1259-1271, 875-906).
+                drop = (
+                    self._drop_frame_pack() if self.vp3_compatible else b""
+                )
+                self._dec.decode_packet(drop)
                 self.rc.update(ftype, self.qi, 0)
                 shift = self.info.keyframe_granule_shift
                 self.granpos = ((self.keyframe_num + 1) << shift) + (
                     self.curframe_num - self.keyframe_num
                 )
                 pkt = Packet(
-                    b"", granulepos=self.granpos, packetno=self.packetno,
+                    drop, granulepos=self.granpos, packetno=self.packetno,
                     e_o_s=e_o_s,
                 )
                 self.packetno += 1
@@ -248,6 +257,29 @@ class Encoder:
             "reservoir": self.rc.fullness if self.rc else None,
         }
         return pkt
+
+    # ------------------------------------------------------------------
+    def _drop_frame_pack(self) -> bytes:
+        """Explicit drop frame: an inter frame with no coded blocks
+        (encode.c:875-906)."""
+        g = self.geometry
+        bw = BitWriter()
+        bw.write(0, 1)
+        bw.write(1, 1)  # inter
+        bw.write(self.qi, 6)
+        bw.write(0, 1)
+        # No partially coded SBs, then no fully coded SBs.
+        bw.write(0, 1)
+        sb_run_pack(bw, g.nsbs, 0, True)
+        bw.write(0, 1)
+        sb_run_pack(bw, g.nsbs, 0, True)
+        # Mode scheme 7 (no modes to code), MV scheme 1.
+        bw.write(7, 3)
+        bw.write(1, 1)
+        # DC and AC Huffman table choices (unused; no tokens follow).
+        for _ in range(4):
+            bw.write(0, 4)
+        return bw.bytes()
 
     # ------------------------------------------------------------------
     def _frame_header_pack(self, bw: BitWriter, frame_type: int, qis) -> None:
