@@ -113,7 +113,7 @@ def full_pel_search(cur, ref, mb_y, mb_x, max_mv=15):
     dx = np.where(zero_better, 0, dx)
     sad0 = np.minimum(sad0, zsad)
     dy, dx, sad0 = _refine(cur, ref, mb_y, mb_x, 16, dy, dx, sad0, max_mv, 1)
-    dy, dx, sad0 = _refine(cur, ref, mb_y, mb_x, 16, dy, dx, sad0, max_mv, 1)
+    dy, dx, sad0 = _refine(cur, ref, mb_y, mb_x, 16, dy, dx, sad0, max_mv, 2)
     dy = np.clip(dy, -max_mv, max_mv)
     dx = np.clip(dx, -max_mv, max_mv)
     return np.stack([dx, dy], axis=1), sad0
@@ -210,3 +210,38 @@ def half_pel_refine_blocks(cur, ref, full_mvs, by, bx, bs):
             best_dx = np.where(better, ndx, best_dx)
             best_dy = np.where(better, ndy, best_dy)
     return np.stack([best_dx, best_dy], axis=1), best_sad
+
+
+def propagate_mvs(cur, ref, mb_y, mb_x, mvs, sads, max_mv=15, iters=2):
+    """Spatial MV candidate propagation: each MB tries its neighbors' best
+    full-pel MVs (the batched analogue of the reference's candidate Set A,
+    mcenc.c:90-165), then re-refines locally."""
+    # Build the MB grid from coordinates (MBs are on a 16px lattice).
+    rows = mb_y // 16
+    cols = mb_x // 16
+    R, C = int(rows.max()) + 1, int(cols.max()) + 1
+    grid = np.full((R, C), -1, dtype=np.int64)
+    grid[rows, cols] = np.arange(len(mb_y))
+    dy = mvs[:, 1].copy()
+    dx = mvs[:, 0].copy()
+    best = sads.copy()
+    for _ in range(iters):
+        for dr, dc in ((0, -1), (-1, 0), (-1, -1), (0, 1), (1, 0)):
+            nr = np.clip(rows + dr, 0, R - 1)
+            nc = np.clip(cols + dc, 0, C - 1)
+            ni = grid[nr, nc]
+            valid = ni >= 0
+            cdy = np.where(valid, dy[np.maximum(ni, 0)], dy)
+            cdx = np.where(valid, dx[np.maximum(ni, 0)], dx)
+            same = (cdy == dy) & (cdx == dx)
+            if same.all():
+                continue
+            s = _per_block_sad(cur, ref, mb_y, mb_x, 16, cdy, cdx)
+            better = (s < best) & ~same
+            best = np.where(better, s, best)
+            dy = np.where(better, cdy, dy)
+            dx = np.where(better, cdx, dx)
+        dy, dx, best = _refine(cur, ref, mb_y, mb_x, 16, dy, dx, best, max_mv, 1)
+    dy = np.clip(dy, -max_mv, max_mv)
+    dx = np.clip(dx, -max_mv, max_mv)
+    return np.stack([dx, dy], axis=1), best

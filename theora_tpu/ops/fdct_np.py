@@ -129,11 +129,32 @@ def quantize_rd_batch(
     out = np.where(take1, np.sign(q0) * a1, q0)
     out[:, 0] = q0[:, 0]  # never degrade DC
     out = out.astype(np.int32)
+    # Isolated kill: a lone +-1 surrounded by zeros costs a whole
+    # run+value token (~10-14 bits); killing it extends the zero run for
+    # free. Two sweeps so newly-isolated coefficients get a chance.
+    ISO_BITS = 11.0
+    av = np.abs(v)
+    for _ in range(2):
+        nz = out != 0
+        left_zero = np.ones_like(nz)
+        left_zero[:, 2:] = ~nz[:, 1:-1]
+        right_zero = np.ones_like(nz)
+        right_zero[:, :-1] = ~nz[:, 1:]
+        iso = nz & left_zero & right_zero & (np.abs(out) == 1)
+        iso[:, 0] = False
+        if not iso.any():
+            break
+        d2 = np.broadcast_to(d, out.shape)
+        err_coded = (d2 - av) ** 2
+        err_zero = av.astype(np.int64) ** 2
+        kill = iso & (err_zero - err_coded <= lam * ISO_BITS)
+        if not kill.any():
+            break
+        out[kill] = 0
     # Tail kill: dropping the last nonzero coefficient of a block removes a
     # whole token and usually merges EOB runs -- worth far more bits than a
     # magnitude step (the trellis's biggest win, tokenize.c:457-744).
     TAIL_BITS = 14.0
-    av = np.abs(v)
     for _ in range(4):
         nz = out != 0
         nz[:, 0] = False  # never the DC
