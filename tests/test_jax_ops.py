@@ -44,3 +44,50 @@ def test_dc_fill_jax():
     ref = idct_np.dc_fill_batch(dc, q)
     out = np.asarray(jax.jit(tj.dc_fill)(jnp.asarray(dc, jnp.int32), jnp.asarray(q, jnp.int32)))
     assert np.array_equal(out, ref)
+
+
+def test_jax_loop_filter_matches_scalar():
+    from theora_tpu.ops.loopfilter_np import (
+        build_bounding_values,
+        loop_filter_plane,
+    )
+    from theora_tpu.ops.loopfilter_jax import loop_filter_plane_jax
+
+    rng = np.random.RandomState(17)
+    nv, nh, pad = 5, 7, 16
+    img = rng.randint(0, 256, size=(nv * 8 + 2 * pad, nh * 8 + 2 * pad)).astype(
+        np.uint8
+    )
+    coded = rng.rand(nv, nh) < 0.6
+    bv = build_bounding_values(40)
+    a = img.copy()
+    loop_filter_plane(a, coded, bv)
+    b = np.asarray(
+        loop_filter_plane_jax(
+            jnp.asarray(img), jnp.asarray(coded),
+            jnp.asarray(bv.astype(np.int32)), nv, nh, pad, pad,
+        )
+    )
+    assert np.array_equal(a, b)
+
+
+def test_tpu_decoder_pipeline_bit_exact():
+    import os
+
+    from tests.conftest import TESTDATA
+    from theora_tpu.decode.tpu_decoder import TpuDecoder
+    from theora_tpu.headers import parse_info_header, parse_setup_header
+    from theora_tpu.tpkt import read_tpkt
+
+    name = "clip64x48_k8_q5"
+    pkts = read_tpkt(os.path.join(TESTDATA, f"{name}.tpkt"))
+    info = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
+    dec = TpuDecoder(info, setup)
+    ref = np.fromfile(
+        os.path.join(TESTDATA, f"{name}.ref.yuv"), dtype=np.uint8
+    ).reshape(len(pkts) - 3, -1)
+    for i, p in enumerate(pkts[3:]):
+        dec.decode_packet(p.data)
+        mine = np.concatenate([x.reshape(-1) for x in dec.ycbcr_out()])
+        assert np.array_equal(mine, ref[i]), f"frame {i}"
