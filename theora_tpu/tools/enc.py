@@ -20,7 +20,9 @@ def main(argv=None):
     ap.add_argument("-b", "--bitrate", type=int, default=0,
                     help="target bitrate (bps); enables CBR")
     ap.add_argument("--adaptive-quant", action="store_true")
-    ap.add_argument("--rd-strength", type=float, default=1.0)
+    ap.add_argument("--rd-strength", type=float, default=None)
+    ap.add_argument("--two-pass", action="store_true",
+                    help="two-pass CBR (requires --bitrate)")
     args = ap.parse_args(argv)
 
     from theora_tpu.encode.encoder import Encoder
@@ -46,12 +48,35 @@ def main(argv=None):
         quality=args.quality,
         target_bitrate=args.bitrate,
     )
-    enc = Encoder(info)
-    enc.keyframe_freq = args.keyframe_freq
-    enc.adaptive_quant = args.adaptive_quant
-    enc.rd_strength = args.rd_strength
-    pkts = enc.flush_headers()
+    def make_encoder():
+        e = Encoder(info)
+        e.keyframe_freq = args.keyframe_freq
+        e.adaptive_quant = args.adaptive_quant
+        if args.rd_strength is not None:
+            e.rd_strength = args.rd_strength
+        return e
+
     t0 = time.perf_counter()
+    metrics = None
+    if args.two_pass:
+        if not args.bitrate:
+            ap.error("--two-pass requires --bitrate")
+        # Pass 1: measure per-frame complexity (rate.c:878-936 analogue).
+        enc1 = make_encoder()
+        for i, fr in enumerate(frames):
+            enc1.encode_frame(fr)
+        metrics = enc1.rc.frame_metrics
+        print(
+            f"pass 1: {len(metrics)} frame metrics collected",
+            file=sys.stderr,
+        )
+    enc = make_encoder()
+    if metrics is not None:
+        from theora_tpu.encode.rate import RateControl
+
+        enc.rc = RateControl(info, enc.dequant, args.keyframe_freq)
+        enc.rc.set_twopass_metrics(metrics)
+    pkts = enc.flush_headers()
     for i, fr in enumerate(frames):
         pkts.append(enc.encode_frame(fr, e_o_s=(i == len(frames) - 1)))
     dt = time.perf_counter() - t0
