@@ -561,11 +561,25 @@ class Encoder:
         # MB top-left in luma pixels: from the MB's block 0 fragment.
         mb_fy = g.frag_y[g.mb_maps[mb_list, 0, 0]] * 8
         mb_fx = g.frag_x[g.mb_maps[mb_list, 0, 0]] * 8
-        full_mvs, full_sads = mcenc.full_pel_search(cur_y, prev_o, mb_fy, mb_fx)
-        full_mvs, full_sads = mcenc.propagate_mvs(
-            cur_y, prev_o, mb_fy, mb_fx, full_mvs, full_sads
-        )
-        mvs, sad_mv = mcenc.half_pel_refine(cur_y, prev_o, full_mvs, mb_fy, mb_fx)
+        try:
+            from theora_tpu.native import motion_estimate_native
+
+            mvs, sad_mv = motion_estimate_native(
+                cur_y, prev_o, mb_fy, mb_fx
+            )
+            full_mvs = np.stack(
+                [mvs[:, 0] // 2, mvs[:, 1] // 2], axis=1
+            ).astype(np.int32)
+        except Exception:
+            full_mvs, full_sads = mcenc.full_pel_search(
+                cur_y, prev_o, mb_fy, mb_fx
+            )
+            full_mvs, full_sads = mcenc.propagate_mvs(
+                cur_y, prev_o, mb_fy, mb_fx, full_mvs, full_sads
+            )
+            mvs, sad_mv = mcenc.half_pel_refine(
+                cur_y, prev_o, full_mvs, mb_fy, mb_fx
+            )
         sad_nomv = mcenc._per_mb_sad(
             cur_y, prev_o, np.zeros(len(mb_list), int), np.zeros(len(mb_list), int),
             mb_fy, mb_fx,

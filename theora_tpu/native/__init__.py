@@ -273,3 +273,65 @@ def sad_halfpel_native(cur, ref, y, x, pad, mvx, mvy, bs=16):
         cur.ctypes.data, cur.shape[1], ref.ctypes.data, ref.shape[1],
         y, x, pad, mvx, mvy, bs,
     )
+
+
+def _me_setup(lib):
+    common = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.th_me_fullpel.argtypes = common + [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.th_me_propagate.argtypes = common + [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.th_me_halfpel.argtypes = common + [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+
+
+def motion_estimate_native(cur, ref_padded, mb_y, mb_x, max_mv=15, iters=2):
+    """Full ME: pyramid full-pel + propagation + half-pel (16x16 MBs).
+    Returns (mvs [n,2] half-pel (dx,dy), sads [n])."""
+    lib = get_lib()
+    if not hasattr(lib, "_me_setup_done"):
+        _me_setup(lib)
+        lib._me_setup_done = True
+    cur = np.ascontiguousarray(cur)
+    ref = np.ascontiguousarray(ref_padded)
+    H, W = cur.shape
+    pad = (ref.shape[0] - H) // 2
+    n = len(mb_y)
+    by = np.ascontiguousarray(mb_y, dtype=np.int32)
+    bx = np.ascontiguousarray(mb_x, dtype=np.int32)
+    mvs = np.zeros((n, 2), dtype=np.int32)
+    sads = np.zeros(n, dtype=np.int64)
+    args = (cur.ctypes.data, W, H, ref.ctypes.data, pad,
+            by.ctypes.data, bx.ctypes.data, n)
+    lib.th_me_fullpel(*args, mvs.ctypes.data, sads.ctypes.data, max_mv)
+    lib.th_me_propagate(*args, mvs.ctypes.data, sads.ctypes.data, max_mv, iters)
+    lib.th_me_halfpel(*args, 16, mvs.ctypes.data, sads.ctypes.data)
+    return mvs, sads
+
+
+def me_block_refine_native(cur, ref_padded, by, bx, seed_mvs, bs=8):
+    """Per-block refine + half-pel for the 4MV path (seed = MB full-pel
+    MV)."""
+    lib = get_lib()
+    if not hasattr(lib, "_me_setup_done"):
+        _me_setup(lib)
+        lib._me_setup_done = True
+    cur = np.ascontiguousarray(cur)
+    ref = np.ascontiguousarray(ref_padded)
+    H, W = cur.shape
+    pad = (ref.shape[0] - H) // 2
+    n = len(by)
+    by32 = np.ascontiguousarray(by, dtype=np.int32)
+    bx32 = np.ascontiguousarray(bx, dtype=np.int32)
+    mvs = np.ascontiguousarray(seed_mvs, dtype=np.int32).copy()
+    sads = np.zeros(n, dtype=np.int64)
+    args = (cur.ctypes.data, W, H, ref.ctypes.data, pad,
+            by32.ctypes.data, bx32.ctypes.data, n)
+    lib.th_me_halfpel(*args, bs, mvs.ctypes.data, sads.ctypes.data)
+    return mvs, sads

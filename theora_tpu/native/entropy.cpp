@@ -1510,3 +1510,193 @@ extern "C" int64_t th_sad_halfpel(const uint8_t* cur, int cur_stride,
   }
   return sad;
 }
+
+// ===================================================================
+// Motion estimation: pyramid full-pel search + spatial candidate
+// propagation + half-pel refinement (the C++ twin of encode/mcenc.py; the
+// reference's analogue is the candidate/square search of mcenc.c).
+extern "C" {
+
+namespace {
+
+inline int64_t sad_block(const uint8_t* a, int as, const uint8_t* b, int bs_,
+                         int n) {
+  int64_t s = 0;
+  for (int r = 0; r < n; r++, a += as, b += bs_)
+    for (int c = 0; c < n; c++) s += abs((int)a[c] - b[c]);
+  return s;
+}
+
+void downsample(const uint8_t* src, int sw, int sh, uint8_t* dst) {
+  int dw = sw / 2, dh = sh / 2;
+  for (int y = 0; y < dh; y++)
+    for (int x = 0; x < dw; x++) {
+      const uint8_t* p = src + (int64_t)(2 * y) * sw + 2 * x;
+      dst[(int64_t)y * dw + x] =
+          (uint8_t)((p[0] + p[1] + p[sw] + p[sw + 1] + 2) >> 2);
+    }
+}
+
+}  // namespace
+
+// cur: [H, W]; ref: [H+2p, W+2p] padded; mb coords: [n] (unpadded, 16x16).
+// Outputs: full-pel mvs [n][2] (dx, dy), sads [n].
+void th_me_fullpel(const uint8_t* cur, int W, int H, const uint8_t* ref,
+                   int pad, const int32_t* mby, const int32_t* mbx, int64_t n,
+                   int32_t* mvs, int64_t* sads, int max_mv) {
+  // Build pyramid level 1 (half) and 2 (quarter).
+  std::vector<uint8_t> cur1(W / 2 * (H / 2)), cur2(W / 4 * (H / 4));
+  int Wp = W + 2 * pad, Hp = H + 2 * pad;
+  std::vector<uint8_t> ref1(Wp / 2 * (Hp / 2)), ref2(Wp / 4 * (Hp / 4));
+  downsample(cur, W, H, cur1.data());
+  downsample(cur1.data(), W / 2, H / 2, cur2.data());
+  downsample(ref, Wp, Hp, ref1.data());
+  downsample(ref1.data(), Wp / 2, Hp / 2, ref2.data());
+  int pad2 = pad / 4, pad1 = pad / 2;
+  int W2 = W / 4, W1 = W / 2;
+  int Wp2 = Wp / 4, Wp1 = Wp / 2;
+  for (int64_t i = 0; i < n; i++) {
+    int y2 = mby[i] / 4, x2 = mbx[i] / 4;
+    // Level 2: exhaustive +-4 over 4x4 blocks.
+    int64_t best = INT64_MAX;
+    int bdy = 0, bdx = 0;
+    for (int dy = -4; dy <= 4; dy++)
+      for (int dx = -4; dx <= 4; dx++) {
+        int64_t s = sad_block(
+            cur2.data() + (int64_t)y2 * W2 + x2, W2,
+            ref2.data() + (int64_t)(y2 + pad2 + dy) * Wp2 + x2 + pad2 + dx,
+            Wp2, 4);
+        if (s < best) { best = s; bdy = dy; bdx = dx; }
+      }
+    int dy1 = bdy * 2, dx1 = bdx * 2;
+    // Level 1: +-1 refine over 8x8 blocks.
+    int y1 = mby[i] / 2, x1 = mbx[i] / 2;
+    best = INT64_MAX;
+    int rdy = dy1, rdx = dx1;
+    for (int ey = -1; ey <= 1; ey++)
+      for (int ex = -1; ex <= 1; ex++) {
+        int ndy = dy1 + ey, ndx = dx1 + ex;
+        if (ndy < -pad1 + 1 || ndy > pad1 - 1) continue;
+        int64_t s = sad_block(
+            cur1.data() + (int64_t)y1 * W1 + x1, W1,
+            ref1.data() + (int64_t)(y1 + pad1 + ndy) * Wp1 + x1 + pad1 + ndx,
+            Wp1, 8);
+        if (s < best) { best = s; rdy = ndy; rdx = ndx; }
+      }
+    int dy0 = rdy * 2, dx0 = rdx * 2;
+    if (dy0 > max_mv) dy0 = max_mv;
+    if (dy0 < -max_mv) dy0 = -max_mv;
+    if (dx0 > max_mv) dx0 = max_mv;
+    if (dx0 < -max_mv) dx0 = -max_mv;
+    // Level 0: compare against (0,0), then two refine passes (+-1, +-2).
+    const uint8_t* cb = cur + (int64_t)mby[i] * W + mbx[i];
+    int64_t s0 = sad_block(
+        cb, W, ref + (int64_t)(mby[i] + pad + dy0) * Wp + mbx[i] + pad + dx0,
+        Wp, 16);
+    int64_t sz = sad_block(cb, W,
+                           ref + (int64_t)(mby[i] + pad) * Wp + mbx[i] + pad,
+                           Wp, 16);
+    if (sz < s0) { s0 = sz; dy0 = 0; dx0 = 0; }
+    for (int radius = 1; radius <= 2; radius++) {
+      int bdy0 = dy0, bdx0 = dx0;
+      for (int ey = -radius; ey <= radius; ey++)
+        for (int ex = -radius; ex <= radius; ex++) {
+          int ndy = dy0 + ey, ndx = dx0 + ex;
+          if (ndy < -max_mv || ndy > max_mv || ndx < -max_mv || ndx > max_mv)
+            continue;
+          if (ndy == dy0 && ndx == dx0) continue;
+          int64_t s = sad_block(
+              cb, W,
+              ref + (int64_t)(mby[i] + pad + ndy) * Wp + mbx[i] + pad + ndx,
+              Wp, 16);
+          if (s < s0) { s0 = s; bdy0 = ndy; bdx0 = ndx; }
+        }
+      dy0 = bdy0; dx0 = bdx0;
+    }
+    mvs[2 * i] = dx0;
+    mvs[2 * i + 1] = dy0;
+    sads[i] = s0;
+  }
+}
+
+// Spatial candidate propagation over the MB grid (in place).
+void th_me_propagate(const uint8_t* cur, int W, int H, const uint8_t* ref,
+                     int pad, const int32_t* mby, const int32_t* mbx,
+                     int64_t n, int32_t* mvs, int64_t* sads, int max_mv,
+                     int iters) {
+  int Wp = W + 2 * pad;
+  int R = 0, C = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (mby[i] / 16 + 1 > R) R = mby[i] / 16 + 1;
+    if (mbx[i] / 16 + 1 > C) C = mbx[i] / 16 + 1;
+  }
+  std::vector<int64_t> grid((int64_t)R * C, -1);
+  for (int64_t i = 0; i < n; i++)
+    grid[(int64_t)(mby[i] / 16) * C + mbx[i] / 16] = i;
+  const int drs[5] = {0, -1, -1, 0, 1};
+  const int dcs[5] = {-1, 0, -1, 1, 0};
+  for (int it = 0; it < iters; it++) {
+    for (int64_t i = 0; i < n; i++) {
+      int r = mby[i] / 16, c = mbx[i] / 16;
+      const uint8_t* cb = cur + (int64_t)mby[i] * W + mbx[i];
+      for (int k = 0; k < 5; k++) {
+        int nr = r + drs[k], nc = c + dcs[k];
+        if (nr < 0 || nr >= R || nc < 0 || nc >= C) continue;
+        int64_t j = grid[(int64_t)nr * C + nc];
+        if (j < 0) continue;
+        int cdx = mvs[2 * j], cdy = mvs[2 * j + 1];
+        if (cdx == mvs[2 * i] && cdy == mvs[2 * i + 1]) continue;
+        int64_t s = sad_block(
+            cb, W,
+            ref + (int64_t)(mby[i] + pad + cdy) * Wp + mbx[i] + pad + cdx,
+            Wp, 16);
+        if (s < sads[i]) {
+          sads[i] = s;
+          mvs[2 * i] = cdx;
+          mvs[2 * i + 1] = cdy;
+        }
+      }
+      // +-1 refine.
+      int dy0 = mvs[2 * i + 1], dx0 = mvs[2 * i];
+      for (int ey = -1; ey <= 1; ey++)
+        for (int ex = -1; ex <= 1; ex++) {
+          int ndy = mvs[2 * i + 1] + ey, ndx = mvs[2 * i] + ex;
+          if ((ey == 0 && ex == 0) || ndy < -max_mv || ndy > max_mv ||
+              ndx < -max_mv || ndx > max_mv)
+            continue;
+          int64_t s = sad_block(
+              cb, W,
+              ref + (int64_t)(mby[i] + pad + ndy) * Wp + mbx[i] + pad + ndx,
+              Wp, 16);
+          if (s < sads[i]) { sads[i] = s; dy0 = ndy; dx0 = ndx; }
+        }
+      mvs[2 * i + 1] = dy0;
+      mvs[2 * i] = dx0;
+    }
+  }
+}
+
+// Half-pel refinement (bs x bs blocks); mvs in/out: full-pel in -> half-pel.
+void th_me_halfpel(const uint8_t* cur, int W, int H, const uint8_t* ref,
+                   int pad, const int32_t* by, const int32_t* bx, int64_t n,
+                   int bs, int32_t* mvs, int64_t* sads) {
+  int Wp = W + 2 * pad;
+  for (int64_t i = 0; i < n; i++) {
+    int bdx = mvs[2 * i] * 2, bdy = mvs[2 * i + 1] * 2;
+    int64_t best = INT64_MAX;
+    int fdx = bdx, fdy = bdy;
+    for (int ey = -1; ey <= 1; ey++)
+      for (int ex = -1; ex <= 1; ex++) {
+        int ndx = bdx + ex, ndy = bdy + ey;
+        if (ndx < -31 || ndx > 31 || ndy < -31 || ndy > 31) continue;
+        int64_t s = th_sad_halfpel(cur, W, ref, Wp, by[i], bx[i], pad, ndx,
+                                   ndy, bs);
+        if (s < best) { best = s; fdx = ndx; fdy = ndy; }
+      }
+    mvs[2 * i] = fdx;
+    mvs[2 * i + 1] = fdy;
+    sads[i] = best;
+  }
+}
+
+}  // extern "C"
