@@ -613,13 +613,23 @@ class Encoder:
         blk_fx = (mb_fx[:, None] + blk_off[None, :, 1]).reshape(-1)
         seed_dy = np.repeat(full_mvs[:, 1], 4)
         seed_dx = np.repeat(full_mvs[:, 0], 4)
-        bsad = mcenc._per_block_sad(cur_y, prev_o, blk_fy, blk_fx, 8, seed_dy, seed_dx)
-        bdy, bdx, bsad = mcenc._refine(
-            cur_y, prev_o, blk_fy, blk_fx, 8, seed_dy, seed_dx, bsad, 15, 1
-        )
-        bmvs, bsad = mcenc.half_pel_refine_blocks(
-            cur_y, prev_o, np.stack([bdx, bdy], axis=1), blk_fy, blk_fx, 8
-        )
+        try:
+            from theora_tpu.native import me_block_refine_native
+
+            bmvs, bsad = me_block_refine_native(
+                cur_y, prev_o, blk_fy, blk_fx,
+                np.stack([seed_dx, seed_dy], axis=1), bs=8,
+            )
+        except Exception:
+            bsad = mcenc._per_block_sad(
+                cur_y, prev_o, blk_fy, blk_fx, 8, seed_dy, seed_dx
+            )
+            bdy, bdx, bsad = mcenc._refine(
+                cur_y, prev_o, blk_fy, blk_fx, 8, seed_dy, seed_dx, bsad, 15, 1
+            )
+            bmvs, bsad = mcenc.half_pel_refine_blocks(
+                cur_y, prev_o, np.stack([bdx, bdy], axis=1), blk_fy, blk_fx, 8
+            )
         sad_4mv = bsad.reshape(nmb, 4).sum(axis=1)
         bmvs = bmvs.reshape(nmb, 4, 2)
 

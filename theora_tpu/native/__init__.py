@@ -289,6 +289,10 @@ def _me_setup(lib):
     lib.th_me_halfpel.argtypes = common + [
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.th_me_refine.argtypes = common + [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int,
+    ]
 
 
 def motion_estimate_native(cur, ref_padded, mb_y, mb_x, max_mv=15, iters=2):
@@ -333,5 +337,6 @@ def me_block_refine_native(cur, ref_padded, by, bx, seed_mvs, bs=8):
     sads = np.zeros(n, dtype=np.int64)
     args = (cur.ctypes.data, W, H, ref.ctypes.data, pad,
             by32.ctypes.data, bx32.ctypes.data, n)
+    lib.th_me_refine(*args, bs, mvs.ctypes.data, sads.ctypes.data, 15, 1)
     lib.th_me_halfpel(*args, bs, mvs.ctypes.data, sads.ctypes.data)
     return mvs, sads

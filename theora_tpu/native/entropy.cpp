@@ -1700,3 +1700,33 @@ void th_me_halfpel(const uint8_t* cur, int W, int H, const uint8_t* ref,
 }
 
 }  // extern "C"
+
+// +-radius full-pel refinement for arbitrary block size (in place).
+extern "C" void th_me_refine(const uint8_t* cur, int W, int H,
+                             const uint8_t* ref, int pad, const int32_t* by,
+                             const int32_t* bx, int64_t n, int bs,
+                             int32_t* mvs, int64_t* sads, int max_mv,
+                             int radius) {
+  int Wp = W + 2 * pad;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* cb = cur + (int64_t)by[i] * W + bx[i];
+    int dx0 = mvs[2 * i], dy0 = mvs[2 * i + 1];
+    int64_t s0 = sad_block(
+        cb, W, ref + (int64_t)(by[i] + pad + dy0) * Wp + bx[i] + pad + dx0,
+        Wp, bs);
+    for (int ey = -radius; ey <= radius; ey++)
+      for (int ex = -radius; ex <= radius; ex++) {
+        int ndy = mvs[2 * i + 1] + ey, ndx = mvs[2 * i] + ex;
+        if ((ey == 0 && ex == 0) || ndy < -max_mv || ndy > max_mv ||
+            ndx < -max_mv || ndx > max_mv)
+          continue;
+        int64_t s = sad_block(
+            cb, W, ref + (int64_t)(by[i] + pad + ndy) * Wp + bx[i] + pad + ndx,
+            Wp, bs);
+        if (s < s0) { s0 = s; dy0 = ndy; dx0 = ndx; }
+      }
+    mvs[2 * i] = dx0;
+    mvs[2 * i + 1] = dy0;
+    sads[i] = s0;
+  }
+}
