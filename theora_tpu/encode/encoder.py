@@ -325,8 +325,35 @@ class Encoder:
                 )
                 continue
             res = residual_fn(pli, fragis)
-            dct = fdct8x8_batch(res)
             qti = (frag_refi[fragis] != FRAME_SELF).astype(np.int32)
+            # Fast path: single-qi frames via the C++ tier.
+            if len(qis) == 1:
+                try:
+                    from theora_tpu.native import fdct_quantize_rd_native
+                    from theora_tpu.ops.fdct_np import rd_lambda
+
+                    qdct = np.empty((len(fragis), 64), dtype=np.int32)
+                    err2 = np.zeros(len(fragis), dtype=np.int64)
+                    res2 = np.zeros(len(fragis), dtype=np.int64)
+                    for t in (0, 1):
+                        m = qti == t
+                        if not m.any():
+                            continue
+                        dq = self.dequant[qis[0], pli, t]
+                        lam = (
+                            rd_lambda(qis[0], int(dq[1])) * self.rd_strength
+                        )
+                        qz, e2, r2 = fdct_quantize_rd_native(
+                            res[m], dq, lam, rd=self.rd_quant
+                        )
+                        qdct[m] = qz
+                        err2[m] = e2
+                        res2[m] = r2
+                    out[pli] = (fragis, qdct, err2, res2)
+                    continue
+                except ImportError:
+                    pass
+            dct = fdct8x8_batch(res)
             qiis = (
                 frag_qii[fragis]
                 if frag_qii is not None

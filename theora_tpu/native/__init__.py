@@ -340,3 +340,30 @@ def me_block_refine_native(cur, ref_padded, by, bx, seed_mvs, bs=8):
     lib.th_me_refine(*args, bs, mvs.ctypes.data, sads.ctypes.data, 15, 1)
     lib.th_me_halfpel(*args, bs, mvs.ctypes.data, sads.ctypes.data)
     return mvs, sads
+
+
+def fdct_quantize_rd_native(res_blocks, dequant_zz, lam, rd=True):
+    """fDCT + (R/D) quantization in C++.
+
+    res_blocks: [n, 8, 8] int; dequant_zz: [64]; returns
+    (qz [n,64] int16, err2 [n] int64, res2 [n] int64).
+    """
+    lib = get_lib()
+    if not hasattr(lib, "_fq_setup"):
+        lib.th_fdct_quantize_rd.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._fq_setup = True
+    n = len(res_blocks)
+    res32 = np.ascontiguousarray(res_blocks.reshape(n, 64), dtype=np.int32)
+    dq32 = np.ascontiguousarray(dequant_zz, dtype=np.int32)
+    qz = np.empty((n, 64), dtype=np.int16)
+    err2 = np.empty(n, dtype=np.int64)
+    res2 = np.empty(n, dtype=np.int64)
+    lib.th_fdct_quantize_rd(
+        n, res32.ctypes.data, dq32.ctypes.data, float(lam), int(rd),
+        qz.ctypes.data, err2.ctypes.data, res2.ctypes.data,
+    )
+    return qz, err2, res2

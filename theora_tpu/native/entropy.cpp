@@ -1730,3 +1730,144 @@ extern "C" void th_me_refine(const uint8_t* cur, int W, int H,
     sads[i] = s0;
   }
 }
+
+// ===================================================================
+// Forward DCT + R/D quantization (the C++ twin of ops/fdct_np.py).
+extern "C" {
+
+namespace {
+
+inline void fdct8_1d(const int32_t* x, int32_t* y, int xs, int ys) {
+  int32_t t0 = x[0 * xs] + x[7 * xs];
+  int32_t t7 = x[0 * xs] - x[7 * xs];
+  int32_t t1 = x[1 * xs] + x[6 * xs];
+  int32_t t6 = x[1 * xs] - x[6 * xs];
+  int32_t t2 = x[2 * xs] + x[5 * xs];
+  int32_t t5 = x[2 * xs] - x[5 * xs];
+  int32_t t3 = x[3 * xs] + x[4 * xs];
+  int32_t t4 = x[3 * xs] - x[4 * xs];
+  int32_t r = t0 + t3; t3 = t0 - t3; t0 = r;
+  r = t1 + t2; t2 = t1 - t2; t1 = r;
+  r = t6 + t5; t5 = t6 - t5; t6 = r;
+  int32_t s = (((27146 * t5 + 0xB500) >> 16) + t5 + (t5 != 0)) >> 1;
+  r = t4 + s; t5 = t4 - s; t4 = r;
+  s = (((27146 * t6 + 0xB500) >> 16) + t6 + (t6 != 0)) >> 1;
+  r = t7 + s; t6 = t7 - s; t7 = r;
+  r = ((27146 * t0 + 0x4000) >> 16) + t0 + (t0 != 0);
+  s = ((27146 * t1 + 0xB500) >> 16) + t1 + (t1 != 0);
+  int32_t u = (r + s) >> 1;
+  int32_t v = r - u;
+  y[0 * ys] = (int16_t)u;
+  y[4 * ys] = (int16_t)v;
+  u = ((C6 * t2 + C2 * t3 + 0x6CB7) >> 16) + (t3 != 0);
+  s = ((C6 * u) >> 16) - t2;
+  v = ((s * 21600 + 0x2800) >> 18) + s + (s != 0);
+  y[2 * ys] = (int16_t)u;
+  y[6 * ys] = (int16_t)v;
+  u = ((C5 * t6 + C3 * t5 + 0x0E3D) >> 16) + (t5 != 0);
+  s = t6 - ((C5 * u) >> 16);
+  v = ((s * 26568 + 0x3400) >> 17) + s + (s != 0);
+  y[5 * ys] = (int16_t)u;
+  y[3 * ys] = (int16_t)v;
+  u = ((C7 * t4 + C1 * t7 + 0x7B1B) >> 16) + (t7 != 0);
+  s = ((C7 * u) >> 16) - t4;
+  v = ((s * 20539 + 0x3000) >> 20) + s + (s != 0);
+  y[1 * ys] = (int16_t)u;
+  y[7 * ys] = (int16_t)v;
+}
+
+const double MAG_BITS[9] = {0.0, 4.5, 5.5, 6.5, 6.5, 7.5, 7.5, 8.5, 9.5};
+
+}  // namespace
+
+// res: [n, 64] int32 residual blocks (row-major); dq: [64] int32 zig-zag
+// dequant; lam: lambda. Outputs: qz [n,64] int16 zig-zag quantized;
+// err2/res2: [n] int64 (coding error and x16 pixel energy).
+void th_fdct_quantize_rd(int64_t n, const int32_t* res, const int32_t* dq,
+                         double lam, int rd, int16_t* qz, int64_t* err2,
+                         int64_t* res2) {
+  for (int64_t i = 0; i < n; i++) {
+    const int32_t* x = res + i * 64;
+    int32_t w[64], y[64];
+    int64_t r2 = 0;
+    for (int k = 0; k < 64; k++) {
+      w[k] = x[k] << 2;
+      r2 += (int64_t)x[k] * x[k];
+    }
+    w[0] += (w[0] != 0) + 1;
+    w[1] += 1;
+    w[8] -= 1;
+    // Columns of w -> rows of y, then columns of y -> rows of w
+    // (fdct.c:128-154): oc_fdct8 reads every 8th entry, writes 8
+    // consecutive.
+    for (int k = 0; k < 8; k++) fdct8_1d(w + k, y + 8 * k, 8, 1);
+    for (int k = 0; k < 8; k++) fdct8_1d(y + k, w + 8 * k, 8, 1);
+    int32_t dct[64];
+    for (int z = 0; z < 64; z++)
+      dct[z] = (int16_t)((w[ZIGN[z]] + 2) >> 2);
+    // Quantize (round-to-nearest, ties away from zero).
+    int16_t q[64];
+    for (int z = 0; z < 64; z++) {
+      int64_t d = dq[z];
+      int64_t v2 = (int64_t)2 * (dct[z] < 0 ? -dct[z] : dct[z]);
+      int64_t qq = v2 >= d ? (v2 + d) / (2 * d) : 0;
+      q[z] = (int16_t)(dct[z] < 0 ? -qq : qq);
+    }
+    if (rd) {
+      // Magnitude-step choice (AC only).
+      for (int z = 1; z < 64; z++) {
+        int a0 = q[z] < 0 ? -q[z] : q[z];
+        if (!a0) continue;
+        int a1 = a0 - 1;
+        int64_t d = dq[z];
+        int64_t av = dct[z] < 0 ? -dct[z] : dct[z];
+        double e0 = (double)(a0 * d - av) * (a0 * d - av);
+        double e1 = (double)(a1 * d - av) * (a1 * d - av);
+        double b0 = MAG_BITS[a0 > 8 ? 8 : a0];
+        double b1 = MAG_BITS[a1 > 8 ? 8 : a1];
+        if (e1 + lam * b1 <= e0 + lam * b0)
+          q[z] = (int16_t)(q[z] < 0 ? -a1 : a1);
+      }
+      // Isolated +-1 kill (2 sweeps).
+      for (int sweep = 0; sweep < 2; sweep++) {
+        bool any = false;
+        for (int z = 1; z < 64; z++) {
+          if (q[z] != 1 && q[z] != -1) continue;
+          bool lz = z < 2 || q[z - 1] == 0;
+          bool rz = z == 63 || q[z + 1] == 0;
+          if (!(lz && rz)) continue;
+          int64_t d = dq[z];
+          int64_t av = dct[z] < 0 ? -dct[z] : dct[z];
+          double ec = (double)(d - av) * (d - av);
+          double ez = (double)av * av;
+          if (ez - ec <= lam * 11.0) { q[z] = 0; any = true; }
+        }
+        if (!any) break;
+      }
+      // Tail kill (4 sweeps).
+      for (int sweep = 0; sweep < 4; sweep++) {
+        int last = -1;
+        for (int z = 63; z >= 1; z--)
+          if (q[z]) { last = z; break; }
+        if (last < 1) break;
+        if (q[last] != 1 && q[last] != -1) break;
+        int64_t d = dq[last];
+        int64_t av = dct[last] < 0 ? -dct[last] : dct[last];
+        double ec = (double)(1 * d - av) * (1 * d - av);
+        double ez = (double)av * av;
+        if (ez - ec > lam * 14.0) break;
+        q[last] = 0;
+      }
+    }
+    int64_t e2 = 0;
+    for (int z = 0; z < 64; z++) {
+      int64_t d = (int64_t)dct[z] - (int64_t)q[z] * dq[z];
+      e2 += d * d;
+      qz[i * 64 + z] = q[z];
+    }
+    err2[i] = e2;
+    res2[i] = r2 * 16;
+  }
+}
+
+}  // extern "C"
