@@ -660,6 +660,33 @@ class Encoder:
         sad_4mv = bsad.reshape(nmb, 4).sum(axis=1)
         bmvs = bmvs.reshape(nmb, 4, 2)
 
+        # --- Native fast path: mode decision + fragment fill in C++ --------
+        _native_md = None
+        try:
+            from theora_tpu.native import mode_decide_fill_native
+
+            _native_md = mode_decide_fill_native
+        except Exception:
+            pass
+        if _native_md is not None:
+            mb_modes_n, mb_mvs_n, frag_refi, frag_mode, frag_mv = _native_md(
+                cur_y, prev_o, mb_list, mb_fy, mb_fx,
+                sad_nomv, sad_gold, sad_intra, sad_mv, sad_4mv,
+                mvs, bmvs.reshape(-1, 2), g.mb_maps, int(info.pixel_fmt),
+                28 * int(self.rd_strength * 4 + 4), nfrags,
+            )
+            mb_modes = np.full(g.nmbs, 0, dtype=np.int32)
+            mb_modes[g.mb_valid == False] = -1  # noqa: E712
+            mb_modes[mb_list] = mb_modes_n
+            mb_mvs = np.zeros((g.nmbs, 2), dtype=np.int32)
+            mb_mvs[mb_list] = mb_mvs_n
+            self._frag_mv4 = frag_mv
+            return self._encode_inter_tail(
+                planes, coded_seed=None, frag_refi=frag_refi,
+                frag_mode=frag_mode, frag_mv=frag_mv, mb_modes=mb_modes,
+                mb_mvs=mb_mvs, mb_list=mb_list,
+            )
+
         # --- Mode decision with MV-predictor state machine ----------------
         # The LAST/LAST2 modes cost no MV bits, so the best MV is compared
         # against reusing the predictors (the reference gets spatial MV
@@ -794,6 +821,25 @@ class Encoder:
                         frag_mode[fragi] = mode
                         frag_mv[fragi] = mb_mvs[mbi]
         self._frag_mv4 = frag_mv
+        return self._encode_inter_tail(
+            planes, coded_seed=None, frag_refi=frag_refi,
+            frag_mode=frag_mode, frag_mv=frag_mv, mb_modes=mb_modes,
+            mb_mvs=mb_mvs, mb_list=mb_list,
+        )
+
+    # ------------------------------------------------------------------
+    def _encode_inter_tail(self, planes, coded_seed, frag_refi, frag_mode,
+                           frag_mv, mb_modes, mb_mvs, mb_list):
+        """Transform/quantize/skip + packing tail of inter encoding."""
+        from theora_tpu.constants import (
+            FRAME_GOLD,
+            FRAME_PREV,
+            MODE_INTER_NOMV,
+        )
+
+        g = self.geometry
+        info = self.info
+        nfrags = g.nfrags
 
         # --- Transform + quantize + skip ----------------------------------
         prev_rec = self._dec.buffers[self._dec.ref_idx[FRAME_PREV]]

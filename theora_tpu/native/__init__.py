@@ -367,3 +367,49 @@ def fdct_quantize_rd_native(res_blocks, dequant_zz, lam, rd=True):
         qz.ctypes.data, err2.ctypes.data, res2.ctypes.data,
     )
     return qz, err2, res2
+
+
+def mode_decide_fill_native(cur, ref_padded, mb_list, mb_fy, mb_fx,
+                            sad_nomv, sad_gold, sad_intra, sad_mv, sad_4mv,
+                            mvs, bmvs, mb_maps, pixel_fmt, mv_bits_sad,
+                            nfrags):
+    """Sequential mode decision + per-fragment fill in C++.
+
+    Returns (mb_modes [n], mb_mvs [n,2], refi [nfrags], mode [nfrags],
+    mv [nfrags,2])."""
+    lib = get_lib()
+    if not hasattr(lib, "_md_setup"):
+        lib.th_mode_decide_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int64,
+        ] + [ctypes.c_void_p] * 11 + [
+            ctypes.c_int, ctypes.c_double,
+        ] + [ctypes.c_void_p] * 5
+        lib._md_setup = True
+    cur = np.ascontiguousarray(cur)
+    ref = np.ascontiguousarray(ref_padded)
+    H, W = cur.shape
+    pad = (ref.shape[0] - H) // 2
+    n = len(mb_list)
+    a = lambda x, dt: np.ascontiguousarray(x, dtype=dt)
+    mb_modes = np.zeros(n, dtype=np.int32)
+    mb_mvs = np.zeros((n, 2), dtype=np.int32)
+    refi = np.full(nfrags, 3, dtype=np.int32)
+    fmode = np.zeros(nfrags, dtype=np.int32)
+    fmv = np.zeros((nfrags, 2), dtype=np.int32)
+    # Bind every converted array to a local so it outlives the call.
+    arrs = [
+        a(mb_list, np.int32), a(mb_fy, np.int32), a(mb_fx, np.int32),
+        a(sad_nomv, np.int64), a(sad_gold, np.int64),
+        a(sad_intra, np.int64), a(sad_mv, np.int64), a(sad_4mv, np.int64),
+        a(mvs, np.int32), a(bmvs, np.int32),
+        a(mb_maps.reshape(-1), np.int32),
+    ]
+    lib.th_mode_decide_fill(
+        cur.ctypes.data, W, H, ref.ctypes.data, pad, n,
+        *[x.ctypes.data for x in arrs],
+        int(pixel_fmt), float(mv_bits_sad),
+        mb_modes.ctypes.data, mb_mvs.ctypes.data, refi.ctypes.data,
+        fmode.ctypes.data, fmv.ctypes.data,
+    )
+    return mb_modes, mb_mvs, refi, fmode, fmv

@@ -1871,3 +1871,128 @@ void th_fdct_quantize_rd(int64_t n, const int32_t* res, const int32_t* dq,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Encoder mode decision + per-fragment fill (the sequential MB loop of
+// encoder.py/_encode_inter; analyze.c:2288-2711 in spirit).
+extern "C" {
+
+// Inputs are per-valid-MB arrays of length n (mb order ascending):
+//   sads: nomv, gold, intra, mv, mv4; mvs [n][2] half-pel best;
+//   bmvs [n][4][2] per-block MVs; mb_fy/mb_fx pixel coords.
+// cur/ref for predictor SAD evaluation.
+// Outputs: mb_modes [n], mb_mvs [n][2], and per-fragment
+// refi/mode/mv via mb_maps fill.
+void th_mode_decide_fill(
+    const uint8_t* cur, int W, int H, const uint8_t* ref, int pad,
+    int64_t n, const int32_t* mb_list, const int32_t* mb_fy,
+    const int32_t* mb_fx, const int64_t* sad_nomv, const int64_t* sad_gold,
+    const int64_t* sad_intra, const int64_t* sad_mv, const int64_t* sad_4mv,
+    const int32_t* mvs, const int32_t* bmvs, const int32_t* mb_maps,
+    int pixel_fmt, double mv_bits_sad, int32_t* mb_modes_out,
+    int32_t* mb_mvs_out, int32_t* refi, int32_t* fmode, int32_t* fmv) {
+  int last_x = 0, last_y = 0, prior_x = 0, prior_y = 0;
+  const int* map_idxs = MB_MAP_IDXS_C[pixel_fmt];
+  int map_nidxs = MB_MAP_NIDXS_C[pixel_fmt];
+  for (int64_t i = 0; i < n; i++) {
+    int mvx = mvs[2 * i], mvy = mvs[2 * i + 1];
+    // Costs per candidate mode.
+    double best_cost = (double)sad_nomv[i];
+    int best_mode = 0;
+    double c;
+    c = (double)sad_intra[i] + 350;
+    if (c < best_cost) { best_cost = c; best_mode = 1; }
+    c = (double)sad_gold[i] + 80;
+    if (c < best_cost) { best_cost = c; best_mode = 5; }
+    c = (double)sad_4mv[i] + 640 + 4 * mv_bits_sad;
+    if (c < best_cost) { best_cost = c; best_mode = 7; }
+    if (mvx || mvy) {
+      c = (double)sad_mv[i] + mv_bits_sad;
+      if (c < best_cost) { best_cost = c; best_mode = 2; }
+    }
+    if (last_x || last_y) {
+      int64_t s = (mvx == last_x && mvy == last_y)
+                      ? sad_mv[i]
+                      : th_sad_halfpel(cur, W, ref, W + 2 * pad, mb_fy[i],
+                                       mb_fx[i], pad, last_x, last_y, 16);
+      c = (double)s + 16;
+      if (c < best_cost) { best_cost = c; best_mode = 3; }
+    }
+    if ((prior_x || prior_y) && !(prior_x == last_x && prior_y == last_y)) {
+      int64_t s = (mvx == prior_x && mvy == prior_y)
+                      ? sad_mv[i]
+                      : th_sad_halfpel(cur, W, ref, W + 2 * pad, mb_fy[i],
+                                       mb_fx[i], pad, prior_x, prior_y, 16);
+      c = (double)s + 24;
+      if (c < best_cost) { best_cost = c; best_mode = 4; }
+    }
+    int mbi = mb_list[i];
+    mb_modes_out[i] = best_mode;
+    int out_x = 0, out_y = 0;
+    switch (best_mode) {
+      case 2: out_x = mvx; out_y = mvy; prior_x = last_x; prior_y = last_y;
+              last_x = mvx; last_y = mvy; break;
+      case 3: out_x = last_x; out_y = last_y; break;
+      case 4: {
+        out_x = prior_x; out_y = prior_y;
+        int tx = last_x, ty = last_y;
+        last_x = prior_x; last_y = prior_y;
+        prior_x = tx; prior_y = ty;
+        break;
+      }
+      case 7: prior_x = last_x; prior_y = last_y;
+              last_x = bmvs[(i * 4 + 3) * 2]; last_y = bmvs[(i * 4 + 3) * 2 + 1];
+              break;
+      default: break;
+    }
+    mb_mvs_out[2 * i] = out_x;
+    mb_mvs_out[2 * i + 1] = out_y;
+    // Per-fragment fill.
+    const int32_t* mm = mb_maps + (int64_t)mbi * 12;
+    int rf = FRAME_FOR_MODE_C[best_mode];
+    if (best_mode == 7) {
+      int lbx[4], lby[4];
+      for (int bi = 0; bi < 4; bi++) {
+        lbx[bi] = bmvs[(i * 4 + bi) * 2];
+        lby[bi] = bmvs[(i * 4 + bi) * 2 + 1];
+        int32_t f = mm[bi];
+        if (f >= 0) {
+          refi[f] = rf; fmode[f] = 7;
+          fmv[2 * f] = lbx[bi]; fmv[2 * f + 1] = lby[bi];
+        }
+      }
+      int cbx[4] = {0, 0, 0, 0}, cby[4] = {0, 0, 0, 0};
+      if (pixel_fmt == 0) {
+        cbx[0] = div_round_pow2(lbx[0] + lbx[1] + lbx[2] + lbx[3], 2, 2);
+        cby[0] = div_round_pow2(lby[0] + lby[1] + lby[2] + lby[3], 2, 2);
+      } else if (pixel_fmt == 2) {
+        cbx[0] = div_round_pow2(lbx[0] + lbx[1], 1, 1);
+        cby[0] = div_round_pow2(lby[0] + lby[1], 1, 1);
+        cbx[2] = div_round_pow2(lbx[2] + lbx[3], 1, 1);
+        cby[2] = div_round_pow2(lby[2] + lby[3], 1, 1);
+      } else {
+        for (int k = 0; k < 4; k++) { cbx[k] = lbx[k]; cby[k] = lby[k]; }
+      }
+      for (int mi = 4; mi < map_nidxs; mi++) {
+        int mapi = map_idxs[mi];
+        int bi = mapi & 3;
+        int32_t f = mm[(mapi >> 2) * 4 + bi];
+        if (f >= 0) {
+          refi[f] = rf; fmode[f] = 7;
+          fmv[2 * f] = cbx[bi]; fmv[2 * f + 1] = cby[bi];
+        }
+      }
+    } else {
+      for (int mi = 0; mi < map_nidxs; mi++) {
+        int mapi = map_idxs[mi];
+        int32_t f = mm[(mapi >> 2) * 4 + (mapi & 3)];
+        if (f >= 0) {
+          refi[f] = rf; fmode[f] = best_mode;
+          fmv[2 * f] = out_x; fmv[2 * f + 1] = out_y;
+        }
+      }
+    }
+  }
+}
+
+}  // extern "C"
