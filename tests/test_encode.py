@@ -89,3 +89,41 @@ def test_adaptive_quant_stream_decodes():
         err = out[0].astype(float) - frames[i][0].astype(float)
         psnr = 10 * np.log10(255.0**2 / max(np.mean(err**2), 1e-9))
         assert psnr > 28.0
+
+
+def test_trellis_beats_heuristic_quantizer():
+    """The exact-cost trellis tokenizer (tokenize.c:457-744 analogue) must
+    produce smaller streams than the heuristic R/D quantizer at comparable
+    quality, and they must still decode."""
+    W, H = 64, 48
+    frames = _load_clip("clip64x48.i420", W, H)[:6]
+    sizes = {}
+    outs = {}
+    for trellis in (False, True):
+        info = TheoraInfo(
+            frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+            quality=40,
+        )
+        enc = Encoder(info)
+        enc.keyframe_freq = 8
+        enc.use_trellis = trellis
+        pkts = enc.flush_headers()
+        for fr in frames:
+            pkts.append(enc.encode_frame(fr))
+        dinfo = parse_info_header(pkts[0].data)
+        setup = parse_setup_header(pkts[2].data)
+        dec = Decoder(dinfo, setup)
+        mse = 0.0
+        for i, p in enumerate(pkts[3:]):
+            dec.decode_packet(p.data)
+            out = dec.ycbcr_out()
+            mse += np.mean(
+                (out[0].astype(float) - frames[i][0].astype(float)) ** 2
+            )
+        sizes[trellis] = sum(len(p.data) for p in pkts[3:])
+        outs[trellis] = mse / len(frames)
+    # The trellis runs at the reference's (stronger) lambda, trading a
+    # little distortion for much smaller streams: require the byte win and
+    # bound the distortion cost.
+    assert sizes[True] < sizes[False]
+    assert outs[True] <= outs[False] * 1.25

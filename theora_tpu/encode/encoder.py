@@ -42,6 +42,10 @@ from theora_tpu.quant import dequant_tables_init
 from theora_tpu import tables
 from theora_tpu.tpkt import Packet
 
+# zzi -> Huffman group (0 DC, 1..4 AC bands; decode.c huff group layout).
+_ZZI_GROUP = np.searchsorted(np.asarray(HUFF_LIST_MAX), np.arange(64),
+                             side="right")
+
 # Super-block run codes (encode.c:383-388).
 _SB_RUN_VAL_MIN = [1, 2, 4, 6, 10, 18, 34, 4130]
 _SB_RUN_CODE_PREFIX = [0, 4, 0xC, 0x38, 0xF0, 0x3E0, 0x3F000]
@@ -116,6 +120,17 @@ class Encoder:
         # the lambda.
         self.rd_quant = True
         self.rd_strength = 3.0
+        # Viterbi trellis tokenizer with exact Huffman bit costs
+        # (tokenize.c:457-744 analogue); supersedes rd_quant on
+        # single-qi frames.
+        self.use_trellis = True
+        # AC Huffman table indices chosen when packing the previous frame
+        # of each type ([ftype][y,c]); the trellis' cost model
+        # (encode.c:838-858 carry).
+        self._huff_pred = [[0, 0], [0, 0]]
+        self._nb_cache = {}
+        self._cur_fti = 0
+        self._trellis_scan = None
         # Adaptive quantization (3-qi frames with activity masking).
         self.adaptive_quant = False
         # VP3 compatibility: explicit drop-frame packets instead of 0-byte
@@ -150,6 +165,8 @@ class Encoder:
         (DC residual at slot 0) in coded order. Returns the full packet.
         """
         ncoded = [len(v) for v in vecs_by_plane]
+        if self._trellis_scan is not None:
+            return self._pack_tokens_trellis(bw, vecs_by_plane, ftype)
         if self._packer is not None:
             vecs = (
                 np.concatenate(vecs_by_plane)
@@ -165,6 +182,22 @@ class Encoder:
                 log.tokenize_block(pli, vec)
         log.finish()
         self._residual_tokens_pack(bw, log, ftype)
+        return bw.bytes()
+
+    # ------------------------------------------------------------------
+    def _pack_tokens_trellis(self, bw: BitWriter, vecs_by_plane, ftype):
+        """Emit the cached trellis plans (computed in _transform_quantize)
+        and pack; stores the chosen AC Huffman indices for the next
+        frame\'s cost model (encode.c:838-858)."""
+        fti = 0 if ftype == INTRA_FRAME else 1
+        log = TokenLog()
+        for pli in range(3):
+            plans = self._trellis_scan[pli]
+            vecs = vecs_by_plane[pli]
+            for bi in range(len(vecs)):
+                log.emit_trellis(pli, int(vecs[bi][0]), plans[bi])
+        log.finish()
+        self._huff_pred[fti] = self._residual_tokens_pack(bw, log, ftype)
         return bw.bytes()
 
     # ------------------------------------------------------------------
@@ -221,6 +254,9 @@ class Encoder:
                 return pkt
             self.qi = self.rc.select_qi(ftype, self.qi)
         if is_key:
+            # GOP-local trellis cost-model state so GOP-parallel encoding
+            # is byte-identical to sequential.
+            self._huff_pred = [[0, 0], [0, 0]]
             data = self._encode_intra(planes)
             self.keyframe_num = self.curframe_num
         else:
@@ -322,10 +358,15 @@ class Encoder:
                 out[pli] = (
                     fragis, np.zeros((0, 64), np.int32),
                     np.zeros(0, np.int64), np.zeros(0, np.int64),
-                )
+                    np.zeros((0, 64), np.int16), np.zeros(0, np.int32),
+                ) + (([], np.zeros(0, np.int64))
+                     if self.use_trellis and len(qis) == 1 else ())
                 continue
             res = residual_fn(pli, fragis)
             qti = (frag_refi[fragis] != FRAME_SELF).astype(np.int32)
+            # The trellis tokenizer replaces the heuristic R/D quantizer:
+            # quantize round-to-nearest here and keep the raw DCT around.
+            trellis = self.use_trellis and len(qis) == 1
             # Fast path: single-qi frames via the C++ tier.
             if len(qis) == 1:
                 try:
@@ -335,6 +376,11 @@ class Encoder:
                     qdct = np.empty((len(fragis), 64), dtype=np.int32)
                     err2 = np.zeros(len(fragis), dtype=np.int64)
                     res2 = np.zeros(len(fragis), dtype=np.int64)
+                    dct16 = (
+                        np.empty((len(fragis), 64), dtype=np.int16)
+                        if trellis
+                        else None
+                    )
                     for t in (0, 1):
                         m = qti == t
                         if not m.any():
@@ -343,13 +389,28 @@ class Encoder:
                         lam = (
                             rd_lambda(qis[0], int(dq[1])) * self.rd_strength
                         )
-                        qz, e2, r2 = fdct_quantize_rd_native(
-                            res[m], dq, lam, rd=self.rd_quant
-                        )
+                        if trellis:
+                            qz, e2, r2, dc16 = fdct_quantize_rd_native(
+                                res[m], dq, lam, rd=False, want_dct=True
+                            )
+                            dct16[m] = dc16
+                        else:
+                            qz, e2, r2 = fdct_quantize_rd_native(
+                                res[m], dq, lam, rd=self.rd_quant
+                            )
                         qdct[m] = qz
                         err2[m] = e2
                         res2[m] = r2
-                    out[pli] = (fragis, qdct, err2, res2)
+                    if trellis:
+                        paths, acbits = self._trellis_plan_blocks(
+                            pli, qdct, dct16, qti, err2
+                        )
+                        out[pli] = (
+                            fragis, qdct, err2, res2, dct16, qti,
+                            paths, acbits,
+                        )
+                    else:
+                        out[pli] = (fragis, qdct, err2, res2, dct16, qti)
                     continue
                 except ImportError:
                     pass
@@ -367,7 +428,7 @@ class Encoder:
                     if not m.any():
                         continue
                     dq = self.dequant[qis[qii], pli, t]
-                    if self.rd_quant:
+                    if self.rd_quant and not trellis:
                         from theora_tpu.ops.fdct_np import (
                             quantize_rd_batch,
                             rd_lambda,
@@ -398,8 +459,80 @@ class Encoder:
             res2 = (res.astype(np.int64) ** 2).reshape(len(fragis), -1).sum(
                 axis=1
             ) * 16
-            out[pli] = (fragis, qdct, err2, res2)
+            if trellis:
+                dct16 = dct.astype(np.int16)
+                paths, acbits = self._trellis_plan_blocks(
+                    pli, qdct, dct16, qti, err2
+                )
+                out[pli] = (
+                    fragis, qdct, err2, res2, dct16, qti, paths, acbits,
+                )
+            else:
+                out[pli] = (fragis, qdct, err2, res2, None, qti)
         return out
+
+    # ------------------------------------------------------------------
+    def _trellis_nb(self, pli, fti):
+        """Per-(zzi-group, token) bit-cost closure for the trellis, using
+        the AC Huffman indices chosen for the previous frame of this type
+        (encode.c:838-858 carry)."""
+        key = (fti, (pli + 1) >> 1, self._huff_pred[fti][(pli + 1) >> 1])
+        tab = self._nb_cache.get(key)
+        if tab is None:
+            idx = key[2]
+            tab = np.zeros((5, 32), dtype=np.int64)
+            for gi in range(5):
+                for t in range(32):
+                    tab[gi, t] = (
+                        self.huff_codes[(gi << 4) + idx][t][1]
+                        + DCT_TOKEN_EXTRA_BITS[t]
+                    )
+            self._nb_cache[key] = tab
+        zg = _ZZI_GROUP
+
+        def nb(zzi, token, _tab=tab, _zg=zg):
+            return int(_tab[_zg[zzi], token])
+
+        return nb
+
+    def _trellis_plan_blocks(self, pli, qdct, dct16, qti, err2):
+        """Run trellis_plan over every block; rewrites the AC values of
+        qdct and err2 in place. Returns (paths, acbits)."""
+        from theora_tpu.encode.tokenize import trellis_plan
+
+        fti = self._cur_fti
+        fmt = int(self.info.pixel_fmt)
+        lam = tables.RD_LAMBDA.get(fmt, tables.RD_LAMBDA[0])[fti][
+            self.frame_qis[0]
+        ]
+        nb = self._trellis_nb(pli, fti)
+        qi0 = self.frame_qis[0]
+        dq_rows = [
+            self.dequant[qi0, pli, 0].astype(np.int64),
+            self.dequant[qi0, pli, 1].astype(np.int64),
+        ]
+        n = len(qdct)
+        paths = [None] * n
+        acbits = np.zeros(n, dtype=np.int64)
+        dct64 = dct16.astype(np.int64)
+        for bi in range(n):
+            t = int(qti[bi])
+            dq = dq_rows[t]
+            path, bits, vals = trellis_plan(
+                dct64[bi], qdct[bi], dq, lam, 0 if t else 3, nb
+            )
+            paths[bi] = path
+            acbits[bi] = bits
+            row = qdct[bi]
+            row[1:] = 0
+            for pos, qc in vals:
+                row[pos] = qc
+        # Coding error with the final values (for R/D skip decisions).
+        dq_all = np.stack([dq_rows[int(t)] for t in qti]) if n else \
+            np.zeros((0, 64), np.int64)
+        d = dct64 - qdct.astype(np.int64) * dq_all
+        err2[:] = (d * d).sum(axis=1)
+        return paths, acbits
 
     # ------------------------------------------------------------------
     @property
@@ -490,6 +623,7 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def _encode_intra(self, planes) -> bytes:
+        self._cur_fti = 0
         g = self.geometry
         info = self.info
         nfrags = g.nfrags
@@ -527,6 +661,7 @@ class Encoder:
         DC residual in slot 0."""
         g = self.geometry
         out = []
+        trellis_scan = []
         for pli in range(3):
             pl = g.planes[pli]
             fragis, qdct = per_plane[pli][:2]
@@ -557,12 +692,24 @@ class Encoder:
             vecs = qdct_by_frag[scan]
             vecs[:, 0] = dc_resid[scan]
             out.append(vecs)
+            # Scan-ordered trellis plans, when _transform_quantize made
+            # them.
+            plans = per_plane[pli][6] if len(per_plane[pli]) > 6 else None
+            if plans is not None and trellis_scan is not None:
+                by_local = np.empty(pl.nfrags, dtype=object)
+                for k, li in enumerate(local):
+                    by_local[li] = plans[k]
+                trellis_scan.append(by_local[scan])
+            else:
+                trellis_scan = None
+        self._trellis_scan = trellis_scan
         return out
 
     # ------------------------------------------------------------------
     def _encode_inter(self, planes) -> bytes:
         """Inter frame: ME + mode decision + skip + pack
         (analyze.c:2288-2711 in spirit; v1 uses simplified heuristics)."""
+        self._cur_fti = 1
         from theora_tpu.constants import (
             FRAME_FOR_MODE,
             FRAME_GOLD,
@@ -908,18 +1055,30 @@ class Encoder:
             self.rd_strength * 4.0
         )
         for pli in range(3):
-            fragis, qdct, err2, res2 = per_plane[pli]
+            fragis, qdct, err2, res2 = per_plane[pli][:4]
             if len(fragis) == 0:
                 continue
-            nnz = (qdct != 0).sum(axis=1)
-            bits_est = 6 * nnz + 2
+            extra = per_plane[pli][4:]
+            if len(extra) >= 4 and extra[2] is not None:
+                # Trellis: exact AC bits (+~2 DC/flag bits).
+                bits_est = extra[3] + 2
+            else:
+                nnz = (qdct != 0).sum(axis=1)
+                bits_est = 6 * nnz + 2
             skip_rd = res2 <= err2 + (lam * bits_est).astype(np.int64)
             skip = skip_rd & np.isin(frag_mode[fragis], nomv_modes)
             if skip.any():
+                keep = ~skip
                 coded[fragis[skip]] = False
-                per_plane[pli] = (
-                    fragis[~skip], qdct[~skip], err2[~skip], res2[~skip]
-                )
+                kept = [fragis[keep], qdct[keep], err2[keep], res2[keep]]
+                if len(extra) >= 4 and extra[2] is not None:
+                    kept += [
+                        extra[0][keep] if extra[0] is not None else None,
+                        extra[1][keep],
+                        [p for p, k in zip(extra[2], keep) if k],
+                        extra[3][keep],
+                    ]
+                per_plane[pli] = tuple(kept)
 
         ncoded_total = int(coded.sum())
         if ncoded_total == 0:
@@ -1136,6 +1295,7 @@ class Encoder:
                 HUFF_LIST_MAX[hgi],
                 [huff_y + (hgi << 4), huff_c + (hgi << 4)],
             )
+        return [huff_y, huff_c]
 
     def _emit_group(self, bw, log, zzi_start, zzi_end, huff_idxs) -> None:
         neb = DCT_TOKEN_EXTRA_BITS

@@ -342,18 +342,20 @@ def me_block_refine_native(cur, ref_padded, by, bx, seed_mvs, bs=8):
     return mvs, sads
 
 
-def fdct_quantize_rd_native(res_blocks, dequant_zz, lam, rd=True):
+def fdct_quantize_rd_native(res_blocks, dequant_zz, lam, rd=True,
+                            want_dct=False):
     """fDCT + (R/D) quantization in C++.
 
     res_blocks: [n, 8, 8] int; dequant_zz: [64]; returns
-    (qz [n,64] int16, err2 [n] int64, res2 [n] int64).
+    (qz [n,64] int16, err2 [n] int64, res2 [n] int64) plus the raw
+    zig-zag DCT [n,64] int16 when want_dct (for the trellis tokenizer).
     """
     lib = get_lib()
     if not hasattr(lib, "_fq_setup"):
         lib.th_fdct_quantize_rd.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_double, ctypes.c_int, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib._fq_setup = True
     n = len(res_blocks)
@@ -362,10 +364,14 @@ def fdct_quantize_rd_native(res_blocks, dequant_zz, lam, rd=True):
     qz = np.empty((n, 64), dtype=np.int16)
     err2 = np.empty(n, dtype=np.int64)
     res2 = np.empty(n, dtype=np.int64)
+    dct = np.empty((n, 64), dtype=np.int16) if want_dct else None
     lib.th_fdct_quantize_rd(
         n, res32.ctypes.data, dq32.ctypes.data, float(lam), int(rd),
         qz.ctypes.data, err2.ctypes.data, res2.ctypes.data,
+        dct.ctypes.data if want_dct else None,
     )
+    if want_dct:
+        return qz, err2, res2, dct
     return qz, err2, res2
 
 

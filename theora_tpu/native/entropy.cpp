@@ -1785,7 +1785,7 @@ const double MAG_BITS[9] = {0.0, 4.5, 5.5, 6.5, 6.5, 7.5, 7.5, 8.5, 9.5};
 // err2/res2: [n] int64 (coding error and x16 pixel energy).
 void th_fdct_quantize_rd(int64_t n, const int32_t* res, const int32_t* dq,
                          double lam, int rd, int16_t* qz, int64_t* err2,
-                         int64_t* res2) {
+                         int64_t* res2, int16_t* dct_out) {
   for (int64_t i = 0; i < n; i++) {
     const int32_t* x = res + i * 64;
     int32_t w[64], y[64];
@@ -1805,6 +1805,8 @@ void th_fdct_quantize_rd(int64_t n, const int32_t* res, const int32_t* dq,
     int32_t dct[64];
     for (int z = 0; z < 64; z++)
       dct[z] = (int16_t)((w[ZIGN[z]] + 2) >> 2);
+    if (dct_out)
+      for (int z = 0; z < 64; z++) dct_out[i * 64 + z] = (int16_t)dct[z];
     // Quantize (round-to-nearest, ties away from zero).
     int16_t q[64];
     for (int z = 0; z < 64; z++) {
