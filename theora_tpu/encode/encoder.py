@@ -190,6 +190,27 @@ class Encoder:
         and pack; stores the chosen AC Huffman indices for the next
         frame\'s cost model (encode.c:838-858)."""
         fti = 0 if ftype == INTRA_FRAME else 1
+        if self._packer is not None and all(
+            isinstance(p, np.ndarray) and p.ndim == 3
+            for p in self._trellis_scan
+        ):
+            ncoded = [len(v) for v in vecs_by_plane]
+            total = sum(ncoded)
+            paths = (
+                np.concatenate(self._trellis_scan)
+                if total
+                else np.zeros((0, 66, 4), np.int16)
+            )
+            dc = (
+                np.concatenate([v[:, 0] for v in vecs_by_plane])
+                if total
+                else np.zeros(0, np.int32)
+            )
+            pkt, chosen = self._packer.pack_frame_trellis(
+                paths, dc, ncoded, bw.bytes(), bw.bitpos
+            )
+            self._huff_pred[fti] = chosen[2:]
+            return pkt
         log = TokenLog()
         for pli in range(3):
             plans = self._trellis_scan[pli]
@@ -359,7 +380,8 @@ class Encoder:
                     fragis, np.zeros((0, 64), np.int32),
                     np.zeros(0, np.int64), np.zeros(0, np.int64),
                     np.zeros((0, 64), np.int16), np.zeros(0, np.int32),
-                ) + (([], np.zeros(0, np.int64))
+                ) + ((np.zeros((0, 66, 4), np.int16),
+                      np.zeros(0, np.int64))
                      if self.use_trellis and len(qis) == 1 else ())
                 continue
             res = residual_fn(pli, fragis)
@@ -512,6 +534,31 @@ class Encoder:
             self.dequant[qi0, pli, 1].astype(np.int64),
         ]
         n = len(qdct)
+        try:
+            from theora_tpu.native import trellis_plan_blocks_native
+
+            key = (fti, "nbt", self._huff_pred[fti][(pli + 1) >> 1],
+                   (pli + 1) >> 1)
+            nbt = self._nb_cache.get(key)
+            if nbt is None:
+                idx = self._huff_pred[fti][(pli + 1) >> 1]
+                nbt = np.zeros((5, 32), dtype=np.int64)
+                for gi in range(5):
+                    for t in range(32):
+                        nbt[gi, t] = (
+                            self.huff_codes[(gi << 4) + idx][t][1]
+                            + DCT_TOKEN_EXTRA_BITS[t]
+                        )
+                self._nb_cache[key] = nbt
+            qd16 = np.ascontiguousarray(qdct, dtype=np.int16)
+            paths, acbits, e2 = trellis_plan_blocks_native(
+                dct16, qd16, dq_rows[0], dq_rows[1], qti, lam, nbt
+            )
+            qdct[:] = qd16
+            err2[:] = e2
+            return paths, acbits
+        except ImportError:
+            pass
         paths = [None] * n
         acbits = np.zeros(n, dtype=np.int64)
         dct64 = dct16.astype(np.int64)
@@ -696,9 +743,14 @@ class Encoder:
             # them.
             plans = per_plane[pli][6] if len(per_plane[pli]) > 6 else None
             if plans is not None and trellis_scan is not None:
-                by_local = np.empty(pl.nfrags, dtype=object)
-                for k, li in enumerate(local):
-                    by_local[li] = plans[k]
+                if isinstance(plans, np.ndarray):
+                    by_local = np.zeros((pl.nfrags, 66, 4), dtype=np.int16)
+                    by_local[:, 0, 0] = -1
+                    by_local[local] = plans
+                else:
+                    by_local = np.empty(pl.nfrags, dtype=object)
+                    for k, li in enumerate(local):
+                        by_local[li] = plans[k]
                 trellis_scan.append(by_local[scan])
             else:
                 trellis_scan = None
@@ -1072,11 +1124,15 @@ class Encoder:
                 coded[fragis[skip]] = False
                 kept = [fragis[keep], qdct[keep], err2[keep], res2[keep]]
                 if len(extra) >= 4 and extra[2] is not None:
+                    plans = extra[2]
+                    plans = (
+                        plans[keep]
+                        if isinstance(plans, np.ndarray)
+                        else [p for p, k in zip(plans, keep) if k]
+                    )
                     kept += [
                         extra[0][keep] if extra[0] is not None else None,
-                        extra[1][keep],
-                        [p for p, k in zip(extra[2], keep) if k],
-                        extra[3][keep],
+                        extra[1][keep], plans, extra[3][keep],
                     ]
                 per_plane[pli] = tuple(kept)
 

@@ -130,6 +130,34 @@ class NativeTokenPacker:
                 arr[b, t] = huff_codes[b][t]
         self._codes = np.ascontiguousarray(arr)
 
+    def pack_frame_trellis(self, paths, dc, ncoded, prefix: bytes,
+                           prefix_bits: int):
+        """Replay trellis plans (phase 2) + pack; returns (packet_bytes,
+        [dc_y, dc_c, ac_y, ac_c] chosen Huffman indices)."""
+        lib = self._lib
+        if not hasattr(lib, "_tp_setup"):
+            lib.th_encode_frame_trellis.restype = ctypes.c_int64
+            lib.th_encode_frame_trellis.argtypes = [ctypes.c_void_p] * 4 + [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib._tp_setup = True
+        paths = np.ascontiguousarray(paths, dtype=np.int16)
+        dc32 = np.ascontiguousarray(dc, dtype=np.int32)
+        nc = np.asarray(ncoded, dtype=np.int64)
+        cap = 64 + prefix_bits // 8 + max(paths.size, 64) * 4
+        out = np.zeros(cap, dtype=np.uint8)
+        pre = np.frombuffer(prefix, dtype=np.uint8) if prefix else np.zeros(1, np.uint8)
+        chosen = np.zeros(4, dtype=np.int32)
+        n = lib.th_encode_frame_trellis(
+            paths.ctypes.data, dc32.ctypes.data, nc.ctypes.data,
+            self._codes.ctypes.data, pre.ctypes.data, prefix_bits,
+            out.ctypes.data, cap, chosen.ctypes.data,
+        )
+        if n < 0:
+            raise ValueError("native trellis pack failed")
+        return out[:n].tobytes(), [int(x) for x in chosen]
+
     def pack_frame(self, vecs: np.ndarray, ncoded, prefix: bytes, prefix_bits: int) -> bytes:
         vecs = np.ascontiguousarray(vecs, dtype=np.int16)
         nc = np.asarray(ncoded, dtype=np.int64)
@@ -419,3 +447,37 @@ def mode_decide_fill_native(cur, ref_padded, mb_list, mb_fy, mb_fx,
         fmode.ctypes.data, fmv.ctypes.data,
     )
     return mb_modes, mb_mvs, refi, fmode, fmv
+
+
+def trellis_plan_blocks_native(dct16, qdct, dq0, dq1, qti, lam, nbt):
+    """Phase-1 trellis planning in C++ (th_trellis_plan_blocks).
+
+    dct16 [n,64] int16; qdct [n,64] int16 (AC rewritten in place); dq0/dq1
+    [64] dequant rows; qti [n] 0/1; nbt [5,32] int64 bit costs. Returns
+    (paths [n,66,4] int16, acbits [n] int64, err2 [n] int64).
+    """
+    lib = get_lib()
+    if not hasattr(lib, "_tpl_setup"):
+        lib.th_trellis_plan_blocks.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._tpl_setup = True
+    n = len(qdct)
+    dct_c = np.ascontiguousarray(dct16, dtype=np.int16)
+    assert qdct.dtype == np.int16 and qdct.flags.c_contiguous
+    dq0_c = np.ascontiguousarray(dq0, dtype=np.int32)
+    dq1_c = np.ascontiguousarray(dq1, dtype=np.int32)
+    qti_c = np.ascontiguousarray(qti, dtype=np.int32)
+    nbt_c = np.ascontiguousarray(nbt, dtype=np.int64)
+    paths = np.empty((n, 66, 4), dtype=np.int16)
+    acbits = np.empty(n, dtype=np.int64)
+    err2 = np.empty(n, dtype=np.int64)
+    lib.th_trellis_plan_blocks(
+        n, dct_c.ctypes.data, qdct.ctypes.data, dq0_c.ctypes.data,
+        dq1_c.ctypes.data, qti_c.ctypes.data, int(lam), nbt_c.ctypes.data,
+        acbits.ctypes.data, err2.ctypes.data, paths.ctypes.data,
+    )
+    return paths, acbits, err2

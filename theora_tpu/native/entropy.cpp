@@ -424,6 +424,11 @@ void log_token(EncStreams& es, int pli, int zzi, int tok, int eb) {
 
 }  // namespace
 
+static int64_t finish_and_pack(EncStreams& es, const int32_t* huff_codes,
+                               const uint8_t* prefix, int64_t prefix_bits,
+                               uint8_t* out, int64_t cap,
+                               int32_t* chosen_out);
+
 // Tokenize all coded blocks and pack the residual-token section.
 //
 // Inputs:
@@ -474,6 +479,13 @@ int64_t th_encode_frame_tokens(
       }
     }
   }
+  return finish_and_pack(es, huff_codes, prefix, prefix_bits, out, cap, nullptr);
+}
+
+static int64_t finish_and_pack(EncStreams& es, const int32_t* huff_codes,
+                               const uint8_t* prefix, int64_t prefix_bits,
+                               uint8_t* out, int64_t cap,
+                               int32_t* chosen_out) {
   // Flush trailing runs.
   for (int pli = 0; pli < 3; pli++)
     for (int z = 0; z < 64; z++)
@@ -564,6 +576,7 @@ int64_t th_encode_frame_tokens(
   int64_t cy[32], cc[32];
   group_counts(0, 1, cy, cc);
   int hy = select(cy, 0), hc = select(cc, 0);
+  if (chosen_out) { chosen_out[0] = hy; chosen_out[1] = hc; }
   bw.write(hy, 4);
   bw.write(hc, 4);
   emit_group(0, 1, hy, hc);
@@ -581,6 +594,7 @@ int64_t th_encode_frame_tokens(
     if (bits_y[h] < bits_y[hy]) hy = h;
     if (bits_c[h] < bits_c[hc]) hc = h;
   }
+  if (chosen_out) { chosen_out[2] = hy; chosen_out[3] = hc; }
   bw.write(hy, 4);
   bw.write(hc, 4);
   for (int hgi = 1; hgi < 5; hgi++)
@@ -1995,6 +2009,367 @@ void th_mode_decide_fill(
       }
     }
   }
+}
+
+}  // extern "C"
+
+// ===================================================================
+// Viterbi trellis tokenizer (the C++ twin of encode/tokenize.py's
+// trellis_plan; re-derivation of tokenize.c:457-744). Phase 1 plans
+// per-block token paths with exact Huffman bit costs so R/D skip can
+// price blocks; phase 2 replays the surviving plans into streams and
+// packs them.
+namespace {
+
+const uint8_t ZZI_GROUP_T[64] = {
+    0, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+    3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4};
+
+// Largest magnitude with a strictly cheaper value token (top of the
+// next-lower token category).
+inline int alt_mag(int a) {
+  if (a <= 7) return a - 1;
+  if (a <= 8) return 6;
+  if (a <= 12) return 8;
+  if (a <= 20) return 12;
+  if (a <= 36) return 20;
+  if (a <= 68) return 36;
+  return 68;
+}
+
+// One block's plan. path rows: (stream_zzi, token, eb, qc); a token < 7
+// marks the terminal EOB; a row with zzi < 0 terminates the list.
+// Returns the AC bits estimate (terminal EOB excluded) and fills
+// vals[64] with the chosen AC values (DC slot untouched).
+static int64_t trellis_block(const int16_t* dct, const int16_t* qdct,
+                             const int32_t* dq, int64_t lam, int acmin,
+                             const int64_t* nbt, int16_t* path,
+                             int16_t* vals) {
+  auto nb = [&](int zzi, int tok) -> int64_t {
+    return nbt[(int)ZZI_GROUP_T[zzi] * 32 + tok];
+  };
+  int zzi_max = 1;
+  for (int z = 63; z >= 1; z--)
+    if (qdct[z]) { zzi_max = z + 1 > 63 ? 63 : z + 1; break; }
+
+  uint8_t nxt[64][2] = {};
+  int8_t tokv[64][2] = {};
+  int16_t ebv[64][2] = {};
+  int64_t cost[64][2] = {};
+  int64_t bitsv[64][2] = {};
+  int16_t qcv[64][2] = {};
+  int64_t d2_accum[64] = {};
+  uint64_t zflags = 1, nzflags = 0, bflags = 0;
+  int zzj = 64;
+  int zzi = zzi_max;
+  while (zzi > 0) {
+    int qc = qdct[zzi];
+    int aqc = qc < 0 ? -qc : qc;
+    int64_t c = dct[zzi];
+    if (aqc <= 1) {
+      int64_t d2;
+      if (aqc == 0) {
+        while (zzi > 1 && !qdct[zzi - 1]) zzi--;
+        d2 = 0;
+      } else {
+        d2 = c * c;
+        c = c < 0 ? -c : c;
+      }
+      int nzeros = zzj - zzi;
+      zzj &= 63;
+      int64_t sum_d2 = d2 + d2_accum[zzj];
+      d2_accum[zzi] = sum_d2;
+      int dc_reserve = (zzi + 62) >> 6;
+      int64_t best_cost = INT64_MAX, best_bits = 0;
+      int best_next = 0, best_token = 0, best_eb = 0, best_qc = 0;
+      bool have_best = false;
+      for (;;) {
+        if ((nzflags >> zzj) & 1) {
+          int nx1 = nxt[zzj][1];
+          int tk = nx1 & 1;
+          int zzk = nx1 >> 1;
+          int token = 7 + ((nzeros + 55) >> 6);
+          int64_t b = nb(zzi, token);
+          int64_t cst = sum_d2 - d2_accum[zzj] + lam * b + cost[zzj][1];
+          if (cst <= best_cost) {
+            best_next = (zzj << 1) + 1;
+            best_token = token;
+            best_eb = nzeros - 1;
+            best_cost = cst;
+            best_bits = b + bitsv[zzj][1];
+            best_qc = 0;
+            have_best = true;
+          }
+          if (nzeros < 17 + dc_reserve) {
+            int val = qdct[zzj];
+            int va = val < 0 ? -val : val;
+            if (va <= 2) {
+              int sval = val < 0 ? -1 : 1;
+              int ctok, ceb;
+              combo_token(nzeros, sval, &ctok, &ceb);
+              int64_t e = (int64_t)dct[zzj] - (int64_t)sval * dq[zzj];
+              b = nb(zzi, ctok);
+              int64_t cst2 =
+                  e * e + sum_d2 - d2_accum[zzj] + lam * b + cost[zzk][tk];
+              if (cst2 <= best_cost) {
+                best_next = nx1;
+                best_token = ctok;
+                best_eb = ceb;
+                best_cost = cst2;
+                best_bits = b + bitsv[zzk][tk];
+                best_qc = sval;
+                have_best = true;
+              }
+            }
+            if (nzeros < 3 + dc_reserve && va >= 2 && va <= 4) {
+              int v2 = 2 + (va > 2);
+              int sval = val < 0 ? -v2 : v2;
+              int ctok, ceb;
+              combo_token(nzeros, sval, &ctok, &ceb);
+              int64_t e = (int64_t)dct[zzj] - (int64_t)sval * dq[zzj];
+              b = nb(zzi, ctok);
+              int64_t cst2 =
+                  e * e + sum_d2 - d2_accum[zzj] + lam * b + cost[zzk][tk];
+              if (cst2 <= best_cost) {
+                best_next = nx1;
+                best_token = ctok;
+                best_eb = ceb;
+                best_cost = cst2;
+                best_bits = b + bitsv[zzk][tk];
+                best_qc = sval;
+                have_best = true;
+              }
+            }
+          }
+          if (!((zflags >> zzj) & 1)) break;
+        }
+        zzj = ((nxt[zzj][0] >> 1) - (qcv[zzj][0] != 0)) & 63;
+        if (zzj == 0) {
+          // EOB terminal; pending-run hint is 0 at planning time.
+          int t1, e1;
+          make_eob(1, &t1, &e1);
+          int64_t b = nb(zzi, t1);
+          int64_t cst = sum_d2 + lam * b;
+          if (cst <= best_cost ||
+              (have_best && best_token <= 8 && zzi + best_eb == 63)) {
+            best_next = 0;
+            best_token = 0;
+            best_eb = 0;
+            best_cost = cst;
+            best_bits = b;
+            best_qc = 0;
+          }
+          break;
+        }
+        nzeros = zzj - zzi;
+      }
+      nxt[zzi][0] = (uint8_t)best_next;
+      tokv[zzi][0] = (int8_t)best_token;
+      ebv[zzi][0] = (int16_t)best_eb;
+      cost[zzi][0] = best_cost;
+      bitsv[zzi][0] = best_bits;
+      qcv[zzi][0] = (int16_t)best_qc;
+      zflags |= 1ull << zzi;
+      if (aqc) {
+        if (zzi < acmin) lam = 0;
+        int64_t dqz = dq[zzi];
+        int64_t e = dqz - c;
+        int token = qc > 0 ? 9 : 10;
+        int64_t b = nb(zzi, token);
+        int zzk = (zzi + 1) & 63;
+        int tk = (bflags >> zzk) & 1;
+        nxt[zzi][1] = (uint8_t)((zzk << 1) + tk);
+        tokv[zzi][1] = (int8_t)token;
+        ebv[zzi][1] = 0;
+        cost[zzi][1] = e * e + lam * b + cost[zzk][tk];
+        bitsv[zzi][1] = b + bitsv[zzk][tk];
+        qcv[zzi][1] = (int16_t)(qc > 0 ? 1 : -1);
+        nzflags |= 1ull << zzi;
+        if (cost[zzi][1] < cost[zzi][0]) bflags |= 1ull << zzi;
+      }
+    } else {
+      if (zzi < acmin) lam = 0;
+      int64_t dqz = dq[zzi];
+      d2_accum[zzi] = 0;
+      if (aqc > 580) {
+        qc = qc > 0 ? 580 : -580;
+        aqc = 580;
+      }
+      int64_t e = (int64_t)qc * dqz - c;
+      int btok, bebt;
+      value_token(qc, &btok, &bebt);
+      int64_t bbits = nb(zzi, btok);
+      int64_t bcost = e * e + lam * bbits;
+      int bqc = qc;
+      int alt = alt_mag(aqc);
+      int salt = qc < 0 ? -alt : alt;
+      e = (int64_t)salt * dqz - c;
+      int atok, aebt;
+      value_token(salt, &atok, &aebt);
+      int64_t ab = nb(zzi, atok);
+      int64_t acst = e * e + lam * ab;
+      if (acst < bcost) {
+        btok = atok;
+        bebt = aebt;
+        bbits = ab;
+        bcost = acst;
+        bqc = salt;
+      }
+      int zzk = (zzi + 1) & 63;
+      int tk = (bflags >> zzk) & 1;
+      nxt[zzi][1] = (uint8_t)((zzk << 1) + tk);
+      tokv[zzi][1] = (int8_t)btok;
+      ebv[zzi][1] = (int16_t)bebt;
+      cost[zzi][1] = bcost + cost[zzk][tk];
+      bitsv[zzi][1] = bbits + bitsv[zzk][tk];
+      qcv[zzi][1] = (int16_t)bqc;
+      nzflags |= 1ull << zzi;
+      bflags |= 1ull << zzi;
+    }
+    zzj = zzi;
+    zzi--;
+  }
+
+  // Walk the winning path forward.
+  int ti = (bflags >> 1) & 1;
+  int64_t ac_bits = bitsv[1][ti];
+  int zi = 1;
+  int np = 0;
+  for (int z = 1; z < 64; z++) vals[z] = 0;
+  while (zi) {
+    int token = tokv[zi][ti];
+    if (token < 7) {
+      ac_bits -= bitsv[zi][ti];
+      path[np * 4 + 0] = (int16_t)zi;
+      path[np * 4 + 1] = 0;
+      path[np * 4 + 2] = 0;
+      path[np * 4 + 3] = 0;
+      np++;
+      break;
+    }
+    int nx = nxt[zi][ti];
+    int qc = qcv[zi][ti];
+    path[np * 4 + 0] = (int16_t)zi;
+    path[np * 4 + 1] = (int16_t)token;
+    path[np * 4 + 2] = ebv[zi][ti];
+    path[np * 4 + 3] = (int16_t)qc;
+    np++;
+    if (qc) vals[((nx >> 1) - 1) & 63] = (int16_t)qc;
+    zi = nx >> 1;
+    ti = nx & 1;
+  }
+  if (np < 66) path[np * 4 + 0] = -1;
+  return ac_bits;
+}
+
+// Replays a plan into the streams, weaving in the DC slot (the
+// counterpart of TokenLog.emit_trellis; the reference instead rewrites
+// stacks after DC prediction, tokenize.c:1076-1309).
+static void emit_plan(EncStreams& es, int pli, int dc, const int16_t* path) {
+  bool first_ac = true;
+  if (dc != 0) {
+    int t, e;
+    value_token(dc, &t, &e);
+    log_token(es, pli, 0, t, e);
+    first_ac = false;
+  }
+  for (int np = 0; np < 66; np++) {
+    int zzi = path[np * 4 + 0];
+    if (zzi < 0) return;  // ran off the end (position 63 coded)
+    int token = path[np * 4 + 1];
+    int eb = path[np * 4 + 2];
+    int qc = path[np * 4 + 3];
+    if (token < 7) {
+      int stream = first_ac ? 0 : zzi;
+      int64_t run = es.eob_run[pli][stream] + 1;
+      if (run >= 4095) {
+        es.toks[pli][stream].push_back(6);
+        es.ebs[pli][stream].push_back((int)run);
+        run = 0;
+      }
+      es.eob_run[pli][stream] = run;
+      return;
+    }
+    if (first_ac) {
+      first_ac = false;
+      if (token == 7 || token == 8) {
+        int run = eb + 2;  // extend over the zero DC
+        log_token(es, pli, 0, run <= 8 ? 7 : 8, run - 1);
+      } else if (token >= 23) {
+        int nzeros;
+        if (token <= 27) nzeros = token - 23 + 1;
+        else if (token == 28) nzeros = 6 + (eb & 3);
+        else if (token == 29) nzeros = 10 + (eb & 7);
+        else if (token == 30) nzeros = 1;
+        else nzeros = 2 + (eb & 1);
+        int t, e;
+        combo_token(nzeros + 1, qc, &t, &e);
+        log_token(es, pli, 0, t, e);
+      } else {
+        int t, e;
+        if (combo_token(1, qc, &t, &e)) {
+          log_token(es, pli, 0, t, e);
+        } else {
+          log_token(es, pli, 0, 7, 0);  // ZRL run of 1
+          log_token(es, pli, zzi, token, eb);
+        }
+      }
+    } else {
+      log_token(es, pli, zzi, token, eb);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Phase 1: plan one plane's blocks. dct/qdct: [n][64] int16 (qdct
+// round-to-nearest in, AC rewritten to the chosen values out); dq0/dq1:
+// intra/inter dequant rows; qti: per-block 0/1; nbt: [5][32] bit costs;
+// outputs acbits[n], err2[n] (full-block coding error), paths [n][66][4].
+void th_trellis_plan_blocks(int64_t n, const int16_t* dct, int16_t* qdct,
+                            const int32_t* dq0, const int32_t* dq1,
+                            const int32_t* qti, int64_t lam,
+                            const int64_t* nbt, int64_t* acbits,
+                            int64_t* err2, int16_t* paths) {
+  for (int64_t i = 0; i < n; i++) {
+    const int32_t* dq = qti[i] ? dq1 : dq0;
+    int16_t* row = qdct + i * 64;
+    int16_t vals[64];
+    acbits[i] = trellis_block(dct + i * 64, row, dq, lam, qti[i] ? 0 : 3,
+                              nbt, paths + i * 66 * 4, vals);
+    int64_t e2 = 0;
+    const int16_t* drow = dct + i * 64;
+    for (int z = 1; z < 64; z++) row[z] = vals[z];
+    for (int z = 0; z < 64; z++) {
+      int64_t d = (int64_t)drow[z] - (int64_t)row[z] * dq[z];
+      e2 += d * d;
+    }
+    err2[i] = e2;
+  }
+}
+
+// Phase 2: replay the surviving plans and pack the residual section.
+// paths: [total][66][4] int16 in coded order; dc: [total] predicted DC
+// residuals; chosen_out: the 4 selected Huffman indices (dc_y, dc_c,
+// ac_y, ac_c) for the next frame's cost model.
+int64_t th_encode_frame_trellis(const int16_t* paths, const int32_t* dc,
+                                const int64_t* ncoded,
+                                const int32_t* huff_codes,
+                                const uint8_t* prefix, int64_t prefix_bits,
+                                uint8_t* out, int64_t cap,
+                                int32_t* chosen_out) {
+  EncStreams es;
+  memset(es.eob_run, 0, sizeof(es.eob_run));
+  memset(es.offs, 0, sizeof(es.offs));
+  int64_t idx = 0;
+  for (int pli = 0; pli < 3; pli++)
+    for (int64_t f = 0; f < ncoded[pli]; f++, idx++)
+      emit_plan(es, pli, dc[idx], paths + idx * 66 * 4);
+  return finish_and_pack(es, huff_codes, prefix, prefix_bits, out, cap,
+                         chosen_out);
 }
 
 }  // extern "C"
