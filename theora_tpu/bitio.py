@@ -101,6 +101,18 @@ class BitWriter:
         for b in data:
             self.write(b, 8)
 
+    def append_bits(self, data: bytes, nbits: int) -> None:
+        """Append the first nbits of an MSB-first bit buffer."""
+        nbytes = nbits >> 3
+        if self._curbits == 0:
+            self._buf.extend(data[:nbytes])
+        else:
+            for b in data[:nbytes]:
+                self.write(b, 8)
+        rem = nbits & 7
+        if rem:
+            self.write(data[nbytes] >> (8 - rem), rem)
+
     @property
     def bitpos(self) -> int:
         return 8 * len(self._buf) + self._curbits

@@ -806,14 +806,21 @@ class Encoder:
             mvs, sad_mv = mcenc.half_pel_refine(
                 cur_y, prev_o, full_mvs, mb_fy, mb_fx
             )
-        sad_nomv = mcenc._per_mb_sad(
-            cur_y, prev_o, np.zeros(len(mb_list), int), np.zeros(len(mb_list), int),
-            mb_fy, mb_fx,
-        )
-        sad_gold = mcenc._per_mb_sad(
-            cur_y, gold_o, np.zeros(len(mb_list), int), np.zeros(len(mb_list), int),
-            mb_fy, mb_fx,
-        )
+        try:
+            from theora_tpu.native import sad_batch_native
+
+            zz = np.zeros(len(mb_list), np.int32)
+            sad_nomv = sad_batch_native(cur_y, prev_o, mb_fy, mb_fx, zz, zz)
+            sad_gold = sad_batch_native(cur_y, gold_o, mb_fy, mb_fx, zz, zz)
+        except ImportError:
+            sad_nomv = mcenc._per_mb_sad(
+                cur_y, prev_o, np.zeros(len(mb_list), int),
+                np.zeros(len(mb_list), int), mb_fy, mb_fx,
+            )
+            sad_gold = mcenc._per_mb_sad(
+                cur_y, gold_o, np.zeros(len(mb_list), int),
+                np.zeros(len(mb_list), int), mb_fy, mb_fx,
+            )
         # Crude intra cost: deviation from per-block means.
         ay = mb_fy[:, None, None] + np.arange(16)[None, :, None]
         ax = mb_fx[:, None, None] + np.arange(16)[None, None, :]
@@ -1053,6 +1060,28 @@ class Encoder:
             qpy = 1 if (pli != 0 and not (info.pixel_fmt & 2)) else 0
             fy = g.frag_y[fragis] * 8
             fx = g.frag_x[fragis] * 8
+            try:
+                from theora_tpu.native import enc_residuals_native
+
+                refi = frag_refi[fragis]
+                refsel = np.where(
+                    refi == FRAME_SELF, 0,
+                    np.where(refi == FRAME_GOLD, 2, 1),
+                ).astype(np.int32)
+                dx = frag_mv[fragis, 0]
+                dy = frag_mv[fragis, 1]
+                mx = _MVMAP[qpx][dx + 31]
+                mx2 = _MVMAP2[qpx][dx + 31]
+                my = _MVMAP[qpy][dy + 31]
+                my2 = _MVMAP2[qpy][dy + 31]
+                use2 = ((mx2 != 0) | (my2 != 0)) & (refsel != 0)
+                return enc_residuals_native(
+                    p, prev_rec.planes[pli], gold_rec.planes[pli],
+                    fy, fx, refsel, my, mx, my + my2, mx + mx2, use2,
+                    vpad, hpad,
+                )
+            except ImportError:
+                pass
             ay = fy[:, None, None] + np.arange(8)[None, :, None]
             ax = fx[:, None, None] + np.arange(8)[None, None, :]
             cur = p[ay, ax].astype(np.int32)
@@ -1169,6 +1198,17 @@ class Encoder:
     def _coded_flags_pack(self, bw: BitWriter, coded: np.ndarray) -> None:
         """(encode.c:487-589)"""
         g = self.geometry
+        try:
+            from theora_tpu.native import coded_flags_pack_native
+
+            buf, nbits, sb_partial = coded_flags_pack_native(
+                coded, g.scan_fragis, g.scan_sbi, g.nsbs
+            )
+            bw.append_bits(buf, nbits)
+            self._sb_partial = sb_partial
+            return
+        except ImportError:
+            pass
         # SB classification.
         sb_any = np.zeros(g.nsbs, dtype=bool)
         sb_all = np.ones(g.nsbs, dtype=bool)

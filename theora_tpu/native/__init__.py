@@ -481,3 +481,85 @@ def trellis_plan_blocks_native(dct16, qdct, dq0, dq1, qti, lam, nbt):
         acbits.ctypes.data, err2.ctypes.data, paths.ctypes.data,
     )
     return paths, acbits, err2
+
+
+def sad_batch_native(cur, ref_padded, fy, fx, mvx, mvy, bs=16):
+    """Batch half-pel SAD (th_sad_batch). cur [H,W]; ref padded; fy/fx
+    block pixel coords; mvx/mvy half-pel MVs. Returns [n] int64."""
+    lib = get_lib()
+    if not hasattr(lib, "_sb_setup"):
+        lib.th_sad_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib._sb_setup = True
+    cur = np.ascontiguousarray(cur)
+    ref = np.ascontiguousarray(ref_padded)
+    W = cur.shape[1]
+    pad = (ref.shape[1] - W) // 2
+    n = len(fy)
+    arrs = [np.ascontiguousarray(x, dtype=np.int32) for x in (fy, fx, mvx, mvy)]
+    out = np.empty(n, dtype=np.int64)
+    lib.th_sad_batch(
+        cur.ctypes.data, W, ref.ctypes.data, pad, n,
+        *[x.ctypes.data for x in arrs], int(bs), out.ctypes.data,
+    )
+    return out
+
+
+def enc_residuals_native(cur, prev_padded, gold_padded, fy, fx, refsel,
+                         o1y, o1x, o2y, o2x, use2, vpad, hpad):
+    """MC residual gather for the encoder (th_enc_residuals). Returns
+    [n, 8, 8] int32 = cur - prediction."""
+    lib = get_lib()
+    if not hasattr(lib, "_er_setup"):
+        lib.th_enc_residuals.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int64,
+        ] + [ctypes.c_void_p] * 8 + [
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib._er_setup = True
+    cur = np.ascontiguousarray(cur)
+    prev = np.ascontiguousarray(prev_padded)
+    gold = np.ascontiguousarray(gold_padded)
+    n = len(fy)
+    ints = [np.ascontiguousarray(x, dtype=np.int32)
+            for x in (fy, fx, refsel, o1y, o1x, o2y, o2x)]
+    u8 = np.ascontiguousarray(use2, dtype=np.uint8)
+    out = np.empty((n, 8, 8), dtype=np.int32)
+    lib.th_enc_residuals(
+        cur.ctypes.data, cur.shape[1], prev.ctypes.data, gold.ctypes.data,
+        prev.shape[1], n, *[x.ctypes.data for x in ints], u8.ctypes.data,
+        int(vpad), int(hpad), out.ctypes.data,
+    )
+    return out
+
+
+def coded_flags_pack_native(coded, scan_fragis, scan_sbi, nsbs):
+    """Pack the coded-block-flags section (th_coded_flags_pack). Returns
+    (bitbuf bytes, nbits, sb_partial bool[nsbs])."""
+    lib = get_lib()
+    if not hasattr(lib, "_cf_setup"):
+        lib.th_coded_flags_pack.restype = ctypes.c_int64
+        lib.th_coded_flags_pack.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib._cf_setup = True
+    c8 = np.ascontiguousarray(coded, dtype=np.uint8)
+    sf = np.ascontiguousarray(scan_fragis, dtype=np.int32)
+    sb = np.ascontiguousarray(scan_sbi, dtype=np.int32)
+    nscan = len(sf)
+    cap = 64 + nscan + nsbs
+    out = np.zeros(cap, dtype=np.uint8)
+    part = np.zeros(nsbs, dtype=np.uint8)
+    bits = lib.th_coded_flags_pack(
+        c8.ctypes.data, sf.ctypes.data, sb.ctypes.data, nscan, int(nsbs),
+        out.ctypes.data, cap, part.ctypes.data,
+    )
+    if bits < 0:
+        raise ValueError("coded flags pack failed")
+    return out.tobytes(), int(bits), part.astype(bool)

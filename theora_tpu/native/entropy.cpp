@@ -2373,3 +2373,160 @@ int64_t th_encode_frame_trellis(const int16_t* paths, const int32_t* dc,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Encoder hot helpers: batch half-pel SAD, MC residual gather, and
+// coded-block-flags packing (encode.c:487-589).
+extern "C" {
+
+void th_sad_batch(const uint8_t* cur, int W, const uint8_t* ref, int pad,
+                  int64_t n, const int32_t* fy, const int32_t* fx,
+                  const int32_t* mvx, const int32_t* mvy, int bs,
+                  int64_t* out) {
+  for (int64_t i = 0; i < n; i++)
+    out[i] = th_sad_halfpel(cur, W, ref, W + 2 * pad, fy[i], fx[i], pad,
+                            mvx[i], mvy[i], bs);
+}
+
+// Residuals for the encoder's closed loop: cur - prediction, where the
+// prediction is 128 (intra), or a 1/2-pel MC read from the padded
+// prev/gold reconstruction (the counterpart of decode-side recon;
+// analyze.c:626-785 in spirit).
+void th_enc_residuals(const uint8_t* cur, int W, const uint8_t* prevp,
+                      const uint8_t* goldp, int Wp, int64_t n,
+                      const int32_t* fy, const int32_t* fx,
+                      const int32_t* refsel, const int32_t* o1y,
+                      const int32_t* o1x, const int32_t* o2y,
+                      const int32_t* o2x, const uint8_t* use2, int vpad,
+                      int hpad, int32_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* c = cur + (int64_t)fy[i] * W + fx[i];
+    int32_t* o = out + i * 64;
+    if (refsel[i] == 0) {
+      for (int r = 0; r < 8; r++, c += W)
+        for (int k = 0; k < 8; k++) o[r * 8 + k] = (int32_t)c[k] - 128;
+      continue;
+    }
+    const uint8_t* refp = refsel[i] == 1 ? prevp : goldp;
+    const uint8_t* s1 = refp + (int64_t)(fy[i] + vpad + o1y[i]) * Wp +
+                        fx[i] + hpad + o1x[i];
+    if (use2[i]) {
+      const uint8_t* s2 = refp + (int64_t)(fy[i] + vpad + o2y[i]) * Wp +
+                          fx[i] + hpad + o2x[i];
+      for (int r = 0; r < 8; r++, c += W, s1 += Wp, s2 += Wp)
+        for (int k = 0; k < 8; k++)
+          o[r * 8 + k] = (int32_t)c[k] - (((int)s1[k] + s2[k]) >> 1);
+    } else {
+      for (int r = 0; r < 8; r++, c += W, s1 += Wp)
+        for (int k = 0; k < 8; k++) o[r * 8 + k] = (int32_t)c[k] - s1[k];
+    }
+  }
+}
+
+namespace {
+
+const int SB_RUN_VAL_MIN[8] = {1, 2, 4, 6, 10, 18, 34, 4130};
+const int SB_RUN_CODE_PREFIX[7] = {0, 4, 0xC, 0x38, 0xF0, 0x3E0, 0x3F000};
+const int SB_RUN_CODE_NBITS[7] = {1, 3, 4, 6, 8, 10, 18};
+const int BLK_RUN_NBITS[30] = {2, 2, 3, 3, 4, 4, 6, 6, 6, 6, 7, 7, 7, 7,
+                               9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9,
+                               9, 9};
+const int BLK_RUN_PAT[30] = {0x000, 0x001, 0x004, 0x005, 0x00C, 0x00D,
+                             0x038, 0x039, 0x03A, 0x03B, 0x078, 0x079,
+                             0x07A, 0x07B, 0x1F0, 0x1F1, 0x1F2, 0x1F3,
+                             0x1F4, 0x1F5, 0x1F6, 0x1F7, 0x1F8, 0x1F9,
+                             0x1FA, 0x1FB, 0x1FC, 0x1FD, 0x1FE, 0x1FF};
+
+void sb_run_pack_c(BitWriter& bw, int64_t run, int flag, bool done) {
+  if (run >= 4129) {
+    while (run >= 4129) {
+      bw.write(0x3FFFF, 18);
+      run -= 4129;
+      if (run > 0)
+        bw.write(flag, 1);
+      else if (!done)
+        bw.write(flag ? 0 : 1, 1);
+    }
+    if (run <= 0) return;
+  }
+  int i = 0;
+  while (run >= SB_RUN_VAL_MIN[i + 1]) i++;
+  bw.write((uint32_t)(SB_RUN_CODE_PREFIX[i] + run - SB_RUN_VAL_MIN[i]),
+           SB_RUN_CODE_NBITS[i]);
+}
+
+}  // namespace
+
+// Packs the coded-block flag section into `out`; returns the bit count
+// (or -1 on overflow). sb_partial_out receives the per-SB partial flags.
+int64_t th_coded_flags_pack(const uint8_t* coded, const int32_t* scan_fragis,
+                            const int32_t* scan_sbi, int64_t nscan,
+                            int64_t nsbs, uint8_t* out, int64_t cap,
+                            uint8_t* sb_partial_out) {
+  std::vector<uint8_t> sb_any(nsbs, 0), sb_all(nsbs, 1), has(nsbs, 0);
+  for (int64_t i = 0; i < nscan; i++) {
+    uint8_t c = coded[scan_fragis[i]];
+    int sbi = scan_sbi[i];
+    sb_any[sbi] |= c;
+    sb_all[sbi] &= c;
+    has[sbi] = 1;
+  }
+  std::vector<uint8_t> sb_partial(nsbs), sb_full(nsbs);
+  int64_t npartial = 0;
+  for (int64_t s = 0; s < nsbs; s++) {
+    sb_partial[s] = sb_any[s] && !(sb_all[s] && has[s]);
+    sb_full[s] = sb_all[s] && has[s] && !sb_partial[s];
+    npartial += sb_partial[s];
+    sb_partial_out[s] = sb_partial[s];
+  }
+  BitWriter bw;
+  int flag = sb_partial[0];
+  bw.write(flag, 1);
+  int64_t sbi = 0;
+  while (sbi < nsbs) {
+    int64_t run = 0;
+    while (sbi < nsbs && sb_partial[sbi] == flag) { run++; sbi++; }
+    sb_run_pack_c(bw, run, flag, sbi >= nsbs);
+    flag = 1 - flag;
+  }
+  if (npartial < nsbs) {
+    std::vector<int32_t> order;
+    order.reserve(nsbs - npartial);
+    for (int64_t s = 0; s < nsbs; s++)
+      if (!sb_partial[s]) order.push_back((int32_t)s);
+    flag = sb_full[order[0]];
+    bw.write(flag, 1);
+    size_t i = 0;
+    while (i < order.size()) {
+      int64_t run = 0;
+      while (i < order.size() && sb_full[order[i]] == flag) { run++; i++; }
+      sb_run_pack_c(bw, run, flag, i >= order.size());
+      flag = 1 - flag;
+    }
+  }
+  if (npartial > 0) {
+    std::vector<uint8_t> flags;
+    flags.reserve(nscan);
+    for (int64_t i = 0; i < nscan; i++)
+      if (sb_partial[scan_sbi[i]]) flags.push_back(coded[scan_fragis[i]]);
+    flag = flags[0];
+    bw.write(flag, 1);
+    size_t i = 0;
+    while (i < flags.size()) {
+      int run = 0;
+      while (i < flags.size() && flags[i] == flag) { run++; i++; }
+      // A partial SB holds <= 15 same-flag blocks and a run spans at
+      // most 2 partial SBs (encode.c:425-452).
+      if (run > 30) return -1;
+      bw.write((uint32_t)BLK_RUN_PAT[run - 1], BLK_RUN_NBITS[run - 1]);
+      flag = 1 - flag;
+    }
+  }
+  int64_t bits = (int64_t)bw.buf.size() * 8 + bw.curbits;
+  bw.flush();
+  if ((int64_t)bw.buf.size() > cap) return -1;
+  memcpy(out, bw.buf.data(), bw.buf.size());
+  return bits;
+}
+
+}  // extern "C"
