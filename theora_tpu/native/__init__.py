@@ -15,13 +15,36 @@ _SRC = os.path.join(_DIR, "entropy.cpp")
 _lib = None
 
 
+_TAG = _SO + ".buildinfo"
+
+
 def _build() -> None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
-        check=True,
-        capture_output=True,
-    )
+    # Tuned build for the local CPU, portable fallback. The .buildinfo tag
+    # pins the flags + host so every machine compiles its own binary once
+    # (a checked-out .so from another machine is never trusted).
+    for flags in (["-O3", "-march=native", "-fno-math-errno"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", "-std=c++17", _SRC,
+                 "-o", _SO],
+                check=True,
+                capture_output=True,
+            )
+            with open(_TAG, "w") as f:
+                f.write(" ".join(flags) + " " + os.uname().nodename)
+            return
+        except subprocess.CalledProcessError:
+            continue
+    raise RuntimeError("native build failed")
+
+
+def _tag_current() -> bool:
+    try:
+        with open(_TAG) as f:
+            return f.read().split()[-1] == os.uname().nodename
+    except OSError:
+        return False
 
 
 def get_lib():
@@ -30,8 +53,10 @@ def get_lib():
     if _lib is not None:
         return _lib
     try:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-            _SRC
+        if (
+            not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            or not _tag_current()
         ):
             _build()
         lib = ctypes.CDLL(_SO)
