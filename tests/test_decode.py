@@ -60,3 +60,31 @@ def test_postprocessor_bit_exact(pp_level):
         dec.decode_packet(p.data)
         mine = np.concatenate([pl.reshape(-1) for pl in dec.ycbcr_out()])
         assert np.array_equal(mine, ref[i]), f"pp{pp_level} frame {i}"
+
+
+def test_telemetry_overlays():
+    """Telemetry overlays (TH_DECCTL_SET_TELEMETRY_* analogue) must draw
+    on the output without corrupting reference state: the NEXT frame must
+    still decode bit-exactly."""
+    name = "cif_k4_q40"
+    pkts = read_tpkt(os.path.join(TESTDATA, f"{name}.tpkt"))
+    info = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
+    dec = Decoder(info, setup)
+    dec.set_telemetry(mbmode=1, mv=1, qi=1, bits=1)
+    ref = np.fromfile(
+        os.path.join(TESTDATA, f"{name}.ref.yuv"), dtype=np.uint8
+    ).reshape(len(pkts) - 3, -1)
+    changed_any = False
+    for i, p in enumerate(pkts[3:4 + 2]):
+        dec.decode_packet(p.data)
+        overlaid = np.concatenate([x.reshape(-1) for x in dec.ycbcr_out()])
+        if not np.array_equal(overlaid, ref[i]):
+            changed_any = True
+        # Overlay must be output-only: disabling telemetry must give the
+        # bit-exact frame from the same internal state.
+        dec.set_telemetry(mbmode=0, mv=0, qi=0, bits=0)
+        clean = np.concatenate([x.reshape(-1) for x in dec.ycbcr_out()])
+        assert np.array_equal(clean, ref[i]), f"frame {i} state corrupted"
+        dec.set_telemetry(mbmode=1, mv=1, qi=1, bits=1)
+    assert changed_any, "telemetry drew nothing"

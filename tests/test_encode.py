@@ -127,3 +127,72 @@ def test_trellis_beats_heuristic_quantizer():
     # bound the distortion cost.
     assert sizes[True] < sizes[False]
     assert outs[True] <= outs[False] * 1.25
+
+
+@pytest.mark.parametrize(
+    "pixel_fmt,cw_div,ch_div", [(2, 2, 1), (3, 1, 1)]
+)
+def test_encode_422_444_decodes(pixel_fmt, cw_div, ch_div):
+    """Inter encoding through the chroma-MV derivation paths for 4:2:2 and
+    4:4:4 (the native fill's pixel_fmt branches) must produce decodable,
+    reasonable streams."""
+    W, H = 64, 48
+    rng = np.random.RandomState(9)
+
+    def grad(i, h, w):
+        y, x = np.mgrid[0:h, 0:w]
+        return ((x * 3 + y * 2 + i * 5) % 256).astype(np.uint8)
+
+    frames = [
+        [grad(i, H, W), grad(i + 3, H // ch_div, W // cw_div),
+         grad(i + 9, H // ch_div, W // cw_div)]
+        for i in range(5)
+    ]
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=40, pixel_fmt=pixel_fmt,
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 8
+    pkts = enc.flush_headers()
+    for fr in frames:
+        pkts.append(enc.encode_frame(fr))
+    dec = Decoder(parse_info_header(pkts[0].data), parse_setup_header(pkts[2].data))
+    for i, p in enumerate(pkts[3:]):
+        dec.decode_packet(p.data)
+        out = dec.ycbcr_out()
+        for pli in range(3):
+            err = out[pli].astype(float) - frames[i][pli].astype(float)
+            psnr = 10 * np.log10(255.0**2 / max(np.mean(err**2), 1e-9))
+            assert psnr > 30.0, f"frame {i} plane {pli} PSNR {psnr}"
+
+
+def test_encode_cropped_pic_decodes():
+    """Non-frame-aligned pic geometry (pic offset/size) round-trips."""
+    W, H = 80, 64
+    rng = np.random.RandomState(5)
+
+    def grad(i, h, w):
+        y, x = np.mgrid[0:h, 0:w]
+        return ((x * 5 + y * 3 + i * 7) % 256).astype(np.uint8)
+
+    frames = [
+        [grad(i, H, W), grad(i, H // 2, W // 2), grad(i + 4, H // 2, W // 2)]
+        for i in range(4)
+    ]
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=75, pic_height=57,
+        pic_x=1, pic_y=3, quality=40,
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 8
+    pkts = enc.flush_headers()
+    for fr in frames:
+        pkts.append(enc.encode_frame(fr))
+    dec = Decoder(parse_info_header(pkts[0].data), parse_setup_header(pkts[2].data))
+    for i, p in enumerate(pkts[3:]):
+        dec.decode_packet(p.data)
+        out = dec.ycbcr_out()
+        err = out[0].astype(float) - frames[i][0].astype(float)
+        psnr = 10 * np.log10(255.0**2 / max(np.mean(err**2), 1e-9))
+        assert psnr > 30.0

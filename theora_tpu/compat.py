@@ -202,6 +202,18 @@ class th_dec_ctx:
         if req == TH_DECCTL_SET_STRIPE_CB:
             self._dec.stripe_callback = buf
             return 0
+        if req == TH_DECCTL_SET_TELEMETRY_MBMODE:
+            self._dec.set_telemetry(mbmode=int(buf))
+            return 0
+        if req == TH_DECCTL_SET_TELEMETRY_MV:
+            self._dec.set_telemetry(mv=int(buf))
+            return 0
+        if req == TH_DECCTL_SET_TELEMETRY_QI:
+            self._dec.set_telemetry(qi=int(buf))
+            return 0
+        if req == TH_DECCTL_SET_TELEMETRY_BITS:
+            self._dec.set_telemetry(bits=int(buf))
+            return 0
         if req == TH_DECCTL_SET_GRANPOS:
             gp = int(buf)
             if gp < 0:

@@ -152,6 +152,10 @@ class Decoder:
         # Persistent per-fragment state (refi survives for DC prediction of
         # skipped rows? no -- rebuilt per frame; dc/qii rebuilt per frame).
         self._out_frame = None
+        # Telemetry overlay flags (TH_DECCTL_SET_TELEMETRY_*; rendering in
+        # decode/telemetry.py).
+        self.telemetry = {"mbmode": 0, "mv": 0, "qi": 0, "bits": 0}
+        self._telemetry_state = None
         self._native = None
         if use_native:
             try:
@@ -362,9 +366,12 @@ class Decoder:
         )
         if self._native is not None:
             bitpos = sideinfo["bitpos"] if sideinfo is not None else br.pos
-            qz, last_zzi, dc_coded, _end = self._native.decode_frame_tokens(
-                packet, bitpos, ncoded_per_plane
+            want_bits = bool(self.telemetry["bits"])
+            res = self._native.decode_frame_tokens(
+                packet, bitpos, ncoded_per_plane, want_bits=want_bits
             )
+            qz, last_zzi, dc_coded, _end = res[:4]
+            self._frag_bits = res[4] if want_bits else None
             qz = qz.astype(np.int32)
             dc_full = np.zeros(nfrags, dtype=np.int32)
             dc_full[order] = dc_coded
@@ -486,6 +493,15 @@ class Decoder:
             "ncoded": int(ncoded_total),
             "granulepos": self.granpos,
         }
+        if any(self.telemetry.values()):
+            self._telemetry_state = {
+                "coded": coded,
+                "mode": frag_mode,
+                "mv": frag_mv,
+                "qii": frag_qii,
+                "order": order,
+                "frag_bits": getattr(self, "_frag_bits", None),
+            }
         if getattr(self, "stripe_callback", None) is not None:
             self.stripe_callback(
                 self.ycbcr_out(), 0, self.geometry.planes[0].nvfrags
@@ -910,6 +926,14 @@ class Decoder:
                 dst[ay, ax] = src[ay, ax]
 
     # ------------------------------------------------------------------
+    def set_telemetry(self, mbmode=None, mv=None, qi=None, bits=None):
+        """Enable/disable debug overlays on decoded output
+        (TH_DECCTL_SET_TELEMETRY_{MBMODE,MV,QI,BITS} analogue)."""
+        for k, v in (("mbmode", mbmode), ("mv", mv), ("qi", qi),
+                     ("bits", bits)):
+            if v is not None:
+                self.telemetry[k] = int(v)
+
     def ycbcr_out(self):
         """Full-frame planes in display orientation (top-down), like
         th_decode_ycbcr_out (decode.c:2988-2992). Postprocessed planes are
@@ -925,4 +949,9 @@ class Decoder:
             h, w = self.geometry.plane_shape(pli)
             p = frame.planes[pli][vpad : vpad + h, hpad : hpad + w]
             out.append(p[::-1].copy())
+        if any(self.telemetry.values()) and self._telemetry_state is not None:
+            from theora_tpu.decode.telemetry import render_telemetry
+
+            render_telemetry(self.geometry, out, self._telemetry_state,
+                             **self.telemetry)
         return out

@@ -75,6 +75,7 @@ def get_lib():
         ctypes.c_void_p,  # qcoeffs out
         ctypes.c_void_p,  # last_zzi out
         ctypes.c_void_p,  # dc out
+        ctypes.c_void_p,  # frag_bits out (nullable)
     ]
     lib.th_encode_frame_tokens.restype = ctypes.c_int64
     lib.th_encode_frame_tokens.argtypes = [
@@ -116,14 +117,16 @@ class NativeEntropy:
             self._lib.th_entropy_destroy(self._ctx)
             self._ctx = None
 
-    def decode_frame_tokens(self, packet: bytes, bit_offset: int, ncoded):
+    def decode_frame_tokens(self, packet: bytes, bit_offset: int, ncoded,
+                            want_bits=False):
         """Returns (qcoeffs [total,64] int16 zig-zag, last_zzi [total],
-        dc [total], end_bitpos)."""
+        dc [total], end_bitpos[, frag_bits [total]])."""
         total = int(sum(ncoded))
         nc = np.asarray(ncoded, dtype=np.int64)
         qcoeffs = np.zeros((max(total, 1), 64), dtype=np.int16)
         last_zzi = np.zeros(max(total, 1), dtype=np.int32)
         dc = np.zeros(max(total, 1), dtype=np.int32)
+        fbits = np.zeros(max(total, 1), dtype=np.int32) if want_bits else None
         buf = np.frombuffer(packet, dtype=np.uint8)
         end = self._lib.th_decode_frame_tokens(
             self._ctx,
@@ -134,9 +137,13 @@ class NativeEntropy:
             qcoeffs.ctypes.data,
             last_zzi.ctypes.data,
             dc.ctypes.data,
+            fbits.ctypes.data if want_bits else None,
         )
         if end < 0:
             raise ValueError("native token decode failed")
+        if want_bits:
+            return (qcoeffs[:total], last_zzi[:total], dc[:total], int(end),
+                    fbits[:total])
         return qcoeffs[:total], last_zzi[:total], dc[:total], int(end)
 
 
