@@ -111,11 +111,14 @@ class th_enc_ctx:
             if req == TH_ENCCTL_SET_SPLEVEL:
                 if not 0 <= int(buf) <= SP_LEVEL_MAX:
                     return TH_EINVAL
-                # Speed levels map to R/D effort.
+                # Speed levels map to R/D effort (encode.c splevel
+                # semantics: 0 = full trellis, 1 = fast R/D tokenizer,
+                # 2 = plain quantizer).
+                e.use_trellis = int(buf) == 0
                 e.rd_quant = int(buf) < 2
                 self._splevel = int(buf)
                 return 0
-            return getattr(self, "_splevel", 1)
+            return getattr(self, "_splevel", 0)
         if req == TH_ENCCTL_SET_DUP_COUNT:
             self._dup_count = int(buf)
             return 0

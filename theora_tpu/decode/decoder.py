@@ -29,6 +29,7 @@ from theora_tpu.constants import (
     MODE_INTER_MV_LAST2,
     MODE_GOLDEN_MV,
     MODE_INTRA,
+    MODE_INTER_NOMV,
     MODE_INVALID,
 )
 from theora_tpu.decode.dcpred import dc_unpredict_plane
@@ -760,6 +761,12 @@ class Decoder:
                         frag_refi[fragi] = refi
                         frag_mode[fragi] = mode
                         frag_mv[fragi] = mbmv
+        # Coded fragments of luma-uncoded MBs default to INTER_NOMV/PREV
+        # (the reference's zero-initialized frag state; decode.c:736-804
+        # never touches them).
+        orphan = coded & (frag_refi == FRAME_NONE)
+        frag_refi[orphan] = FRAME_PREV
+        frag_mode[orphan] = MODE_INTER_NOMV
 
     # ------------------------------------------------------------------
     def _block_qis_unpack(self, br, coded):

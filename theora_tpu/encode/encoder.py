@@ -874,12 +874,22 @@ class Encoder:
             _native_md = mode_decide_fill_native
         except Exception:
             pass
+        # Mode-decision rate biases are calibrated at qi=40; scale with the
+        # quantizer step (rate cost in SAD units tracks the step size, the
+        # SAD-domain analogue of the reference's lambda*rate,
+        # analyze.c:1063-1076).
+        bias_scale = min(
+            1.0,
+            float(self.dequant[self.qi, 0, 1, 1])
+            / float(self.dequant[40, 0, 1, 1]),
+        )
         if _native_md is not None:
             mb_modes_n, mb_mvs_n, frag_refi, frag_mode, frag_mv = _native_md(
                 cur_y, prev_o, mb_list, mb_fy, mb_fx,
                 sad_nomv, sad_gold, sad_intra, sad_mv, sad_4mv,
                 mvs, bmvs.reshape(-1, 2), g.mb_maps, int(info.pixel_fmt),
-                28 * int(self.rd_strength * 4 + 4), nfrags,
+                28 * int(self.rd_strength * 4 + 4) * bias_scale, nfrags,
+                bias_scale=bias_scale,
             )
             mb_modes = np.full(g.nmbs, 0, dtype=np.int32)
             mb_modes[g.mb_valid == False] = -1  # noqa: E712
@@ -931,14 +941,15 @@ class Encoder:
                 ].astype(np.int32)
                 return int(np.abs(blk - pred[0]).sum())
 
-        MV_BITS_SAD = 28 * int(self.rd_strength * 4 + 4)  # ~explicit-MV cost
+        MV_BITS_SAD = 28 * int(self.rd_strength * 4 + 4) * bias_scale
         for i, mbi in enumerate(mb_list):
             mv = (int(mvs[i, 0]), int(mvs[i, 1]))
             costs = {
                 MODE_INTER_NOMV: int(sad_nomv[i]),
-                MODE_INTRA: int(sad_intra[i]) + 350,
-                MODE_GOLDEN_NOMV: int(sad_gold[i]) + 80,
-                MODE_INTER_MV_FOUR: int(sad_4mv[i]) + 640 + 4 * MV_BITS_SAD,
+                MODE_INTRA: int(sad_intra[i]) + 350 * bias_scale,
+                MODE_GOLDEN_NOMV: int(sad_gold[i]) + 80 * bias_scale,
+                MODE_INTER_MV_FOUR: int(sad_4mv[i]) + 640 * bias_scale
+                + 4 * MV_BITS_SAD,
             }
             if mv != (0, 0):
                 costs[MODE_INTER_MV] = int(sad_mv[i]) + MV_BITS_SAD
@@ -948,14 +959,14 @@ class Encoder:
                     if mv == last_mv
                     else sad_at(i, last_mv)
                 )
-                costs[MODE_INTER_MV_LAST] = s + 16
+                costs[MODE_INTER_MV_LAST] = s + 16 * bias_scale
             if prior_mv != (0, 0) and prior_mv != last_mv:
                 s = (
                     int(sad_mv[i])
                     if mv == prior_mv
                     else sad_at(i, prior_mv)
                 )
-                costs[MODE_INTER_MV_LAST2] = s + 24
+                costs[MODE_INTER_MV_LAST2] = s + 24 * bias_scale
             mode = min(costs, key=costs.get)
             mb_modes[mbi] = mode
             if mode == MODE_INTER_MV:
@@ -1128,10 +1139,11 @@ class Encoder:
 
         # R/D skip (analyze.c:859-867): a NOMV block stays uncoded when the
         # coded version doesn't beat the plain PREV copy by more than its
-        # bit cost (uncoded semantics == NOMV prediction).
+        # bit cost (uncoded semantics == NOMV prediction). Extending the
+        # skip to other modes was tried and measured an RD loss without a
+        # modedec-grade cost model; revisit with SATD-based rate fits.
         from theora_tpu.ops.fdct_np import rd_lambda
 
-        nomv_modes = (MODE_INTER_NOMV,)
         lam = rd_lambda(self.qi, int(self.dequant[self.qi, 0, 1, 1])) * (
             self.rd_strength * 4.0
         )
@@ -1147,7 +1159,7 @@ class Encoder:
                 nnz = (qdct != 0).sum(axis=1)
                 bits_est = 6 * nnz + 2
             skip_rd = res2 <= err2 + (lam * bits_est).astype(np.int64)
-            skip = skip_rd & np.isin(frag_mode[fragis], nomv_modes)
+            skip = skip_rd & (frag_mode[fragis] == MODE_INTER_NOMV)
             if skip.any():
                 keep = ~skip
                 coded[fragis[skip]] = False

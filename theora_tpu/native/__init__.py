@@ -438,7 +438,7 @@ def fdct_quantize_rd_native(res_blocks, dequant_zz, lam, rd=True,
 def mode_decide_fill_native(cur, ref_padded, mb_list, mb_fy, mb_fx,
                             sad_nomv, sad_gold, sad_intra, sad_mv, sad_4mv,
                             mvs, bmvs, mb_maps, pixel_fmt, mv_bits_sad,
-                            nfrags):
+                            nfrags, bias_scale=1.0):
     """Sequential mode decision + per-fragment fill in C++.
 
     Returns (mb_modes [n], mb_mvs [n,2], refi [nfrags], mode [nfrags],
@@ -449,7 +449,7 @@ def mode_decide_fill_native(cur, ref_padded, mb_list, mb_fy, mb_fx,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int64,
         ] + [ctypes.c_void_p] * 11 + [
-            ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ] + [ctypes.c_void_p] * 5
         lib._md_setup = True
     cur = np.ascontiguousarray(cur)
@@ -474,7 +474,7 @@ def mode_decide_fill_native(cur, ref_padded, mb_list, mb_fy, mb_fx,
     lib.th_mode_decide_fill(
         cur.ctypes.data, W, H, ref.ctypes.data, pad, n,
         *[x.ctypes.data for x in arrs],
-        int(pixel_fmt), float(mv_bits_sad),
+        int(pixel_fmt), float(mv_bits_sad), float(bias_scale),
         mb_modes.ctypes.data, mb_mvs.ctypes.data, refi.ctypes.data,
         fmode.ctypes.data, fmv.ctypes.data,
     )

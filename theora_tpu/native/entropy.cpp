@@ -1305,6 +1305,19 @@ int64_t th_parse_frame_sideinfo(
       }
     }
   }
+  // Coded fragments not covered by a coded-luma MB (e.g. chroma blocks of
+  // a fully-skipped-luma MB) default to INTER_NOMV from PREV -- the
+  // reference's zero-initialized frag state (decode.c:736-804 never
+  // touches them).
+  if (*frame_type != 0) {
+    for (int64_t i = 0; i < nscan; i++) {
+      int32_t f = scan_fragis[i];
+      if (coded[f] && refi[f] == 3) {
+        refi[f] = 1;  // FRAME_PREV
+        mode[f] = 0;  // MODE_INTER_NOMV
+      }
+    }
+  }
   // Block qi RLE (decode.c:902-981) over coded fragments in scan order.
   if (*nqis > 1) {
     std::vector<int64_t> order;
@@ -1913,8 +1926,9 @@ void th_mode_decide_fill(
     const int32_t* mb_fx, const int64_t* sad_nomv, const int64_t* sad_gold,
     const int64_t* sad_intra, const int64_t* sad_mv, const int64_t* sad_4mv,
     const int32_t* mvs, const int32_t* bmvs, const int32_t* mb_maps,
-    int pixel_fmt, double mv_bits_sad, int32_t* mb_modes_out,
-    int32_t* mb_mvs_out, int32_t* refi, int32_t* fmode, int32_t* fmv) {
+    int pixel_fmt, double mv_bits_sad, double bias_scale,
+    int32_t* mb_modes_out, int32_t* mb_mvs_out, int32_t* refi,
+    int32_t* fmode, int32_t* fmv) {
   int last_x = 0, last_y = 0, prior_x = 0, prior_y = 0;
   const int* map_idxs = MB_MAP_IDXS_C[pixel_fmt];
   int map_nidxs = MB_MAP_NIDXS_C[pixel_fmt];
@@ -1924,11 +1938,11 @@ void th_mode_decide_fill(
     double best_cost = (double)sad_nomv[i];
     int best_mode = 0;
     double c;
-    c = (double)sad_intra[i] + 350;
+    c = (double)sad_intra[i] + 350 * bias_scale;
     if (c < best_cost) { best_cost = c; best_mode = 1; }
-    c = (double)sad_gold[i] + 80;
+    c = (double)sad_gold[i] + 80 * bias_scale;
     if (c < best_cost) { best_cost = c; best_mode = 5; }
-    c = (double)sad_4mv[i] + 640 + 4 * mv_bits_sad;
+    c = (double)sad_4mv[i] + 640 * bias_scale + 4 * mv_bits_sad;
     if (c < best_cost) { best_cost = c; best_mode = 7; }
     if (mvx || mvy) {
       c = (double)sad_mv[i] + mv_bits_sad;
@@ -1939,7 +1953,7 @@ void th_mode_decide_fill(
                       ? sad_mv[i]
                       : th_sad_halfpel(cur, W, ref, W + 2 * pad, mb_fy[i],
                                        mb_fx[i], pad, last_x, last_y, 16);
-      c = (double)s + 16;
+      c = (double)s + 16 * bias_scale;
       if (c < best_cost) { best_cost = c; best_mode = 3; }
     }
     if ((prior_x || prior_y) && !(prior_x == last_x && prior_y == last_y)) {
@@ -1947,7 +1961,7 @@ void th_mode_decide_fill(
                       ? sad_mv[i]
                       : th_sad_halfpel(cur, W, ref, W + 2 * pad, mb_fy[i],
                                        mb_fx[i], pad, prior_x, prior_y, 16);
-      c = (double)s + 24;
+      c = (double)s + 24 * bias_scale;
       if (c < best_cost) { best_cost = c; best_mode = 4; }
     }
     int mbi = mb_list[i];
