@@ -157,6 +157,9 @@ class Decoder:
         # decode/telemetry.py).
         self.telemetry = {"mbmode": 0, "mv": 0, "qi": 0, "bits": 0}
         self._telemetry_state = None
+        # Per-fragment bit accounting independent of overlays (used by the
+        # encoder's R-D metrics collection, collect.c analogue).
+        self.want_frag_bits = False
         self._native = None
         if use_native:
             try:
@@ -367,7 +370,7 @@ class Decoder:
         )
         if self._native is not None:
             bitpos = sideinfo["bitpos"] if sideinfo is not None else br.pos
-            want_bits = bool(self.telemetry["bits"])
+            want_bits = bool(self.telemetry["bits"]) or self.want_frag_bits
             res = self._native.decode_frame_tokens(
                 packet, bitpos, ncoded_per_plane, want_bits=want_bits
             )
@@ -376,6 +379,7 @@ class Decoder:
             qz = qz.astype(np.int32)
             dc_full = np.zeros(nfrags, dtype=np.int32)
             dc_full[order] = dc_coded
+            self._last_token_order = order
         else:
             streams = residual_tokens_unpack(
                 br, self.codebooks, ncoded_per_plane, coded_fragis_per_plane,

@@ -130,6 +130,17 @@ class Encoder:
         self._huff_pred = [[0, 0], [0, 0]]
         self._nb_cache = {}
         self._cur_fti = 0
+        # R-D metrics collection (collect.c analogue): when set to a list,
+        # every coded fragment appends (qi, pli, qti, satd, bits, ssd).
+        self.collect = None
+        # SATD + fitted-table mode decision (modedec analogue; requires
+        # generated modedec_tables). Experimental, off by default: measured
+        # ~5-10% worse than the SAD+bias policy because the per-block
+        # (rate, rmse) model misses the cross-block token-run economics the
+        # LAST-heavy policy exploits, and this pipeline's skip pass is not
+        # coupled to the mode costs the way the reference's rollback skip
+        # is (analyze.c:859-882). Kept for study + the collect tooling.
+        self.mode_rd = False
         self._trellis_scan = None
         # Adaptive quantization (3-qi frames with activity masking).
         self.adaptive_quant = False
@@ -274,6 +285,10 @@ class Encoder:
                 self._prev_orig = planes
                 return pkt
             self.qi = self.rc.select_qi(ftype, self.qi)
+        if self.collect is not None:
+            self._satd_frame = np.zeros(self.geometry.nfrags, dtype=np.int64)
+            self._qti_frame = np.zeros(self.geometry.nfrags, dtype=np.int32)
+            self._dec.want_frag_bits = True
         if is_key:
             # GOP-local trellis cost-model state so GOP-parallel encoding
             # is byte-identical to sequential.
@@ -291,6 +306,8 @@ class Encoder:
             self._gold_orig = planes
         # Feed the packet through the embedded decoder to update refs.
         self._dec.decode_packet(data)
+        if self.collect is not None and len(data):
+            self._collect_frame_metrics(planes)
         shift = self.info.keyframe_granule_shift
         self.granpos = ((self.keyframe_num + 1) << shift) + (
             self.curframe_num - self.keyframe_num
@@ -386,6 +403,12 @@ class Encoder:
                 continue
             res = residual_fn(pli, fragis)
             qti = (frag_refi[fragis] != FRAME_SELF).astype(np.int32)
+            if self.collect is not None and len(fragis):
+                from theora_tpu.native import hadamard_batch_native
+
+                satd, _dcv = hadamard_batch_native(np.asarray(res))
+                self._satd_frame[fragis] = satd
+                self._qti_frame[fragis] = qti
             # The trellis tokenizer replaces the heuristic R/D quantizer:
             # quantize round-to-nearest here and keep the raw DCT around.
             trellis = self.use_trellis and len(qis) == 1
@@ -883,7 +906,10 @@ class Encoder:
             float(self.dequant[self.qi, 0, 1, 1])
             / float(self.dequant[40, 0, 1, 1]),
         )
-        if _native_md is not None:
+        from theora_tpu.encode import modedec as _modedec
+
+        use_rd_modes = self.mode_rd and _modedec.tables_available()
+        if _native_md is not None and not use_rd_modes:
             mb_modes_n, mb_mvs_n, frag_refi, frag_mode, frag_mv = _native_md(
                 cur_y, prev_o, mb_list, mb_fy, mb_fx,
                 sad_nomv, sad_gold, sad_intra, sad_mv, sad_4mv,
@@ -942,7 +968,13 @@ class Encoder:
                 return int(np.abs(blk - pred[0]).sum())
 
         MV_BITS_SAD = 28 * int(self.rd_strength * 4 + 4) * bias_scale
-        for i, mbi in enumerate(mb_list):
+        if use_rd_modes:
+            self._mode_decide_rd(
+                cur_y, prev_o, gold_o, mb_list, mb_fy, mb_fx, mvs, bmvs,
+                blk_fy, blk_fx, mb_modes, mb_mvs,
+            )
+        else:
+          for i, mbi in enumerate(mb_list):
             mv = (int(mvs[i, 0]), int(mvs[i, 1]))
             costs = {
                 MODE_INTER_NOMV: int(sad_nomv[i]),
@@ -1045,6 +1077,172 @@ class Encoder:
         )
 
     # ------------------------------------------------------------------
+    def _mode_decide_rd(self, cur_y, prev_o, gold_o, mb_list, mb_fy,
+                        mb_fx, mvs, bmvs, blk_fy, blk_fx, mb_modes, mb_mvs):
+        """SATD + fitted-R/D-table mode decision (analyze.c:1968-2450
+        analogue over our collect-fitted tables); fills mb_modes/mb_mvs.
+        Returns the per-block SATD arrays for reuse."""
+        from theora_tpu.constants import (
+            FRAME_PREV,
+            MODE_GOLDEN_NOMV,
+            MODE_INTER_MV,
+            MODE_INTER_MV_FOUR,
+            MODE_INTER_MV_LAST,
+            MODE_INTER_MV_LAST2,
+            MODE_INTER_NOMV,
+            MODE_INTRA,
+        )
+        from theora_tpu.encode import modedec
+        from theora_tpu.huffman import MV_VLC_BOOK
+        from theora_tpu.native import (
+            hadamard_batch_native,
+            satd_halfpel_batch_native,
+        )
+
+        g = self.geometry
+        n = len(mb_list)
+        qi = self.frame_qis[0]
+        fmt = int(self.info.pixel_fmt)
+        lam = float(
+            tables.RD_LAMBDA.get(fmt, tables.RD_LAMBDA[0])[1][qi]
+        )
+        rows = {
+            qti: modedec.interp_rows(self.dequant, qi, qti, 0)
+            for qti in (0, 1)
+        }
+        z4 = np.zeros(4 * n, np.int32)
+        satd_nomv, _ = satd_halfpel_batch_native(
+            cur_y, prev_o, blk_fy, blk_fx, z4, z4, bs=8
+        )
+        satd_gold, _ = satd_halfpel_batch_native(
+            cur_y, gold_o, blk_fy, blk_fx, z4, z4, bs=8
+        )
+        ay = blk_fy[:, None, None] + np.arange(8)[None, :, None]
+        ax = blk_fx[:, None, None] + np.arange(8)[None, None, :]
+        satd_intra, _ = hadamard_batch_native(
+            cur_y[ay, ax].astype(np.int32)
+        )
+        mv_rep = np.repeat(mvs, 4, axis=0)
+        satd_mv, _ = satd_halfpel_batch_native(
+            cur_y, prev_o, blk_fy, blk_fx, mv_rep[:, 0], mv_rep[:, 1], bs=8
+        )
+        b2 = bmvs.reshape(-1, 2)
+        satd_4mv, _ = satd_halfpel_batch_native(
+            cur_y, prev_o, blk_fy, blk_fx, b2[:, 0], b2[:, 1], bs=8
+        )
+        # Uncoded (skip) SSD vs the reconstructed PREV, x16 domain, with
+        # the reference\'s motion penalty (analyze.c:2010-2014).
+        prev_rec = self._dec.buffers[self._dec.ref_idx[FRAME_PREV]]
+        pl = g.planes[0]
+        vpad, hpad = g.plane_padding(0)
+        h, w = pl.nvfrags * 8, pl.nhfrags * 8
+        dd = cur_y.astype(np.int64) - prev_rec.planes[0][
+            vpad : vpad + h, hpad : hpad + w
+        ]
+        grid = (dd * dd).reshape(pl.nvfrags, 8, pl.nhfrags, 8).sum(
+            axis=(1, 3)
+        )
+        # Pixel-domain SSD: the mode-decision cost convention is
+        # ssd + lambda*bits with ssd NOT in the x16 coefficient domain
+        # (OC_MODE_RD_COST, analyze.c:1063-1076 with OC_BIT_SCALE).
+        skip_ssd = grid[blk_fy // 8, blk_fx // 8].astype(np.float64)
+        skip_ssd *= np.where((b2 != 0).any(axis=1), 2.0, 1.0)
+
+        if not hasattr(self, "_mv_len"):
+            lens = {}
+            for t, p, nb in MV_VLC_BOOK.codes:
+                lens.setdefault(t - 32, nb)
+            self._mv_len = lens
+        mv_len = self._mv_len
+
+        def blocks_cost(satds, qti, skips):
+            tot = 0.0
+            r_row, m_row = rows[qti]
+            for s, sk in zip(satds, skips):
+                r, ssd = modedec.dct_cost(r_row, m_row, int(s))
+                # x16-domain distortion + lambda*bits: the same convention
+                # as the trellis and skip decisions in this pipeline (the
+                # reference's mode costs are 16x more rate-aggressive, but
+                # they feed a matching skip pass we don't replicate).
+                tot += ssd + lam * r
+            return tot
+
+        chooser = modedec.SchemeChooser()
+        last_mv = (0, 0)
+        prior_mv = (0, 0)
+        cur_c = np.ascontiguousarray(cur_y)
+        for i, mbi in enumerate(mb_list):
+            s4 = slice(4 * i, 4 * i + 4)
+            sk = skip_ssd[s4]
+            mv = (int(mvs[i, 0]), int(mvs[i, 1]))
+            costs = {}
+            costs[MODE_INTER_NOMV] = blocks_cost(
+                satd_nomv[s4], 1, sk
+            ) + lam * chooser.cost(MODE_INTER_NOMV)
+            costs[MODE_INTRA] = blocks_cost(
+                satd_intra[s4], 0, sk
+            ) + lam * chooser.cost(MODE_INTRA)
+            costs[MODE_GOLDEN_NOMV] = blocks_cost(
+                satd_gold[s4], 1, sk
+            ) + lam * chooser.cost(MODE_GOLDEN_NOMV)
+            costs[MODE_INTER_MV_FOUR] = (
+                blocks_cost(satd_4mv[s4], 1, sk)
+                + lam
+                * (
+                    chooser.cost(MODE_INTER_MV_FOUR)
+                    + sum(
+                        mv_len[int(b2[4 * i + bi, 0])]
+                        + mv_len[int(b2[4 * i + bi, 1])]
+                        for bi in range(4)
+                    )
+                )
+            )
+            if mv != (0, 0):
+                costs[MODE_INTER_MV] = (
+                    blocks_cost(satd_mv[s4], 1, sk)
+                    + lam
+                    * (
+                        chooser.cost(MODE_INTER_MV)
+                        + mv_len[mv[0]]
+                        + mv_len[mv[1]]
+                    )
+                )
+            for m_last, mvt in (
+                (MODE_INTER_MV_LAST, last_mv),
+                (MODE_INTER_MV_LAST2, prior_mv),
+            ):
+                if mvt == (0, 0) or (
+                    m_last == MODE_INTER_MV_LAST2 and mvt == last_mv
+                ):
+                    continue
+                if mvt == mv:
+                    s_l = satd_mv[s4]
+                else:
+                    mvx = np.full(4, mvt[0], np.int32)
+                    mvy = np.full(4, mvt[1], np.int32)
+                    s_l, _ = satd_halfpel_batch_native(
+                        cur_c, prev_o, blk_fy[s4], blk_fx[s4], mvx, mvy,
+                        bs=8,
+                    )
+                costs[m_last] = blocks_cost(s_l, 1, sk) + lam * chooser.cost(
+                    m_last
+                )
+            mode = min(costs, key=costs.get)
+            mb_modes[mbi] = mode
+            chooser.update(mode)
+            if mode == MODE_INTER_MV:
+                mb_mvs[mbi] = mv
+                prior_mv = last_mv
+                last_mv = mv
+            elif mode == MODE_INTER_MV_LAST:
+                mb_mvs[mbi] = last_mv
+            elif mode == MODE_INTER_MV_LAST2:
+                mb_mvs[mbi] = prior_mv
+                prior_mv, last_mv = last_mv, prior_mv
+            elif mode == MODE_INTER_MV_FOUR:
+                prior_mv = last_mv
+                last_mv = (int(bmvs[i, 3, 0]), int(bmvs[i, 3, 1]))
+
     def _encode_inter_tail(self, planes, coded_seed, frag_refi, frag_mode,
                            frag_mv, mb_modes, mb_mvs, mb_list):
         """Transform/quantize/skip + packing tail of inter encoding."""
@@ -1201,6 +1399,49 @@ class Encoder:
         if frag_qii is not None:
             self._block_qis_pack(bw, frag_qii, coded)
         return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
+
+    # ------------------------------------------------------------------
+    def _collect_frame_metrics(self, planes) -> None:
+        """Append per-coded-fragment (qi, pli, qti, satd, bits, ssd) rows
+        to self.collect -- the OC_COLLECT_METRICS analogue (collect.c) used
+        to fit the mode-decision R-D tables."""
+        from theora_tpu.constants import FRAME_SELF as _SELF
+
+        dec = self._dec
+        order = getattr(dec, "_last_token_order", None)
+        bits = getattr(dec, "_frag_bits", None)
+        if order is None or bits is None or len(order) == 0:
+            return
+        g = self.geometry
+        recon = dec.buffers[dec.ref_idx[_SELF]]
+        ssd_full = np.zeros(g.nfrags, dtype=np.int64)
+        for pli in range(3):
+            pl = g.planes[pli]
+            vpad, hpad = g.plane_padding(pli)
+            h, w = pl.nvfrags * 8, pl.nhfrags * 8
+            d = planes[pli].astype(np.int64) - recon.planes[pli][
+                vpad : vpad + h, hpad : hpad + w
+            ]
+            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+            ssd_full[sl] = (
+                (d * d)
+                .reshape(pl.nvfrags, 8, pl.nhfrags, 8)
+                .sum(axis=(1, 3))
+                .reshape(-1)
+            )
+        self.collect.append(
+            np.stack(
+                [
+                    np.full(len(order), self.qi, dtype=np.int64),
+                    g.frag_pli[order].astype(np.int64),
+                    self._qti_frame[order].astype(np.int64),
+                    self._satd_frame[order],
+                    bits.astype(np.int64),
+                    ssd_full[order],
+                ],
+                axis=1,
+            )
+        )
 
     # ------------------------------------------------------------------
     def _pad_plane(self, plane: np.ndarray, pad: int = 16) -> np.ndarray:

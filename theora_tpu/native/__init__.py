@@ -595,3 +595,50 @@ def coded_flags_pack_native(coded, scan_fragis, scan_sbi, nsbs):
     if bits < 0:
         raise ValueError("coded flags pack failed")
     return out.tobytes(), int(bits), part.astype(bool)
+
+
+def hadamard_batch_native(res_blocks):
+    """SATD (8x8 Hadamard, DC excluded) of residual blocks [n, 8, 8] or
+    [n, 64]. Returns (satd [n] int64, dc [n] int32)."""
+    lib = get_lib()
+    if not hasattr(lib, "_hb_setup"):
+        lib.th_hadamard_batch.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._hb_setup = True
+    n = len(res_blocks)
+    res32 = np.ascontiguousarray(res_blocks.reshape(n, 64), dtype=np.int32)
+    satd = np.empty(n, dtype=np.int64)
+    dc = np.empty(n, dtype=np.int32)
+    lib.th_hadamard_batch(n, res32.ctypes.data, satd.ctypes.data,
+                          dc.ctypes.data)
+    return satd, dc
+
+
+def satd_halfpel_batch_native(cur, ref_padded, fy, fx, mvx, mvy, bs=16):
+    """Batch half-pel SATD (th_satd_halfpel_batch); bs=16 sums the four
+    8x8 SATDs of a macroblock. Returns (satd [n] int64, dc [n] int32)."""
+    lib = get_lib()
+    if not hasattr(lib, "_shb_setup"):
+        lib.th_satd_halfpel_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._shb_setup = True
+    cur = np.ascontiguousarray(cur)
+    ref = np.ascontiguousarray(ref_padded)
+    W = cur.shape[1]
+    pad = (ref.shape[1] - W) // 2
+    n = len(fy)
+    arrs = [np.ascontiguousarray(x, dtype=np.int32)
+            for x in (fy, fx, mvx, mvy)]
+    satd = np.empty(n, dtype=np.int64)
+    dc = np.empty(n, dtype=np.int32)
+    lib.th_satd_halfpel_batch(
+        cur.ctypes.data, W, ref.ctypes.data, pad, n,
+        *[x.ctypes.data for x in arrs], int(bs),
+        satd.ctypes.data, dc.ctypes.data,
+    )
+    return satd, dc
