@@ -88,3 +88,44 @@ def test_telemetry_overlays():
         assert np.array_equal(clean, ref[i]), f"frame {i} state corrupted"
         dec.set_telemetry(mbmode=1, mv=1, qi=1, bits=1)
     assert changed_any, "telemetry drew nothing"
+
+
+def test_corrupt_packets_never_crash():
+    """Truncated, bit-flipped, and random packets must decode to a clean
+    Python exception or a best-effort frame -- never a crash (the
+    reference's TH_EBADPACKET robustness; bitpack.c EOF-zeros)."""
+    pkts = read_tpkt(os.path.join(TESTDATA, "cif_k4_q40.tpkt"))
+    info = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
+    rng = np.random.RandomState(7)
+    for trial in range(30):
+        dec = Decoder(info, setup)
+        try:
+            dec.decode_packet(pkts[3].data)
+            data = bytearray(pkts[4].data)
+            if trial % 3 == 0:
+                data = data[: rng.randint(1, len(data))]
+            elif trial % 3 == 1:
+                for _ in range(4):
+                    data[rng.randint(4, len(data))] ^= 1 << rng.randint(8)
+            else:
+                data = bytes([data[0] & 0x7F]) + rng.bytes(
+                    rng.randint(1, 300)
+                )
+            dec.decode_packet(bytes(data))
+            dec.ycbcr_out()
+        except Exception:
+            pass  # clean rejection is fine
+
+
+def test_compat_bad_packet_returns_error():
+    from theora_tpu.compat import TH_EBADPACKET, th_decode_alloc
+
+    pkts = read_tpkt(os.path.join(TESTDATA, "cif_k4_q40.tpkt"))
+    info = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
+    ctx = th_decode_alloc({"info": info, "setup": setup})
+    ret, _ = ctx.packetin(pkts[3].data)
+    assert ret == 0
+    ret, _ = ctx.packetin(bytes([0x00]) + b"\xff" * 50)
+    assert ret in (0, TH_EBADPACKET)

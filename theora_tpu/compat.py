@@ -229,7 +229,10 @@ class th_dec_ctx:
         return TH_EIMPL
 
     def packetin(self, packet: bytes):
-        ret = self._dec.decode_packet(packet)
+        try:
+            ret = self._dec.decode_packet(packet)
+        except Exception:
+            return TH_EBADPACKET, self._dec.granpos
         return (TH_DUPFRAME if ret == 1 else 0), self._dec.granpos
 
     def ycbcr_out(self):
