@@ -1591,6 +1591,19 @@ void th_me_fullpel(const uint8_t* cur, int W, int H, const uint8_t* ref,
   int W2 = W / 4, W1 = W / 2;
   int Wp2 = Wp / 4, Wp1 = Wp / 2;
   for (int64_t i = 0; i < n; i++) {
+    // Early termination (mcenc.c OC_YSAD_THRESH1): a near-perfect zero-MV
+    // match skips the pyramid entirely.
+    {
+      const uint8_t* cb0 = cur + (int64_t)mby[i] * W + mbx[i];
+      int64_t sz0 = sad_block(
+          cb0, W, ref + (int64_t)(mby[i] + pad) * Wp + mbx[i] + pad, Wp, 16);
+      if (sz0 < 256) {
+        mvs[2 * i] = 0;
+        mvs[2 * i + 1] = 0;
+        sads[i] = sz0;
+        continue;
+      }
+    }
     int y2 = mby[i] / 4, x2 = mbx[i] / 4;
     // Level 2: exhaustive +-4 over 4x4 blocks.
     int64_t best = INT64_MAX;
@@ -1718,6 +1731,18 @@ void th_me_halfpel(const uint8_t* cur, int W, int H, const uint8_t* ref,
   int Wp = W + 2 * pad;
   for (int64_t i = 0; i < n; i++) {
     int bdx = mvs[2 * i] * 2, bdy = mvs[2 * i + 1] * 2;
+    // Early termination: a near-perfect full-pel match skips the
+    // half-pel sites (mcenc.c OC_YSAD_THRESH1 scaled by area).
+    {
+      int64_t sf = th_sad_halfpel(cur, W, ref, Wp, by[i], bx[i], pad, bdx,
+                                  bdy, bs);
+      if (sf < (bs == 16 ? 256 : 64)) {
+        mvs[2 * i] = bdx;
+        mvs[2 * i + 1] = bdy;
+        sads[i] = sf;
+        continue;
+      }
+    }
     int64_t best = INT64_MAX;
     int fdx = bdx, fdy = bdy;
     for (int ey = -1; ey <= 1; ey++)
@@ -1749,6 +1774,9 @@ extern "C" void th_me_refine(const uint8_t* cur, int W, int H,
     int64_t s0 = sad_block(
         cb, W, ref + (int64_t)(by[i] + pad + dy0) * Wp + bx[i] + pad + dx0,
         Wp, bs);
+    // Early termination on a near-perfect seed (mcenc.c OC_YSAD_THRESH1,
+    // scaled by block area).
+    if (s0 < (bs == 16 ? 256 : 64)) { sads[i] = s0; continue; }
     for (int ey = -radius; ey <= radius; ey++)
       for (int ex = -radius; ex <= radius; ex++) {
         int ndy = mvs[2 * i + 1] + ey, ndx = mvs[2 * i] + ex;
