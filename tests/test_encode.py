@@ -196,3 +196,33 @@ def test_encode_cropped_pic_decodes():
         err = out[0].astype(float) - frames[i][0].astype(float)
         psnr = 10 * np.log10(255.0**2 / max(np.mean(err**2), 1e-9))
         assert psnr > 30.0
+
+
+def test_scene_cut_auto_keyframe():
+    """An inter frame that codes bigger than the last keyframe is recoded
+    as a keyframe (the frame-level intra/inter comparison,
+    analyze.c:2690-2711)."""
+    from theora_tpu.compat import th_packet_iskeyframe
+
+    W, H = 64, 48
+    frames = _load_clip("clip64x48.i420", W, H)[:3]
+    rng = np.random.RandomState(1)
+    cut = [
+        rng.randint(0, 256, size=(H, W)).astype(np.uint8),
+        rng.randint(0, 256, size=(H // 2, W // 2)).astype(np.uint8),
+        rng.randint(0, 256, size=(H // 2, W // 2)).astype(np.uint8),
+    ]
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H, quality=40
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 64
+    pkts = enc.flush_headers()
+    for fr in frames + [cut]:
+        pkts.append(enc.encode_frame(fr))
+    kinds = [th_packet_iskeyframe(p.data) for p in pkts[3:]]
+    assert kinds[0] == 1 and kinds[-1] == 1, kinds
+    dec = Decoder(parse_info_header(pkts[0].data), parse_setup_header(pkts[2].data))
+    for p in pkts[3:]:
+        dec.decode_packet(p.data)
+        assert dec.granpos == p.granulepos

@@ -158,6 +158,11 @@ class Encoder:
         self.granpos = -1
         self._prev_orig = None
         self._gold_orig = None
+        # Scene-cut fallback: re-encode an inter frame as a keyframe when
+        # it comes out bigger than the last keyframe (the frame-level
+        # intra-vs-inter comparison of analyze.c:2690-2711).
+        self.auto_keyframe = True
+        self._last_kf_size = 0
         self._frag_mv4 = np.zeros((self.geometry.nfrags, 2), dtype=np.int32)
         # Native token packer (C++ tier); None -> pure-Python path.
         self._packer = None
@@ -297,6 +302,18 @@ class Encoder:
             self.keyframe_num = self.curframe_num
         else:
             data = self._encode_inter(planes)
+            if (
+                self.auto_keyframe
+                and self._last_kf_size
+                and len(data) >= self._last_kf_size
+            ):
+                is_key = True
+                self._frames_since_keyframe = 0
+                self._huff_pred = [[0, 0], [0, 0]]
+                data = self._encode_intra(planes)
+                self.keyframe_num = self.curframe_num
+        if is_key:
+            self._last_kf_size = len(data)
         if self.rc is not None:
             self.rc.update(0 if is_key else 1, self.qi, len(data) * 8)
         # Track original frames for motion estimation (the *_ORIG refs,
