@@ -1359,8 +1359,10 @@ class Encoder:
         # modedec-grade cost model; revisit with SATD-based rate fits.
         from theora_tpu.ops.fdct_np import rd_lambda
 
-        lam = rd_lambda(self.qi, int(self.dequant[self.qi, 0, 1, 1])) * (
-            self.rd_strength * 4.0
+        lam = (
+            rd_lambda(self.qi, int(self.dequant[self.qi, 0, 1, 1]))
+            * self.rd_strength * 4.0
+            * getattr(self, "skip_lambda_scale", 1.0)
         )
         for pli in range(3):
             fragis, qdct, err2, res2 = per_plane[pli][:4]
@@ -1373,8 +1375,29 @@ class Encoder:
             else:
                 nnz = (qdct != 0).sum(axis=1)
                 bits_est = 6 * nnz + 2
-            skip_rd = res2 <= err2 + (lam * bits_est).astype(np.int64)
-            skip = skip_rd & (frag_mode[fragis] == MODE_INTER_NOMV)
+            if pli == 0:
+                skip_rd = res2 <= err2 + (lam * bits_est).astype(np.int64)
+                skip = skip_rd & (frag_mode[fragis] == MODE_INTER_NOMV)
+            else:
+                # Chroma blocks of ANY mode may go uncoded (prev copy at
+                # zero MV) without affecting mode transmission, which rides
+                # on coded luma; compare against the actual uncoded
+                # prediction, not the mode prediction.
+                pl = g.planes[pli]
+                vpad, hpad = g.plane_padding(pli)
+                h, w = pl.nvfrags * 8, pl.nhfrags * 8
+                prev_w = prev_rec.planes[pli][
+                    vpad : vpad + h, hpad : hpad + w
+                ].astype(np.int64)
+                d = planes[pli].astype(np.int64) - prev_w
+                unc = (
+                    (d * d)
+                    .reshape(pl.nvfrags, 8, pl.nhfrags, 8)
+                    .sum(axis=(1, 3))
+                    .reshape(-1)
+                    * 16
+                )[fragis - pl.froffset]
+                skip = unc <= err2 + (lam * bits_est).astype(np.int64)
             if skip.any():
                 keep = ~skip
                 coded[fragis[skip]] = False
