@@ -1376,8 +1376,38 @@ class Encoder:
                 nnz = (qdct != 0).sum(axis=1)
                 bits_est = 6 * nnz + 2
             if pli == 0:
-                skip_rd = res2 <= err2 + (lam * bits_est).astype(np.int64)
-                skip = skip_rd & (frag_mode[fragis] == MODE_INTER_NOMV)
+                if getattr(self, "luma_ext_skip", False):
+                    pl = g.planes[0]
+                    vpad, hpad = g.plane_padding(0)
+                    h, w = pl.nvfrags * 8, pl.nhfrags * 8
+                    prev_w = prev_rec.planes[0][
+                        vpad : vpad + h, hpad : hpad + w
+                    ].astype(np.int64)
+                    d = planes[0].astype(np.int64) - prev_w
+                    unc = (
+                        (d * d)
+                        .reshape(pl.nvfrags, 8, pl.nhfrags, 8)
+                        .sum(axis=(1, 3))
+                        .reshape(-1)
+                        * 16
+                    )[fragis - pl.froffset]
+                    from theora_tpu.constants import (
+                        MODE_INTER_MV as _MV,
+                        MODE_INTER_MV_LAST as _ML,
+                        MODE_INTER_MV_LAST2 as _ML2,
+                    )
+                    ok_mode = np.isin(
+                        frag_mode[fragis], (MODE_INTER_NOMV, _MV, _ML, _ML2)
+                    )
+                    skip = ok_mode & (
+                        unc <= err2 + (lam * bits_est).astype(np.int64)
+                    )
+                    # Guard: keep >=1 coded luma block per non-NOMV MB that
+                    # still has any coded fragment depending on its mode.
+                    self._luma_skip_guard(fragis, skip, coded, frag_mode)
+                else:
+                    skip_rd = res2 <= err2 + (lam * bits_est).astype(np.int64)
+                    skip = skip_rd & (frag_mode[fragis] == MODE_INTER_NOMV)
             else:
                 # Chroma blocks of ANY mode may go uncoded (prev copy at
                 # zero MV) without affecting mode transmission, which rides
@@ -1439,6 +1469,34 @@ class Encoder:
         if frag_qii is not None:
             self._block_qis_pack(bw, frag_qii, coded)
         return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
+
+    # ------------------------------------------------------------------
+    def _luma_skip_guard(self, fragis, skip, coded, frag_mode) -> None:
+        """Un-skip the least-beneficial luma block of any non-NOMV MB whose
+        entire coded luma would otherwise vanish (its mode would not be
+        transmitted while mode-dependent fragments remain)."""
+        from theora_tpu.constants import MODE_INTER_NOMV as _NOMV
+
+        g = self.geometry
+        skipmap = np.zeros(g.nfrags, dtype=bool)
+        skipmap[fragis] = skip
+        pos = {int(f): i for i, f in enumerate(fragis)}
+        for mbi in np.where(g.mb_valid)[0]:
+            lum = [f for f in g.mb_maps[mbi, 0, :4] if f >= 0 and coded[f]]
+            if not lum or frag_mode[lum[0]] == _NOMV:
+                continue
+            if not all(skipmap[f] for f in lum):
+                continue
+            others = [
+                f
+                for pj in (1, 2)
+                for f in g.mb_maps[mbi, pj]
+                if f >= 0 and coded[f] and not skipmap[f]
+            ]
+            if others:
+                keep = lum[0]
+                skip[pos[keep]] = False
+                skipmap[keep] = False
 
     # ------------------------------------------------------------------
     def _collect_frame_metrics(self, planes) -> None:
