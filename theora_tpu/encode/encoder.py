@@ -207,23 +207,13 @@ class Encoder:
         frame\'s cost model (encode.c:838-858)."""
         fti = 0 if ftype == INTRA_FRAME else 1
         if self._packer is not None and all(
-            isinstance(p, np.ndarray) and p.ndim == 3
-            for p in self._trellis_scan
+            isinstance(p, tuple) for p in self._trellis_scan
         ):
-            ncoded = [len(v) for v in vecs_by_plane]
-            total = sum(ncoded)
-            paths = (
-                np.concatenate(self._trellis_scan)
-                if total
-                else np.zeros((0, 66, 4), np.int16)
-            )
-            dc = (
-                np.concatenate([v[:, 0] for v in vecs_by_plane])
-                if total
-                else np.zeros(0, np.int32)
-            )
-            pkt, chosen = self._packer.pack_frame_trellis(
-                paths, dc, ncoded, bw.bytes(), bw.bitpos
+            pkt, chosen = self._packer.pack_frame_trellis_perm(
+                [p[0] for p in self._trellis_scan],
+                [p[1] for p in self._trellis_scan],
+                [p[2] for p in self._trellis_scan],
+                bw.bytes(), bw.bitpos,
             )
             self._huff_pred[fti] = chosen[2:]
             return pkt
@@ -231,8 +221,15 @@ class Encoder:
         for pli in range(3):
             plans = self._trellis_scan[pli]
             vecs = vecs_by_plane[pli]
-            for bi in range(len(vecs)):
-                log.emit_trellis(pli, int(vecs[bi][0]), plans[bi])
+            if isinstance(plans, tuple):
+                paths, perm, dc_scan = plans
+                for bi in range(len(perm)):
+                    log.emit_trellis(
+                        pli, int(dc_scan[bi]), paths[perm[bi]]
+                    )
+            else:
+                for bi in range(len(vecs)):
+                    log.emit_trellis(pli, int(vecs[bi][0]), plans[bi])
         log.finish()
         self._huff_pred[fti] = self._residual_tokens_pack(bw, log, ftype)
         return bw.bytes()
@@ -745,7 +742,11 @@ class Encoder:
     def _dc_predict_and_order(self, per_plane, coded, frag_refi):
         """DC-predict all planes (raster) and order coefficient vectors in
         coded (scan) order; returns per-plane [n, 64] int16 vecs with the
-        DC residual in slot 0."""
+        DC residual in slot 0.
+
+        Trellis fast path: when native plan tensors exist, vecs collapse to
+        DC-only columns and the scan ordering becomes a permutation handed
+        to the native packer (no path-tensor scatter/gather)."""
         g = self.geometry
         out = []
         trellis_scan = []
@@ -771,26 +772,32 @@ class Encoder:
                 dc_resid = dc_predict_plane_enc(
                     coded_plane, refi_plane, dc_plane, [0, 0, 0]
                 ).reshape(-1)
-            qdct_by_frag = np.zeros((pl.nfrags, 64), dtype=np.int16)
-            qdct_by_frag[local] = qdct.astype(np.int16)
             sel = g.scan_pli == pli
             scan = g.scan_fragis[sel]
             scan = scan[coded[scan]] - pl.froffset
+            plans = per_plane[pli][6] if len(per_plane[pli]) > 6 else None
+            if (
+                plans is not None
+                and trellis_scan is not None
+                and isinstance(plans, np.ndarray)
+            ):
+                # Permutation into the raster-ordered plan tensor.
+                perm = np.searchsorted(fragis, scan + pl.froffset).astype(
+                    np.int32
+                )
+                dc_scan = dc_resid[scan].astype(np.int32)
+                trellis_scan.append((plans, perm, dc_scan))
+                out.append(dc_scan.reshape(-1, 1).astype(np.int16))
+                continue
+            qdct_by_frag = np.zeros((pl.nfrags, 64), dtype=np.int16)
+            qdct_by_frag[local] = qdct.astype(np.int16)
             vecs = qdct_by_frag[scan]
             vecs[:, 0] = dc_resid[scan]
             out.append(vecs)
-            # Scan-ordered trellis plans, when _transform_quantize made
-            # them.
-            plans = per_plane[pli][6] if len(per_plane[pli]) > 6 else None
             if plans is not None and trellis_scan is not None:
-                if isinstance(plans, np.ndarray):
-                    by_local = np.zeros((pl.nfrags, 66, 4), dtype=np.int16)
-                    by_local[:, 0, 0] = -1
-                    by_local[local] = plans
-                else:
-                    by_local = np.empty(pl.nfrags, dtype=object)
-                    for k, li in enumerate(local):
-                        by_local[li] = plans[k]
+                by_local = np.empty(pl.nfrags, dtype=object)
+                for k, li in enumerate(local):
+                    by_local[li] = plans[k]
                 trellis_scan.append(by_local[scan])
             else:
                 trellis_scan = None
@@ -1418,12 +1425,12 @@ class Encoder:
                 h, w = pl.nvfrags * 8, pl.nhfrags * 8
                 prev_w = prev_rec.planes[pli][
                     vpad : vpad + h, hpad : hpad + w
-                ].astype(np.int64)
-                d = planes[pli].astype(np.int64) - prev_w
+                ]
+                d = planes[pli].astype(np.int32) - prev_w
                 unc = (
                     (d * d)
                     .reshape(pl.nvfrags, 8, pl.nhfrags, 8)
-                    .sum(axis=(1, 3))
+                    .sum(axis=(1, 3), dtype=np.int64)
                     .reshape(-1)
                     * 16
                 )[fragis - pl.froffset]

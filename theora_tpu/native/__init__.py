@@ -190,6 +190,44 @@ class NativeTokenPacker:
             raise ValueError("native trellis pack failed")
         return out[:n].tobytes(), [int(x) for x in chosen]
 
+    def pack_frame_trellis_perm(self, paths3, perm3, dc3, prefix: bytes,
+                                prefix_bits: int):
+        """Permuted phase-2 pack: per-plane plan arrays in quantize order
+        + scan->raster permutations + per-plane scan-order DC values."""
+        lib = self._lib
+        if not hasattr(lib, "_tpp_setup"):
+            lib.th_encode_frame_trellis_perm.restype = ctypes.c_int64
+            lib.th_encode_frame_trellis_perm.argtypes = (
+                [ctypes.c_void_p] * 9
+                + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                   ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                   ctypes.c_void_p]
+            )
+            lib._tpp_setup = True
+        paths = [np.ascontiguousarray(p, dtype=np.int16) for p in paths3]
+        perms = [np.ascontiguousarray(p, dtype=np.int32) for p in perm3]
+        dcs = [np.ascontiguousarray(d, dtype=np.int32) for d in dc3]
+        nc = np.asarray([len(p) for p in perms], dtype=np.int64)
+        total = int(nc.sum())
+        cap = 64 + prefix_bits // 8 + max(total * 80, 512)
+        out = np.zeros(cap, dtype=np.uint8)
+        pre = (np.frombuffer(prefix, dtype=np.uint8)
+               if prefix else np.zeros(1, np.uint8))
+        chosen = np.zeros(4, dtype=np.int32)
+        # Empty planes still need valid pointers.
+        zp = np.zeros((1, 66, 4), np.int16)
+        zi = np.zeros(1, np.int32)
+        n = lib.th_encode_frame_trellis_perm(
+            *[(p if len(p) else zp).ctypes.data for p in paths],
+            *[(p if len(p) else zi).ctypes.data for p in perms],
+            *[(d if len(d) else zi).ctypes.data for d in dcs],
+            nc.ctypes.data, self._codes.ctypes.data, pre.ctypes.data,
+            prefix_bits, out.ctypes.data, cap, chosen.ctypes.data,
+        )
+        if n < 0:
+            raise ValueError("native trellis pack failed")
+        return out[:n].tobytes(), [int(x) for x in chosen]
+
     def pack_frame(self, vecs: np.ndarray, ncoded, prefix: bytes, prefix_bits: int) -> bytes:
         vecs = np.ascontiguousarray(vecs, dtype=np.int16)
         nc = np.asarray(ncoded, dtype=np.int64)

@@ -2422,6 +2422,29 @@ int64_t th_encode_frame_trellis(const int16_t* paths, const int32_t* dc,
                          chosen_out);
 }
 
+// Permuted variant: per-plane plan arrays stay in quantize (raster) order;
+// perm maps scan position -> raster index, and dc values come per plane in
+// scan order. Avoids the Python-side scatter/gather of the path tensors.
+int64_t th_encode_frame_trellis_perm(
+    const int16_t* paths0, const int16_t* paths1, const int16_t* paths2,
+    const int32_t* perm0, const int32_t* perm1, const int32_t* perm2,
+    const int32_t* dc0, const int32_t* dc1, const int32_t* dc2,
+    const int64_t* ncoded, const int32_t* huff_codes, const uint8_t* prefix,
+    int64_t prefix_bits, uint8_t* out, int64_t cap, int32_t* chosen_out) {
+  EncStreams es;
+  memset(es.eob_run, 0, sizeof(es.eob_run));
+  memset(es.offs, 0, sizeof(es.offs));
+  const int16_t* paths[3] = {paths0, paths1, paths2};
+  const int32_t* perm[3] = {perm0, perm1, perm2};
+  const int32_t* dc[3] = {dc0, dc1, dc2};
+  for (int pli = 0; pli < 3; pli++)
+    for (int64_t f = 0; f < ncoded[pli]; f++)
+      emit_plan(es, pli, dc[pli][f],
+                paths[pli] + (int64_t)perm[pli][f] * 66 * 4);
+  return finish_and_pack(es, huff_codes, prefix, prefix_bits, out, cap,
+                         chosen_out);
+}
+
 }  // extern "C"
 
 // ===================================================================
