@@ -226,3 +226,21 @@ def test_scene_cut_auto_keyframe():
     for p in pkts[3:]:
         dec.decode_packet(p.data)
         assert dec.granpos == p.granulepos
+
+
+def test_crosscheck_random_configs():
+    """A slice of the randomized conformance campaign: random geometry /
+    format / qi / kf / CBR encodes must decode bit-identically in the
+    reference decoder and ours (full campaign: tools/crosscheck.py)."""
+    import os
+
+    if not os.path.exists("refbuild/build/ref_dec"):
+        import pytest
+
+        pytest.skip("reference oracle not built")
+    from theora_tpu.tools.crosscheck import run_trial
+
+    rng = np.random.RandomState(3)
+    for t in range(6):
+        desc, err = run_trial(rng, t)
+        assert err is None, f"{desc}: {err}"

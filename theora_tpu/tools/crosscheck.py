@@ -1,0 +1,118 @@
+"""Randomized encode/decode conformance campaign.
+
+Encodes synthetic clips across random frame geometries (including odd
+crops), pixel formats, quantizers, keyframe schedules, CBR, and adaptive
+quant; every stream must decode in the reference decoder (refbuild
+oracle) AND our decoder with bit-identical output. The mass-conformance
+analogue of the reference's tests/ + dump_psnr workflow.
+
+Usage: python -m theora_tpu.tools.crosscheck [trials] [seed]
+"""
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import numpy as np
+
+from theora_tpu.decode.decoder import Decoder
+from theora_tpu.encode.encoder import Encoder
+from theora_tpu.headers import parse_info_header, parse_setup_header
+from theora_tpu.info import TheoraInfo
+from theora_tpu.tpkt import write_tpkt
+
+REF_DEC = "refbuild/build/ref_dec"
+
+
+def synth(rng, W, H, n, fmt, kind):
+    cw = W if fmt == 3 else W // 2
+    ch = H if fmt >= 2 else H // 2
+    frames = []
+    y0 = rng.randint(0, 256, size=(H, W)).astype(np.uint8)
+    for i in range(n):
+        if kind == 0:
+            yy, xx = np.mgrid[0:H, 0:W]
+            y = ((xx * 3 + yy * 2 + i * 7) % 256).astype(np.uint8)
+        elif kind == 1:
+            y = np.roll(y0, i, axis=1)
+        else:
+            y = (
+                (y0.astype(int)
+                 + 30 * np.sin((np.arange(W) + 5 * i) / 17.0)[None, :])
+                .clip(0, 255)
+            ).astype(np.uint8)
+        u = (
+            rng.randint(0, 256, size=(ch, cw)).astype(np.uint8)
+            if kind == 1
+            else np.full((ch, cw), (100 + i * 3) % 256, np.uint8)
+        )
+        v = np.full((ch, cw), (180 - i * 5) % 256, np.uint8)
+        frames.append([y, u, v])
+    return frames
+
+
+def run_trial(rng, trial, tmp="/tmp/crosscheck"):
+    fw = int(rng.choice([32, 48, 64, 80, 96, 112]))
+    fh = int(rng.choice([32, 48, 64, 80]))
+    fmt = int(rng.choice([0, 2, 3]))
+    pw = fw - int(rng.randint(0, min(16, fw - 15)))
+    ph = fh - int(rng.randint(0, min(16, fh - 15)))
+    px = int(rng.randint(0, fw - pw + 1))
+    py = int(rng.randint(0, fh - ph + 1))
+    qi = int(rng.randint(0, 64))
+    kf = int(rng.choice([1, 2, 4, 8]))
+    nfr = int(rng.randint(2, 7))
+    br = int(rng.choice([0, 0, 0, 80000]))
+    desc = (f"{fw}x{fh} pic {pw}x{ph}+{px}+{py} fmt{fmt} qi{qi} kf{kf} "
+            f"br{br} kind{trial % 3}")
+    info = TheoraInfo(
+        frame_width=fw, frame_height=fh, pic_width=pw, pic_height=ph,
+        pic_x=px, pic_y=py, fps_numerator=30, fps_denominator=1,
+        quality=qi, keyframe_granule_shift=6, pixel_fmt=fmt,
+        target_bitrate=br,
+    )
+    e = Encoder(info)
+    e.keyframe_freq = kf
+    if trial % 7 == 0:
+        e.adaptive_quant = True
+    hd = e.flush_headers()
+    pk = [e.encode_frame(fr) for fr in synth(rng, fw, fh, nfr, fmt, trial % 3)]
+    write_tpkt(tmp + ".tpkt", hd + pk)
+    r = subprocess.run(
+        [REF_DEC, tmp + ".tpkt", tmp + ".yuv"],
+        capture_output=True, text=True, timeout=60,
+    )
+    if "decoded" not in (r.stdout + r.stderr):
+        return desc, "reference decoder rejected the stream"
+    dec = Decoder(parse_info_header(hd[0].data), parse_setup_header(hd[2].data))
+    mine = []
+    for p in pk:
+        dec.decode_packet(p.data)
+        mine.append(np.concatenate([x.reshape(-1) for x in dec.ycbcr_out()]))
+    ref = np.fromfile(tmp + ".yuv", np.uint8)
+    mine_all = np.concatenate(mine)
+    if len(ref) != len(mine_all):
+        return desc, f"length {len(ref)} vs {len(mine_all)}"
+    if not np.array_equal(ref, mine_all):
+        return desc, f"bytes differ at {int(np.argmax(ref != mine_all))}"
+    return desc, None
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    trials = int(argv[0]) if argv else 40
+    seed = int(argv[1]) if len(argv) > 1 else 42
+    rng = np.random.RandomState(seed)
+    fails = 0
+    for t in range(trials):
+        desc, err = run_trial(rng, t)
+        if err:
+            fails += 1
+            print(f"FAIL {desc}: {err}")
+    print(f"{trials - fails}/{trials} trials bit-identical "
+          "(reference decoder vs ours, on our encodes)")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
