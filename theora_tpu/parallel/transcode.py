@@ -46,14 +46,22 @@ def transcode(
     keyframe_freq: int = 64,
     max_workers: int | None = None,
     rd_strength: float | None = None,
+    use_processes: bool = False,
 ) -> list[Packet]:
     """Encode a clip GOP-parallel; returns headers + data packets in
-    stream order with correct granule positions and packet numbers."""
+    stream order with correct granule positions and packet numbers.
+
+    use_processes sidesteps the GIL for the Python orchestration between
+    native calls (frames are pickled to the workers; worth it for long
+    GOPs on multi-core hosts)."""
     enc0 = Encoder(info)
     header_pkts = enc0.flush_headers()
     gops = split_gops(frames, keyframe_freq)
     results: list = [None] * len(gops)
-    with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+    pool = (
+        cf.ProcessPoolExecutor if use_processes else cf.ThreadPoolExecutor
+    )
+    with pool(max_workers=max_workers) as ex:
         futs = {
             ex.submit(
                 _encode_gop,
