@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--rd-strength", type=float, default=None)
     ap.add_argument("--two-pass", action="store_true",
                     help="two-pass CBR (requires --bitrate)")
+    ap.add_argument("-j", "--workers", type=int, default=0,
+                    help="GOP-parallel encode with N worker processes "
+                         "(VBR only; byte-identical to sequential)")
     args = ap.parse_args(argv)
 
     from theora_tpu.encode.encoder import Encoder
@@ -70,6 +73,25 @@ def main(argv=None):
             f"pass 1: {len(metrics)} frame metrics collected",
             file=sys.stderr,
         )
+    if args.workers and not args.bitrate and not args.two_pass:
+        from theora_tpu.parallel.transcode import transcode
+
+        pkts = transcode(
+            frames, info, keyframe_freq=args.keyframe_freq,
+            max_workers=args.workers, rd_strength=args.rd_strength,
+            use_processes=True,
+        )
+        dt = time.perf_counter() - t0
+        with open(args.output, "wb") as f:
+            f.write(mux_stream(pkts))
+        total = sum(len(p.data) for p in pkts[3:])
+        mpix = len(frames) * (W * H * 1.5) / 1e6
+        print(
+            f"{len(frames)} frames, {total} bytes, {dt:.2f}s"
+            f" ({mpix/dt:.2f} Mpix/s, {args.workers} workers)",
+            file=sys.stderr,
+        )
+        return
     enc = make_encoder()
     if metrics is not None:
         from theora_tpu.encode.rate import RateControl
