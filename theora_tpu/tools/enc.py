@@ -33,7 +33,7 @@ def main(argv=None):
     from theora_tpu.ogg import mux_stream
     from theora_tpu.tools.y4m import read_y4m
 
-    W, H, fps, frames = read_y4m(args.input)
+    W, H, fps, frames, pixel_fmt = read_y4m(args.input, want_fmt=True)
     if W % 16 or H % 16:
         # Pad to multiples of 16 with a crop rectangle.
         fw, fh = (W + 15) & ~15, (H + 15) & ~15
@@ -50,6 +50,7 @@ def main(argv=None):
         fps_denominator=fps[1],
         quality=args.quality,
         target_bitrate=args.bitrate,
+        pixel_fmt=pixel_fmt,
     )
     def make_encoder():
         e = Encoder(info)

@@ -5,8 +5,10 @@ from __future__ import annotations
 import numpy as np
 
 
-def read_y4m(path: str):
-    """Returns (width, height, fps (num, den), frames list of [y, u, v])."""
+def read_y4m(path: str, want_fmt: bool = False):
+    """Returns (width, height, fps (num, den), frames list of [y, u, v])
+    -- plus the Theora pixel_fmt (0/2/3) when want_fmt is set. Supports
+    C420*, C422, and C444 chroma."""
     with open(path, "rb") as f:
         header = f.readline().decode("ascii", "replace").strip()
         if not header.startswith("YUV4MPEG2"):
@@ -24,10 +26,16 @@ def read_y4m(path: str):
                 fps = (int(n), int(d))
             elif tok[0] == "C":
                 fmt = tok[1:]
-        if not fmt.startswith("420"):
+        if fmt.startswith("420"):
+            cw, ch, pixel_fmt = W // 2, H // 2, 0
+        elif fmt.startswith("422"):
+            cw, ch, pixel_fmt = W // 2, H, 2
+        elif fmt.startswith("444"):
+            cw, ch, pixel_fmt = W, H, 3
+        else:
             raise NotImplementedError(f"y4m chroma format {fmt}")
         frames = []
-        ysz, csz = W * H, (W // 2) * (H // 2)
+        ysz, csz = W * H, cw * ch
         while True:
             line = f.readline()
             if not line:
@@ -39,20 +47,24 @@ def read_y4m(path: str):
                 break
             y = np.frombuffer(data[:ysz], np.uint8).reshape(H, W)
             u = np.frombuffer(data[ysz : ysz + csz], np.uint8).reshape(
-                H // 2, W // 2
+                ch, cw
             )
-            v = np.frombuffer(data[ysz + csz :], np.uint8).reshape(
-                H // 2, W // 2
-            )
+            v = np.frombuffer(data[ysz + csz :], np.uint8).reshape(ch, cw)
             frames.append([y, u, v])
+        if want_fmt:
+            return W, H, fps, frames, pixel_fmt
         return W, H, fps, frames
 
 
 def write_y4m(path: str, frames, fps=(30, 1)):
     H, W = frames[0][0].shape
+    ch, cw = frames[0][1].shape
+    tag = "C420jpeg" if (cw, ch) == (W // 2, H // 2) else (
+        "C422" if (cw, ch) == (W // 2, H) else "C444"
+    )
     with open(path, "wb") as f:
         f.write(
-            f"YUV4MPEG2 W{W} H{H} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode()
+            f"YUV4MPEG2 W{W} H{H} F{fps[0]}:{fps[1]} Ip A1:1 {tag}\n".encode()
         )
         for y, u, v in frames:
             f.write(b"FRAME\n")
