@@ -1,6 +1,8 @@
-"""Decode an Ogg Theora (.ogv) file to .y4m (the dump_video analogue).
+"""Decode an Ogg Theora (.ogv) file to .y4m (the dump_video analogue,
+including its postprocessing and telemetry ctl usage,
+examples/dump_video.c:157-213,462-466).
 
-Usage: python -m theora_tpu.tools.dec in.ogv out.y4m
+Usage: python -m theora_tpu.tools.dec [--pp N] [--telemetry ...] in.ogv out.y4m
 """
 from __future__ import annotations
 
@@ -13,6 +15,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("input")
     ap.add_argument("output")
+    ap.add_argument("--pp", type=int, default=0,
+                    help="postprocessing level 0-7 (deblock/dering)")
+    ap.add_argument("--telemetry", default="",
+                    help="comma list of overlays: mbmode,mv,qi,bits")
     args = ap.parse_args(argv)
 
     from theora_tpu.decode.decoder import Decoder
@@ -30,6 +36,12 @@ def main(argv=None):
     parse_comment_header(pkts[1].data)
     setup = parse_setup_header(pkts[2].data)
     dec = Decoder(info, setup)
+    if args.pp:
+        dec.set_pplevel(args.pp)
+    if args.telemetry:
+        dec.set_telemetry(
+            **{k.strip(): 1 for k in args.telemetry.split(",") if k.strip()}
+        )
     frames = []
     t0 = time.perf_counter()
     for p in pkts[3:]:
