@@ -95,3 +95,73 @@ def test_custom_quant_params_and_stripe_cb():
     ret, gp = dec.packetin(pkt.data)
     assert ret == 0
     assert stripes == [(0, H // 8)]
+
+
+def test_legacy_theora_api_roundtrip():
+    """Pre-1.0 theora_* API (apiwrapper.c analogue): encode with
+    theora_encode_* and decode with theora_decode_*."""
+    import numpy as np
+
+    from theora_tpu.compat import (
+        theora_clear,
+        theora_decode_YUVout,
+        theora_decode_header,
+        theora_decode_init,
+        theora_decode_packetin,
+        theora_encode_YUVin,
+        theora_encode_header,
+        theora_encode_init,
+        theora_encode_packetout,
+        theora_granule_time,
+        theora_info,
+        theora_info_init,
+        theora_state,
+    )
+
+    W, H = 64, 48
+    rng = np.random.RandomState(4)
+    frames = [
+        [
+            ((np.mgrid[0:H, 0:W][1] * 3 + i * 5) % 256).astype(np.uint8),
+            np.full((H // 2, W // 2), 90 + i, np.uint8),
+            np.full((H // 2, W // 2), 160 - i, np.uint8),
+        ]
+        for i in range(4)
+    ]
+    ci = theora_info()
+    theora_info_init(ci)
+    ci.width = ci.frame_width = W
+    ci.height = ci.frame_height = H
+    ci.quality = 40
+    ci.keyframe_frequency_force = 8
+    st = theora_state()
+    assert theora_encode_init(st, ci) == 0
+    headers = []
+    while True:
+        p = theora_encode_header(st)
+        if p is None:
+            break
+        headers.append(p)
+    assert len(headers) == 3
+    pkts = []
+    for i, fr in enumerate(frames):
+        theora_encode_YUVin(st, fr)
+        ok, p = theora_encode_packetout(st, i == len(frames) - 1)
+        assert ok == 1
+        pkts.append(p)
+
+    di = theora_info()
+    theora_info_init(di)
+    for h in headers:
+        assert theora_decode_header(di, None, h) == 0
+    ds = theora_state()
+    assert theora_decode_init(ds, di) == 0
+    for i, p in enumerate(pkts):
+        assert theora_decode_packetin(ds, p) == 0
+        out = theora_decode_YUVout(ds)
+        err = out[0].astype(float) - frames[i][0].astype(float)
+        psnr = 10 * np.log10(255.0**2 / max((err**2).mean(), 1e-9))
+        assert psnr > 30
+    assert theora_granule_time(ds, ds.granulepos) > 0
+    theora_clear(st)
+    theora_clear(ds)

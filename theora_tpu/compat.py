@@ -271,3 +271,227 @@ def th_decode_headerin(state: dict, packet: Packet):
 
 def th_decode_alloc(state: dict) -> th_dec_ctx:
     return th_dec_ctx(state["info"], state["setup"])
+
+
+# ===================================================================
+# Pre-1.0 `theora_*` legacy API (include/theora/theora.h:430-777), the
+# lib/apiwrapper.c + decapiwrapper.c + encapiwrapper.c analogue: the old
+# single-struct API mapped onto the th_* shims above. Note the legacy
+# field-name swap: theora_info.width/height are the padded FRAME size and
+# frame_width/frame_height are the visible picture (theora.h:134-140).
+@dataclasses.dataclass
+class theora_info:
+    width: int = 0
+    height: int = 0
+    frame_width: int = 0
+    frame_height: int = 0
+    offset_x: int = 0
+    offset_y: int = 0
+    fps_numerator: int = 30
+    fps_denominator: int = 1
+    aspect_numerator: int = 0
+    aspect_denominator: int = 0
+    colorspace: int = 0
+    target_bitrate: int = 0
+    quality: int = 48
+    quick_p: int = 1
+    version_major: int = 3
+    version_minor: int = 2
+    version_subminor: int = 1
+    codec_setup: object = None
+    dropframes_p: int = 0
+    keyframe_auto_p: int = 1
+    keyframe_frequency: int = 64
+    keyframe_frequency_force: int = 64
+    keyframe_data_target_bitrate: int = 0
+    keyframe_auto_threshold: int = 80
+    keyframe_mindistance: int = 8
+    noise_sensitivity: int = 1
+    sharpness: int = 0
+    pixelformat: int = 0
+
+
+def _legacy_to_info(ci: theora_info) -> TheoraInfo:
+    import math
+
+    shift = max(1, math.ceil(
+        math.log2(max(ci.keyframe_frequency_force, 2))
+    ))
+    return TheoraInfo(
+        frame_width=ci.width, frame_height=ci.height,
+        pic_width=ci.frame_width or ci.width,
+        pic_height=ci.frame_height or ci.height,
+        pic_x=ci.offset_x, pic_y=ci.offset_y,
+        fps_numerator=ci.fps_numerator, fps_denominator=ci.fps_denominator,
+        aspect_numerator=ci.aspect_numerator,
+        aspect_denominator=ci.aspect_denominator,
+        colorspace=ci.colorspace, pixel_fmt=ci.pixelformat,
+        quality=ci.quality, target_bitrate=ci.target_bitrate,
+        keyframe_granule_shift=shift,
+    )
+
+
+class theora_state:
+    def __init__(self):
+        self.i: theora_info | None = None
+        self.granulepos = -1
+        self._enc: th_enc_ctx | None = None
+        self._dec: th_dec_ctx | None = None
+        self._hdr_state: dict | None = None
+
+
+def theora_info_init(ci: theora_info) -> None:
+    ci.__init__()
+
+
+def theora_info_clear(ci: theora_info) -> None:
+    ci.__init__()
+
+
+def theora_encode_init(th: theora_state, ci: theora_info) -> int:
+    th.i = ci
+    th._enc = th_encode_alloc(_legacy_to_info(ci))
+    th._enc.ctl(
+        TH_ENCCTL_SET_KEYFRAME_FREQUENCY_FORCE, ci.keyframe_frequency_force
+    )
+    return 0
+
+
+def theora_encode_YUVin(th: theora_state, yuv) -> int:
+    """yuv: [y, u, v] display-orientation planes."""
+    if th._enc is None:
+        return TH_EFAULT
+    ret = th._enc.ycbcr_in(yuv)
+    if th._enc._pending is not None:
+        th.granulepos = th._enc._pending.granulepos
+    return ret
+
+
+def theora_encode_packetout(th: theora_state, last_p: int):
+    if th._enc is None:
+        return TH_EFAULT, None
+    p = th._enc.packetout(bool(last_p))
+    return (1 if p is not None else 0), p
+
+
+def theora_encode_header(th: theora_state, _op=None):
+    return th._enc.flushheader()
+
+
+def theora_encode_comment(_tc=None, _op=None):
+    return Packet(pack_comment_header_legacy(), granulepos=0, packetno=1)
+
+
+def pack_comment_header_legacy():
+    from theora_tpu.headers import pack_comment_header
+
+    return pack_comment_header()
+
+
+def theora_encode_tables(th: theora_state, _op=None):
+    # Headers are queued in order by flushheader; tables is the third.
+    return th._enc.flushheader()
+
+
+def theora_decode_header(ci: theora_info, cc, op: Packet) -> int:
+    if not th_packet_isheader(op.data):
+        return TH_EBADHEADER
+    kind = op.data[0]
+    if kind == 0x80:
+        info = parse_info_header(op.data)
+        ci.width = info.frame_width
+        ci.height = info.frame_height
+        ci.frame_width = info.pic_width
+        ci.frame_height = info.pic_height
+        ci.offset_x = info.pic_x
+        ci.offset_y = info.pic_y
+        ci.fps_numerator = info.fps_numerator
+        ci.fps_denominator = info.fps_denominator
+        ci.aspect_numerator = info.aspect_numerator
+        ci.aspect_denominator = info.aspect_denominator
+        ci.colorspace = int(info.colorspace)
+        ci.pixelformat = int(info.pixel_fmt)
+        ci.quality = info.quality
+        ci.target_bitrate = info.target_bitrate
+        ci.keyframe_frequency_force = 1 << info.keyframe_granule_shift
+        ci.codec_setup = {"info": info}
+        return 0
+    if kind == 0x81:
+        parse_comment_header(op.data)
+        return 0
+    if kind == 0x82:
+        ci.codec_setup["setup"] = parse_setup_header(op.data)
+        return 0
+    return TH_EBADHEADER
+
+
+def theora_decode_init(th: theora_state, ci: theora_info) -> int:
+    th.i = ci
+    if not ci.codec_setup or "setup" not in ci.codec_setup:
+        return TH_EFAULT
+    th._dec = th_decode_alloc(ci.codec_setup)
+    return 0
+
+
+def theora_decode_packetin(th: theora_state, op: Packet) -> int:
+    ret, gp = th._dec.packetin(op.data if isinstance(op, Packet) else op)
+    if ret in (0, TH_DUPFRAME):
+        th.granulepos = gp
+        return 0
+    return ret
+
+
+def theora_decode_YUVout(th: theora_state, _yuv=None):
+    """Returns [y, u, v] display-orientation planes (the yuv_buffer
+    analogue; strides are the numpy strides)."""
+    return th._dec.ycbcr_out()
+
+
+def theora_packet_isheader(op) -> int:
+    return 1 if th_packet_isheader(op.data if isinstance(op, Packet) else op) else 0
+
+
+def theora_packet_iskeyframe(op) -> int:
+    return th_packet_iskeyframe(op.data if isinstance(op, Packet) else op)
+
+
+def theora_granule_shift(ci: theora_info) -> int:
+    import math
+
+    return max(1, math.ceil(math.log2(max(ci.keyframe_frequency_force, 2))))
+
+
+def theora_granule_frame(th: theora_state, granulepos: int) -> int:
+    if granulepos < 0:
+        return -1
+    shift = theora_granule_shift(th.i)
+    iframe = granulepos >> shift
+    pframe = granulepos - (iframe << shift)
+    return iframe + pframe - 1
+
+
+def theora_granule_time(th: theora_state, granulepos: int) -> float:
+    if granulepos < 0:
+        return -1.0
+    return (
+        (theora_granule_frame(th, granulepos) + 1)
+        * th.i.fps_denominator
+        / th.i.fps_numerator
+    )
+
+
+def theora_clear(th: theora_state) -> None:
+    th._enc = None
+    th._dec = None
+    th.i = None
+
+
+def theora_version_string() -> str:
+    return th_version_string()
+
+
+def theora_control(th: theora_state, req: int, buf=None, buf_sz: int = 0):
+    ctx = th._enc if th._enc is not None else th._dec
+    if ctx is None:
+        return TH_EFAULT
+    return ctx.ctl(req, buf)
