@@ -378,14 +378,14 @@ def theora_encode_header(th: theora_state, _op=None):
     return th._enc.flushheader()
 
 
-def theora_encode_comment(_tc=None, _op=None):
-    return Packet(pack_comment_header_legacy(), granulepos=0, packetno=1)
-
-
-def pack_comment_header_legacy():
+def theora_encode_comment(tc=None, _op=None):
     from theora_tpu.headers import pack_comment_header
 
-    return pack_comment_header()
+    comments = tc.user_comments if tc is not None else None
+    vendor = tc.vendor if tc is not None and tc.vendor else None
+    return Packet(
+        pack_comment_header(comments, vendor), granulepos=0, packetno=1
+    )
 
 
 def theora_encode_tables(th: theora_state, _op=None):
@@ -417,7 +417,10 @@ def theora_decode_header(ci: theora_info, cc, op: Packet) -> int:
         ci.codec_setup = {"info": info}
         return 0
     if kind == 0x81:
-        parse_comment_header(op.data)
+        parsed = parse_comment_header(op.data)
+        if cc is not None and hasattr(cc, "user_comments"):
+            cc.vendor = parsed.get("vendor")
+            cc.user_comments = list(parsed.get("comments", []))
         return 0
     if kind == 0x82:
         ci.codec_setup["setup"] = parse_setup_header(op.data)
@@ -495,3 +498,58 @@ def theora_control(th: theora_state, req: int, buf=None, buf_sz: int = 0):
     if ctx is None:
         return TH_EFAULT
     return ctx.ctl(req, buf)
+
+
+class theora_comment:
+    """Legacy comment structure (theora.h:705-767): vendor string plus
+    TAG=value user comment list."""
+
+    def __init__(self):
+        self.user_comments: list[bytes] = []
+        self.vendor: bytes | None = None
+
+    def add(self, comment: str | bytes) -> None:
+        self.user_comments.append(
+            comment.encode() if isinstance(comment, str) else comment
+        )
+
+    def add_tag(self, tag: str, value: str) -> None:
+        self.add(f"{tag}={value}")
+
+    def query(self, tag: str, count: int = 0):
+        pre = (tag + "=").encode().lower()
+        hits = [c for c in self.user_comments if c.lower().startswith(pre)]
+        if count < len(hits):
+            return hits[count][len(pre):].decode("utf-8", "replace")
+        return None
+
+    def query_count(self, tag: str) -> int:
+        pre = (tag + "=").encode().lower()
+        return sum(1 for c in self.user_comments if c.lower().startswith(pre))
+
+    def clear(self) -> None:
+        self.__init__()
+
+
+def theora_comment_init(tc: theora_comment) -> None:
+    tc.__init__()
+
+
+def theora_comment_add(tc: theora_comment, comment) -> None:
+    tc.add(comment)
+
+
+def theora_comment_add_tag(tc: theora_comment, tag, value) -> None:
+    tc.add_tag(tag, value)
+
+
+def theora_comment_query(tc: theora_comment, tag, count=0):
+    return tc.query(tag, count)
+
+
+def theora_comment_query_count(tc: theora_comment, tag) -> int:
+    return tc.query_count(tag)
+
+
+def theora_comment_clear(tc: theora_comment) -> None:
+    tc.clear()
