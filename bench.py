@@ -52,13 +52,17 @@ def bench_reference(frames):
                 f.write(u.tobytes())
                 f.write(v.tobytes())
         out = os.path.join(td, "out.tpkt")
-        t0 = time.perf_counter()
-        subprocess.run(
-            [enc, str(W), str(H), str(NFRAMES), str(QUALITY), "1", raw, out],
-            check=True,
-            capture_output=True,
-        )
-        dt = time.perf_counter() - t0
+        # Best of 3: host load noise otherwise dominates the baseline.
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            subprocess.run(
+                [enc, str(W), str(H), str(NFRAMES), str(QUALITY), "1", raw,
+                 out],
+                check=True,
+                capture_output=True,
+            )
+            dt = min(dt, time.perf_counter() - t0)
     mpix = NFRAMES * (W * H + 2 * (W // 2) * (H // 2)) / 1e6
     return mpix / dt
 
@@ -96,7 +100,10 @@ def bench_tpu(frames):
     q, r = intra_encode_core(cb_d, dq_c)
     q.block_until_ready()
 
-    reps = 4
+    reps = 16
+    # Pipelined dispatch, single final block: measures sustained device
+    # throughput (per-rep blocking would measure the tunnel round-trip
+    # latency of this environment instead of chip compute).
     t0 = time.perf_counter()
     for _ in range(reps):
         qy, ry = intra_encode_core(yb_d, dq_y)
