@@ -425,7 +425,21 @@ class Encoder:
                 self._qti_frame[fragis] = qti
             # The trellis tokenizer replaces the heuristic R/D quantizer:
             # quantize round-to-nearest here and keep the raw DCT around.
-            trellis = self.use_trellis and len(qis) == 1
+            # Multi-qi frames choose each block's qii by exact trellis cost
+            # (the activity-masking analogue, decided by R/D instead of a
+            # variance heuristic).
+            trellis = self.use_trellis
+            rd_qii = trellis and len(qis) > 1 and getattr(
+                self, "_frag_qii_rd", None
+            ) is not None
+            if rd_qii:
+                try:
+                    out[pli] = self._tq_trellis_multi_qi(
+                        pli, fragis, res, qti, qis
+                    )
+                    continue
+                except ImportError:
+                    trellis = False
             # Fast path: single-qi frames via the C++ tier.
             if len(qis) == 1:
                 try:
@@ -529,6 +543,98 @@ class Encoder:
             else:
                 out[pli] = (fragis, qdct, err2, res2, None, qti)
         return out
+
+    # ------------------------------------------------------------------
+    def _tq_trellis_multi_qi(self, pli, fragis, res, qti, qis):
+        """fDCT once, then per-qii quantize + trellis plan; choose each
+        block\'s qii by exact R/D cost (cost = err2 + lambda*(acbits +
+        signaling)). DC always quantizes with qis[0] (decoder semantics,
+        decode.c:1530)."""
+        from theora_tpu.native import (
+            fdct_quantize_rd_native,
+            trellis_plan_blocks_native,
+        )
+        from theora_tpu.ops.fdct_np import quantize_batch
+
+        n = len(fragis)
+        fti = self._cur_fti
+        fmt = int(self.info.pixel_fmt)
+        lam = tables.RD_LAMBDA.get(fmt, tables.RD_LAMBDA[0])[fti][qis[0]]
+        nbt = self._nb_table(pli, fti)
+        res_a = np.asarray(res)
+        dct16 = None
+        qdcts, pathss, acbitss, err2s = [], [], [], []
+        for qii, qi in enumerate(qis):
+            qdct = np.empty((n, 64), dtype=np.int16)
+            if qii == 0:
+                for t in (0, 1):
+                    m = qti == t
+                    if not m.any():
+                        continue
+                    dq = self.dequant[qi, pli, t]
+                    qz, _e2, _r2, dc16 = fdct_quantize_rd_native(
+                        res_a[m], dq, 0.0, rd=False, want_dct=True
+                    )
+                    qdct[m] = qz
+                    if dct16 is None:
+                        dct16 = np.empty((n, 64), dtype=np.int16)
+                    dct16[m] = dc16
+            else:
+                for t in (0, 1):
+                    m = qti == t
+                    if not m.any():
+                        continue
+                    dq = self.dequant[qi, pli, t].astype(np.int64)
+                    qdct[m] = quantize_batch(
+                        dct16[m].astype(np.int64), dq
+                    ).astype(np.int16)
+                    # DC re-quantizes with qis[0] for every qii.
+                    dq0 = self.dequant[qis[0], pli, t].astype(np.int64)
+                    qdct[m, 0] = quantize_batch(
+                        dct16[m][:, :1].astype(np.int64), dq0[:1]
+                    ).reshape(-1).astype(np.int16)
+            dq0r = self.dequant[qi, pli, 0].astype(np.int64)
+            dq1r = self.dequant[qi, pli, 1].astype(np.int64)
+            paths, acbits, err2 = trellis_plan_blocks_native(
+                dct16, qdct, dq0r, dq1r, qti, lam, nbt
+            )
+            qdcts.append(qdct)
+            pathss.append(paths)
+            acbitss.append(acbits)
+            err2s.append(err2)
+        # Per-block qii by R/D (qii signaling ~1 bit for base, ~2 others).
+        sig = np.array([1.0, 2.0, 2.0])
+        costs = np.stack(
+            [
+                err2s[q] + (lam * (acbitss[q] + sig[q])).astype(np.int64)
+                for q in range(len(qis))
+            ]
+        )
+        best = np.argmin(costs, axis=0).astype(np.int32)
+        rows = np.arange(n)
+        qdct = np.stack(qdcts)[best, rows].astype(np.int32)
+        paths = np.stack(pathss)[best, rows]
+        acbits = np.stack(acbitss)[best, rows]
+        err2 = np.stack(err2s)[best, rows]
+        self._frag_qii_rd[fragis] = best
+        res2 = (res_a.astype(np.int64) ** 2).reshape(n, -1).sum(axis=1) * 16
+        return (fragis, qdct, err2, res2, dct16, qti, paths, acbits)
+
+    def _nb_table(self, pli, fti):
+        key = (fti, "nbt", self._huff_pred[fti][(pli + 1) >> 1],
+               (pli + 1) >> 1)
+        nbt = self._nb_cache.get(key)
+        if nbt is None:
+            idx = self._huff_pred[fti][(pli + 1) >> 1]
+            nbt = np.zeros((5, 32), dtype=np.int64)
+            for gi in range(5):
+                for t in range(32):
+                    nbt[gi, t] = (
+                        self.huff_codes[(gi << 4) + idx][t][1]
+                        + DCT_TOKEN_EXTRA_BITS[t]
+                    )
+            self._nb_cache[key] = nbt
+        return nbt
 
     # ------------------------------------------------------------------
     def _trellis_nb(self, pli, fti):
@@ -646,6 +752,12 @@ class Encoder:
             self._frame_qis = None
             return None
         qis = [base, finer, coarser]
+        if self.use_trellis:
+            # Per-block qii chosen by exact trellis R/D inside
+            # _transform_quantize (supersedes the activity heuristic).
+            self._frame_qis = qis
+            self._frag_qii_rd = np.zeros(g.nfrags, dtype=np.int32)
+            return self._frag_qii_rd
         # Luma block variance -> activity terciles.
         y = planes[0]
         H, W = y.shape
