@@ -219,7 +219,7 @@ class Decoder:
         if level < 2:
             self._pp_planes = None
             return
-        from theora_tpu.native import get_lib, _setup_filters
+        from theora_tpu.native import get_lib
         import ctypes
 
         lib = get_lib()

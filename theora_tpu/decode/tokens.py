@@ -13,7 +13,7 @@ import dataclasses
 import numpy as np
 
 from theora_tpu.bitio import BitReader
-from theora_tpu.constants import HUFF_LIST_MAX, ZIGZAG_TO_NAT
+from theora_tpu.constants import HUFF_LIST_MAX
 from theora_tpu.huffman import (
     Codebook,
     EOB_FINISH,

@@ -931,7 +931,6 @@ class Encoder:
             MODE_INTER_MV_LAST2,
             MODE_INTER_NOMV,
         )
-        from theora_tpu.decode.decoder import mv_offsets
         from theora_tpu.encode import mcenc
 
         g = self.geometry

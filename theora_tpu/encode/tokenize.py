@@ -14,7 +14,6 @@ import numpy as np
 from theora_tpu.constants import (
     DCT_REPEAT_RUN3_TOKEN,
     DCT_SHORT_ZRL_TOKEN,
-    DCT_TOKEN_EXTRA_BITS,
     DCT_ZRL_TOKEN,
 )
 

@@ -16,7 +16,7 @@ import functools
 
 import numpy as np
 
-from theora_tpu.constants import MB_MAP, MB_MAP_IDXS, SB_HILBERT, MODE_INVALID
+from theora_tpu.constants import MB_MAP, SB_HILBERT, MODE_INVALID
 
 
 @dataclasses.dataclass(frozen=True)

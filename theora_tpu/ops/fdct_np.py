@@ -12,7 +12,6 @@ from theora_tpu.constants import (
     C1S7,
     C2S6,
     C3S5,
-    C4S4,
     C5S3,
     C6S2,
     C7S1,

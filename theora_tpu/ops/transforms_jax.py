@@ -11,7 +11,6 @@ fuses the whole transform chain into a handful of kernels.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from theora_tpu.constants import (
@@ -22,7 +21,6 @@ from theora_tpu.constants import (
     C5S3,
     C6S2,
     C7S1,
-    NAT_TO_ZIGZAG,
     ZIGZAG_TO_NAT,
 )
 

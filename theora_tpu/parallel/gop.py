@@ -11,7 +11,6 @@ Entropy-coded bytes are gathered to host in stream order for Ogg muxing.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
