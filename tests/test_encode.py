@@ -244,3 +244,25 @@ def test_crosscheck_random_configs():
     for t in range(6):
         desc, err = run_trial(rng, t)
         assert err is None, f"{desc}: {err}"
+
+
+def test_encoder_output_stability():
+    """Pinned digest of a fixed encode: catches unintended bitstream
+    changes. Intentional encoder improvements should update the digest
+    (and re-verify size/PSNR vs the reference first)."""
+    import hashlib
+
+    frames = _load_clip("clip64x48.i420", 64, 48)[:6]
+    info = TheoraInfo(
+        frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+        quality=40,
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 4
+    enc.flush_headers()
+    h = hashlib.sha256()
+    for fr in frames:
+        h.update(enc.encode_frame(fr).data)
+    assert h.hexdigest() == (
+        "311b6ffa5060c5b57d148c21fe6d2e026c1dd5ac96f6f1ebc5a96b6f72d6ef17"
+    )
