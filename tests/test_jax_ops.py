@@ -118,3 +118,50 @@ def test_pallas_kernels_bit_exact():
         )
     ).T
     assert np.array_equal(q, qref)
+
+
+def test_fdct_jax_batched_leading_dims():
+    """fdct8x8 must be correct with extra leading batch dims (the batched
+    multi-frame path used by bench.py / parallel.gop): the systematic-
+    error biases index the last two axes, not absolute positions."""
+    rng = np.random.RandomState(8)
+    x = rng.randint(-255, 256, size=(3, 5, 40, 8, 8)).astype(np.int64)
+    ref = fdct_np.fdct8x8_batch(x.reshape(-1, 8, 8)).reshape(3, 5, 40, 64)
+    out = np.asarray(jax.jit(tj.fdct8x8)(jnp.asarray(x, dtype=jnp.int32)))
+    assert np.array_equal(out, ref)
+
+
+def test_tpu_batch_intra_encoder_byte_identical():
+    """TpuBatchIntraEncoder (device fDCT+quantize, host entropy) must be
+    byte-identical to the pure-host Encoder at keyframe_freq=1."""
+    import os
+
+    from tests.conftest import TESTDATA
+    from theora_tpu.encode.encoder import Encoder
+    from theora_tpu.encode.tpu_encoder import TpuBatchIntraEncoder
+    from theora_tpu.info import TheoraInfo
+
+    W, H = 64, 48
+    raw = np.fromfile(os.path.join(TESTDATA, "clip64x48.i420"), np.uint8)
+    fsz = W * H * 3 // 2
+    frames = []
+    for i in range(4):
+        f = raw[i * fsz : (i + 1) * fsz]
+        frames.append(
+            [
+                f[: W * H].reshape(H, W),
+                f[W * H : W * H + fsz // 6].reshape(H // 2, W // 2),
+                f[W * H + fsz // 6 :].reshape(H // 2, W // 2),
+            ]
+        )
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H, quality=40
+    )
+    host = Encoder(info)
+    host.keyframe_freq = 1
+    host.flush_headers()
+    hp = [host.encode_frame(fr).data for fr in frames]
+    tpu = TpuBatchIntraEncoder(info)
+    tpu.flush_headers()
+    tp = [p.data for p in tpu.encode(frames)]
+    assert hp == tp

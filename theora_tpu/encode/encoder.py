@@ -142,6 +142,8 @@ class Encoder:
         # is (analyze.c:859-882). Kept for study + the collect tooling.
         self.mode_rd = False
         self._trellis_scan = None
+        # Device-precomputed (dct, qdct) per plane (TpuBatchIntraEncoder).
+        self._precomputed_tq = None
         # Adaptive quantization (3-qi frames with activity masking).
         self.adaptive_quant = False
         # VP3 compatibility: explicit drop-frame packets instead of 0-byte
@@ -442,6 +444,27 @@ class Encoder:
                     trellis = False
             # Fast path: single-qi frames via the C++ tier.
             if len(qis) == 1:
+                pre = getattr(self, "_precomputed_tq", None)
+                if trellis and pre is not None and pre.get(pli) is not None:
+                    # Device-computed fDCT + quantize (TpuBatchIntraEncoder):
+                    # raster block order == fragis order on intra frames.
+                    local = fragis - pl.froffset
+                    dct16 = np.ascontiguousarray(pre[pli][0][local])
+                    qdct = pre[pli][1][local].astype(np.int32)
+                    err2 = np.zeros(len(fragis), dtype=np.int64)
+                    res2 = (
+                        (res.astype(np.int64) ** 2)
+                        .reshape(len(fragis), -1)
+                        .sum(axis=1)
+                        * 16
+                    )
+                    paths, acbits = self._trellis_plan_blocks(
+                        pli, qdct, dct16, qti, err2
+                    )
+                    out[pli] = (
+                        fragis, qdct, err2, res2, dct16, qti, paths, acbits,
+                    )
+                    continue
                 try:
                     from theora_tpu.native import fdct_quantize_rd_native
                     from theora_tpu.ops.fdct_np import rd_lambda

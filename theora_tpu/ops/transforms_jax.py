@@ -146,13 +146,12 @@ _ZZ = np.asarray(ZIGZAG_TO_NAT[:64])
 
 
 def fdct8x8(res):
-    """[N, 8, 8] residuals -> [N, 64] zig-zag DCT coefficients
-    (fdct.c:128-154)."""
+    """[..., N, 8, 8] residuals -> [..., N, 64] zig-zag DCT coefficients
+    (fdct.c:128-154); any leading batch dims."""
     w = res.astype(jnp.int32) << 2
-    bias = jnp.zeros((8, 8), jnp.int32)
-    w = w.at[:, 0, 0].add((w[:, 0, 0] != 0).astype(jnp.int32) + 1)
-    w = w.at[:, 0, 1].add(1)
-    w = w.at[:, 1, 0].add(-1)
+    w = w.at[..., 0, 0].add((w[..., 0, 0] != 0).astype(jnp.int32) + 1)
+    w = w.at[..., 0, 1].add(1)
+    w = w.at[..., 1, 0].add(-1)
     y = fdct8(jnp.swapaxes(w, -1, -2))
     w2 = fdct8(jnp.swapaxes(y, -1, -2))
     flat = w2.reshape(*w2.shape[:-2], 64)
