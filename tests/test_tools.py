@@ -29,3 +29,131 @@ def test_ogg_large_packet_spanning_pages():
     assert len(out) == 2
     assert out[0].data == big.data
     assert out[1].data == small.data
+
+
+def _make_ogv(tmp_path):
+    from theora_tpu.encode.encoder import Encoder
+    from theora_tpu.info import TheoraInfo
+
+    W, H = 64, 48
+    raw = np.fromfile(os.path.join(TESTDATA, "clip64x48.i420"), np.uint8)
+    fsz = W * H * 3 // 2
+    frames = []
+    for i in range(4):
+        f = raw[i * fsz : (i + 1) * fsz]
+        frames.append(
+            [
+                f[: W * H].reshape(H, W),
+                f[W * H : W * H + fsz // 6].reshape(H // 2, W // 2),
+                f[W * H + fsz // 6 :].reshape(H // 2, W // 2),
+            ]
+        )
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H, quality=40
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 4
+    pkts = enc.flush_headers()
+    for i, fr in enumerate(frames):
+        pkts.append(enc.encode_frame(fr, e_o_s=(i == 3)))
+    out = tmp_path / "clip.ogv"
+    out.write_bytes(mux_stream(pkts))
+    return out
+
+
+def test_play_tool_stats(tmp_path):
+    """play.py decodes with pacing stats (player_example analogue)."""
+    import subprocess
+    import sys
+
+    ogv = _make_ogv(tmp_path)
+    r = subprocess.run(
+        [sys.executable, "-m", "theora_tpu.tools.play", "--stats-only",
+         str(ogv)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0
+    assert "played" in r.stderr
+
+
+def test_img2theora_tool(tmp_path):
+    """img2theora encodes an image sequence to a decodable stream."""
+    import subprocess
+    import sys
+
+    try:
+        from PIL import Image
+    except ImportError:
+        import pytest
+
+        pytest.skip("PIL unavailable")
+    for i in range(3):
+        arr = np.full((48, 64, 3), 40 * i + 60, np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"f{i:02d}.png")
+    out = tmp_path / "seq.ogv"
+    r = subprocess.run(
+        [sys.executable, "-m", "theora_tpu.tools.img2theora", "-q", "40",
+         str(tmp_path / "f*.png"), str(out)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    from theora_tpu.decode.decoder import Decoder
+    from theora_tpu.headers import parse_info_header, parse_setup_header
+    from theora_tpu.ogg import demux_stream
+
+    pkts = demux_stream(out.read_bytes())
+    dec = Decoder(parse_info_header(pkts[0].data),
+                  parse_setup_header(pkts[2].data))
+    for p in pkts[3:]:
+        dec.decode_packet(p.data)
+    assert len(pkts) == 6
+
+
+def test_ogg_large_packet_spanning(tmp_path):
+    """Packets far larger than one Ogg page (noisy high-quality keyframe)
+    must round-trip through mux/demux."""
+    from theora_tpu.encode.encoder import Encoder
+    from theora_tpu.info import TheoraInfo
+    from theora_tpu.ogg import demux_stream, mux_stream
+
+    rng = np.random.RandomState(0)
+    W, H = 320, 240
+    fr = [rng.randint(0, 256, size=(H, W)).astype(np.uint8),
+          rng.randint(0, 256, size=(H // 2, W // 2)).astype(np.uint8),
+          rng.randint(0, 256, size=(H // 2, W // 2)).astype(np.uint8)]
+    info = TheoraInfo(frame_width=W, frame_height=H, pic_width=W,
+                      pic_height=H, quality=63)
+    enc = Encoder(info)
+    pkts = enc.flush_headers()
+    pkts.append(enc.encode_frame(fr, e_o_s=True))
+    assert len(pkts[3].data) > 100_000  # spans multiple pages
+    back = demux_stream(mux_stream(pkts))
+    assert [p.data for p in back] == [p.data for p in pkts]
+    assert back[3].granulepos == pkts[3].granulepos
+
+
+def test_long_stream_granulepos():
+    """Granule positions across many GOPs at a large keyframe shift."""
+    from theora_tpu.encode.encoder import Encoder
+    from theora_tpu.decode.decoder import Decoder
+    from theora_tpu.headers import parse_info_header, parse_setup_header
+    from theora_tpu.info import TheoraInfo
+
+    W, H = 32, 32
+    fr = [np.full((H, W), 128, np.uint8),
+          np.full((H // 2, W // 2), 128, np.uint8),
+          np.full((H // 2, W // 2), 128, np.uint8)]
+    info = TheoraInfo(frame_width=W, frame_height=H, pic_width=W,
+                      pic_height=H, quality=40, keyframe_granule_shift=31)
+    enc = Encoder(info)
+    enc.keyframe_freq = 64
+    enc.auto_keyframe = False
+    pkts = enc.flush_headers()
+    dec = Decoder(parse_info_header(pkts[0].data),
+                  parse_setup_header(pkts[2].data))
+    for i in range(150):
+        p = enc.encode_frame(fr)
+        dec.decode_packet(p.data)
+        assert dec.granpos == p.granulepos, f"frame {i}"
+        kf = i - (i % 64)
+        assert p.granulepos == ((kf + 1) << 31) + (i - kf)
