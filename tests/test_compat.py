@@ -165,3 +165,53 @@ def test_legacy_theora_api_roundtrip():
     assert theora_granule_time(ds, ds.granulepos) > 0
     theora_clear(st)
     theora_clear(ds)
+
+
+def test_vp3_compatible_drop_frames():
+    """VP3 compatibility: dropped frames emit explicit no-coded-blocks
+    inter packets (encode.c:865-906) instead of 0-byte dups, with VP31
+    tables, and the stream decodes in our decoder."""
+    import numpy as np
+    import os
+
+    from tests.conftest import TESTDATA
+    from theora_tpu import tables
+    from theora_tpu.decode.decoder import Decoder
+    from theora_tpu.encode.encoder import Encoder
+    from theora_tpu.headers import parse_info_header, parse_setup_header
+    from theora_tpu.info import TheoraInfo
+
+    W, H = 64, 48
+    raw = np.fromfile(os.path.join(TESTDATA, "clip64x48.i420"), np.uint8)
+    fsz = W * H * 3 // 2
+    frames = []
+    for i in range(8):
+        f = raw[:fsz]
+        frames.append(
+            [
+                f[: W * H].reshape(H, W),
+                f[W * H : W * H + fsz // 6].reshape(H // 2, W // 2),
+                f[W * H + fsz // 6 :].reshape(H // 2, W // 2),
+            ]
+        )
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=40, target_bitrate=8000, fps_numerator=30,
+        fps_denominator=1,
+    )
+    enc = Encoder(info, qinfo=tables.VP31_QUANT_INFO,
+                  huff_codes=tables.VP31_HUFF_CODES)
+    enc.vp3_compatible = True
+    enc.keyframe_freq = 8
+    pkts = enc.flush_headers()
+    for fr in frames:
+        pkts.append(enc.encode_frame(fr))
+    sizes = [len(p.data) for p in pkts[3:]]
+    # Drops are explicit small inter packets, never 0-byte.
+    assert all(s > 0 for s in sizes)
+    assert any(0 < s < 20 for s in sizes), sizes
+    dec = Decoder(parse_info_header(pkts[0].data),
+                  parse_setup_header(pkts[2].data))
+    for p in pkts[3:]:
+        dec.decode_packet(p.data)
+        dec.ycbcr_out()
