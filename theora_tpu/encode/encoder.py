@@ -1588,7 +1588,9 @@ class Encoder:
 
         ncoded_total = int(coded.sum())
         if ncoded_total == 0:
-            return b""  # 0-byte dup-frame packet (encode.c:926-928)
+            # 0-byte dup-frame packet, or an explicit no-coded-blocks inter
+            # frame in VP3 mode (encode.c:865-906, 926-928).
+            return self._drop_frame_pack() if self.vp3_compatible else b""
 
         # Uncoded fragments keep FRAME_NONE so DC prediction skips them.
         frag_refi[~coded] = FRAME_NONE
