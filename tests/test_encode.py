@@ -266,3 +266,21 @@ def test_encoder_output_stability():
     assert h.hexdigest() == (
         "311b6ffa5060c5b57d148c21fe6d2e026c1dd5ac96f6f1ebc5a96b6f72d6ef17"
     )
+
+
+def test_fast_recon_byte_identical():
+    """Entropy-free closed-loop reconstruction must produce byte-identical
+    streams to the decode-the-packet loop."""
+    frames = _load_clip("clip64x48.i420", 64, 48)[:6]
+    outs = []
+    for fast in (False, True):
+        info = TheoraInfo(
+            frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+            quality=40,
+        )
+        enc = Encoder(info)
+        enc.keyframe_freq = 4
+        enc.fast_recon = fast
+        enc.flush_headers()
+        outs.append([enc.encode_frame(fr).data for fr in frames])
+    assert outs[0] == outs[1]

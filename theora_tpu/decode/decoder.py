@@ -521,6 +521,107 @@ class Decoder:
         return 0
 
     # ------------------------------------------------------------------
+    def reconstruct_from_state(self, frame_type, qis, coded, frag_refi,
+                               frag_mode, frag_mv, frag_qii, qz_order):
+        """Reconstruct a frame directly from already-known side info and
+        quantized coefficients, skipping the entropy stages -- the
+        encoder\'s closed-loop fast path (the reference instead duplicates
+        reconstruction in the encoder, analyze.c:667-882). The caller
+        guarantees the arrays equal what decoding the packed packet would
+        produce; qz_dense holds zig-zag quantized coefficients with the
+        ORIGINAL (unpredicted) DC in slot 0.
+
+        Produces byte-identical reference state to decode_packet on the
+        corresponding packet (asserted by the closed-loop tests)."""
+        g = self.geometry
+        self.frame_type = frame_type
+        self.qis = list(qis)
+        ncoded_total = int(coded.sum())
+        if frame_type != INTRA_FRAME and (
+            self.ref_idx[FRAME_GOLD] < 0 or self.ref_idx[FRAME_PREV] < 0
+        ):
+            self.buffers[0].fill_gray()
+            self.ref_idx[FRAME_GOLD] = 0
+            self.ref_idx[FRAME_PREV] = 0
+            self.ref_idx[FRAME_SELF] = 0
+            self._out_frame = self.buffers[0]
+        if ncoded_total <= 0:
+            self._update_granpos()
+            return 1
+        refi = 0
+        while refi in (self.ref_idx[FRAME_GOLD], self.ref_idx[FRAME_PREV]):
+            refi += 1
+        self.ref_idx[FRAME_SELF] = refi
+        self_frame = self.buffers[refi]
+        if frame_type == INTRA_FRAME:
+            self.keyframe_num = self.curframe_num
+        self._update_granpos()
+
+        order = []
+        for pli in range(3):
+            sel = g.scan_pli == pli
+            fr = g.scan_fragis[sel]
+            order.append(fr[coded[fr]])
+        order = (
+            np.concatenate(order).astype(np.int32)
+            if ncoded_total
+            else np.zeros(0, np.int32)
+        )
+        qz = np.ascontiguousarray(qz_order, dtype=np.int32)
+        frame_dequant = np.stack(
+            [
+                np.stack([self.dequant[qi, pli] for qi in self.qis])
+                for pli in range(3)
+            ]
+        )
+        frag_is_inter = (frag_mode != MODE_INTRA).astype(np.int32)
+        deq_rows = frame_dequant[
+            g.frag_pli[order], frag_qii[order], frag_is_inter[order]
+        ].astype(np.int64)
+        dc_quant = frame_dequant[
+            g.frag_pli[order], 0, frag_is_inter[order], 0
+        ].astype(np.int64)
+        dcs = qz[:, 0].astype(np.int64)
+        # AC-all-zero blocks take the DC-fill path: both our tokenizers
+        # only emit zero runs ahead of a nonzero value, so the decoder\'s
+        # last_zzi < 2 exactly when the AC vector is zero.
+        dc_only = (qz[:, 1:] == 0).all(axis=1)
+        from theora_tpu.native import residuals_native
+
+        residual = residuals_native(qz, deq_rows, dcs, dc_quant, dc_only)
+        self._reconstruct(order, residual, frag_refi, frag_mv, self_frame)
+        prev_frame = self.buffers[self.ref_idx[FRAME_PREV]]
+        self._copy_uncoded(coded, prev_frame, self_frame)
+        flimit = self.setup.qinfo["loop_filter_limits"][self.qis[0]]
+        if flimit:
+            bv = build_bounding_values(flimit)
+            from theora_tpu.native import loop_filter_native
+
+            for pli in range(3):
+                pl = g.planes[pli]
+                sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+                cm = coded[sl].reshape(pl.nvfrags, pl.nhfrags)
+                vpad, hpad = g.plane_padding(pli)
+                loop_filter_native(self_frame.planes[pli], cm, bv, vpad, hpad)
+        self_frame.fill_borders()
+        self._out_frame = self_frame
+        if self.pp_level > 0:
+            self._postprocess(coded, frag_qii)
+        self.last_frame_metrics = {
+            "frame": self.curframe_num,
+            "keyframe": frame_type == INTRA_FRAME,
+            "qis": list(self.qis),
+            "ncoded": ncoded_total,
+            "granulepos": self.granpos,
+        }
+        if frame_type == INTRA_FRAME:
+            self.ref_idx[FRAME_GOLD] = refi
+            self.ref_idx[FRAME_PREV] = refi
+        else:
+            self.ref_idx[FRAME_PREV] = refi
+        return 0
+
+    # ------------------------------------------------------------------
     def _parse_sideinfo_native(self, packet: bytes) -> dict:
         """Frame side-info parse via the C++ tier (decode.c:442-981)."""
         import ctypes

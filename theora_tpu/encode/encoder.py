@@ -144,6 +144,12 @@ class Encoder:
         self._trellis_scan = None
         # Device-precomputed (dct, qdct) per plane (TpuBatchIntraEncoder).
         self._precomputed_tq = None
+        # Entropy-free closed-loop reconstruction (the reference's
+        # encoder-side recon, analyze.c:667-882): byte-identical to
+        # decoding the packet, currently speed-neutral on this host, so
+        # the proven decode path stays the default.
+        self.fast_recon = False
+        self._recon_state = None
         # Adaptive quantization (3-qi frames with activity masking).
         self.adaptive_quant = False
         # VP3 compatibility: explicit drop-frame packets instead of 0-byte
@@ -253,6 +259,7 @@ class Encoder:
         """Encode one frame (display-orientation planes) -> Packet."""
         self.curframe_num += 1
         self._frames_since_keyframe += 1
+        self._recon_state = None
         is_key = (
             self._prev_orig is None
             or self._frames_since_keyframe >= self.keyframe_freq
@@ -320,8 +327,14 @@ class Encoder:
         self._prev_orig = planes
         if is_key:
             self._gold_orig = planes
-        # Feed the packet through the embedded decoder to update refs.
-        self._dec.decode_packet(data)
+        # Feed the packet through the embedded decoder to update refs --
+        # via the entropy-free fast path when the trellis state allows.
+        rs = getattr(self, "_recon_state", None)
+        if rs is not None and len(data) and self.collect is None:
+            self._dec.reconstruct_from_state(*rs)
+            self._recon_state = None
+        else:
+            self._dec.decode_packet(data)
         if self.collect is not None and len(data):
             self._collect_frame_metrics(planes)
         shift = self.info.keyframe_granule_shift
@@ -1611,6 +1624,10 @@ class Encoder:
         self._mvs_pack(bw, mb_modes, mb_mvs, coded_mbis, coded)
         if frag_qii is not None:
             self._block_qis_pack(bw, frag_qii, coded)
+        self._stash_recon_state(
+            INTER_FRAME, coded, frag_refi, frag_mode, frag_mv, frag_qii,
+            per_plane,
+        )
         return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
 
     # ------------------------------------------------------------------
@@ -1682,6 +1699,38 @@ class Encoder:
                 ],
                 axis=1,
             )
+        )
+
+    # ------------------------------------------------------------------
+    def _stash_recon_state(self, ftype, coded, frag_refi, frag_mode,
+                           frag_mv, frag_qii, per_plane) -> None:
+        """Capture the state needed for the closed loop\'s entropy-free
+        reconstruction (Decoder.reconstruct_from_state); only available
+        when the trellis path built scan permutations."""
+        self._recon_state = None
+        if not self.fast_recon:
+            return
+        scan = self._trellis_scan
+        if scan is None or not all(isinstance(p, tuple) for p in scan):
+            return
+        qz = [
+            per_plane[pli][1][scan[pli][1]]
+            for pli in range(3)
+            if len(scan[pli][1])
+        ]
+        qz_order = (
+            np.concatenate(qz) if qz else np.zeros((0, 64), np.int32)
+        )
+        g = self.geometry
+        qii = (
+            frag_qii
+            if frag_qii is not None
+            else np.zeros(g.nfrags, dtype=np.int32)
+        )
+        self._recon_state = (
+            0 if ftype == INTRA_FRAME else 1,
+            list(self.frame_qis), coded, frag_refi, frag_mode, frag_mv,
+            qii, qz_order,
         )
 
     # ------------------------------------------------------------------
