@@ -165,3 +165,27 @@ def test_tpu_batch_intra_encoder_byte_identical():
     tpu.flush_headers()
     tp = [p.data for p in tpu.encode(frames)]
     assert hp == tp
+
+
+def test_tpu_batch_decoder_bit_exact():
+    """GOP-batch device decode (one lax.scan per plane over all frames)
+    must match the golden streams bit-for-bit."""
+    import os
+
+    from tests.conftest import TESTDATA
+    from theora_tpu.decode.tpu_batch import TpuBatchDecoder
+    from theora_tpu.headers import parse_info_header, parse_setup_header
+    from theora_tpu.tpkt import read_tpkt
+
+    for name in ("cif_k4_q40", "clip64x48_k8_q5"):
+        pkts = read_tpkt(os.path.join(TESTDATA, f"{name}.tpkt"))
+        dec = TpuBatchDecoder(
+            parse_info_header(pkts[0].data), parse_setup_header(pkts[2].data)
+        )
+        outs = dec.decode_batch([p.data for p in pkts[3:]])
+        ref = np.fromfile(
+            os.path.join(TESTDATA, f"{name}.ref.yuv"), dtype=np.uint8
+        ).reshape(len(pkts) - 3, -1)
+        for i, o in enumerate(outs):
+            mine = np.concatenate([x.reshape(-1) for x in o])
+            assert np.array_equal(mine, ref[i]), f"{name} frame {i}"
