@@ -129,3 +129,21 @@ def test_compat_bad_packet_returns_error():
     assert ret == 0
     ret, _ = ctx.packetin(bytes([0x00]) + b"\xff" * 50)
     assert ret in (0, TH_EBADPACKET)
+
+
+def test_crosscheck_reverse_slice():
+    """A slice of the reverse conformance campaign: random REFERENCE
+    encoder configs must decode bit-identically in both decoders."""
+    import os
+
+    import pytest
+
+    if not (os.path.exists("refbuild/build/ref_enc")
+            and os.path.exists("refbuild/build/ref_dec")):
+        pytest.skip("reference oracle not built")
+    from theora_tpu.tools.crosscheck import run_reverse_trial
+
+    rng = np.random.RandomState(17)
+    for t in range(4):
+        desc, err = run_reverse_trial(rng, t)
+        assert err is None, f"{desc}: {err}"

@@ -1,12 +1,14 @@
 """Randomized encode/decode conformance campaign.
 
-Encodes synthetic clips across random frame geometries (including odd
-crops), pixel formats, quantizers, keyframe schedules, CBR, and adaptive
-quant; every stream must decode in the reference decoder (refbuild
-oracle) AND our decoder with bit-identical output. The mass-conformance
-analogue of the reference's tests/ + dump_psnr workflow.
+Forward direction: OUR encoder across random frame geometries (including
+odd crops), pixel formats, quantizers, keyframe schedules, CBR, and
+adaptive quant; every stream must decode in the reference decoder
+(refbuild oracle) AND our decoder with bit-identical output.
 
-Usage: python -m theora_tpu.tools.crosscheck [trials] [seed]
+Reverse direction (--reverse): the REFERENCE encoder across random
+configs; our decoder must match the reference decoder bit-for-bit.
+
+Usage: python -m theora_tpu.tools.crosscheck [--reverse] [trials] [seed]
 """
 from __future__ import annotations
 
@@ -22,6 +24,7 @@ from theora_tpu.info import TheoraInfo
 from theora_tpu.tpkt import write_tpkt
 
 REF_DEC = "refbuild/build/ref_dec"
+REF_ENC = "refbuild/build/ref_enc"
 
 
 def synth(rng, W, H, n, fmt, kind):
@@ -98,19 +101,78 @@ def run_trial(rng, trial, tmp="/tmp/crosscheck"):
     return desc, None
 
 
+def run_reverse_trial(rng, trial, tmp="/tmp/crosscheck_r"):
+    """Reference encoder -> both decoders must agree byte-for-byte."""
+    from theora_tpu.tpkt import read_tpkt
+    from theora_tpu.headers import parse_info_header, parse_setup_header
+
+    fw = int(rng.choice([32, 48, 64, 80, 96]))
+    fh = int(rng.choice([32, 48, 64, 80]))
+    fmt = int(rng.choice([0, 2, 3]))
+    pw = fw - int(rng.randint(0, min(16, fw - 15)))
+    ph = fh - int(rng.randint(0, min(16, fh - 15)))
+    px = int(rng.randint(0, fw - pw + 1))
+    py = int(rng.randint(0, fh - ph + 1))
+    qi = int(rng.randint(0, 64))
+    kf = int(rng.choice([1, 2, 4, 8]))
+    nfr = int(rng.randint(2, 7))
+    br = int(rng.choice([0, 0, 80000]))
+    desc = (f"REV {fw}x{fh} pic {pw}x{ph}+{px}+{py} fmt{fmt} qi{qi} "
+            f"kf{kf} br{br}")
+    frames = synth(rng, fw, fh, nfr, fmt, trial % 3)
+    csz = sum(p.size for p in frames[0])
+    with open(tmp + ".i420", "wb") as f:
+        for fr in frames:
+            for p in fr:
+                f.write(np.ascontiguousarray(p).tobytes())
+    r = subprocess.run(
+        [REF_ENC, str(fw), str(fh), str(nfr), str(qi), str(kf),
+         tmp + ".i420", tmp + ".tpkt", str(br), str(pw), str(ph),
+         str(px), str(py), str(fmt)],
+        capture_output=True, text=True, timeout=120,
+    )
+    if r.returncode != 0:
+        return desc, f"reference encoder failed: {r.stderr[-120:]}"
+    r = subprocess.run(
+        [REF_DEC, tmp + ".tpkt", tmp + ".yuv"],
+        capture_output=True, text=True, timeout=120,
+    )
+    if "decoded" not in (r.stdout + r.stderr):
+        return desc, "reference decoder rejected its own stream"
+    pkts = read_tpkt(tmp + ".tpkt")
+    dec = Decoder(parse_info_header(pkts[0].data),
+                  parse_setup_header(pkts[2].data))
+    mine = []
+    for p in pkts[3:]:
+        dec.decode_packet(p.data)
+        mine.append(np.concatenate([x.reshape(-1) for x in dec.ycbcr_out()]))
+    ref = np.fromfile(tmp + ".yuv", np.uint8)
+    mine_all = np.concatenate(mine)
+    if len(ref) != len(mine_all):
+        return desc, f"length {len(ref)} vs {len(mine_all)}"
+    if not np.array_equal(ref, mine_all):
+        return desc, f"bytes differ at {int(np.argmax(ref != mine_all))}"
+    return desc, None
+
+
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    reverse = "--reverse" in argv
+    if reverse:
+        argv.remove("--reverse")
     trials = int(argv[0]) if argv else 40
     seed = int(argv[1]) if len(argv) > 1 else 42
     rng = np.random.RandomState(seed)
     fails = 0
+    fn = run_reverse_trial if reverse else run_trial
     for t in range(trials):
-        desc, err = run_trial(rng, t)
+        desc, err = fn(rng, t)
         if err:
             fails += 1
             print(f"FAIL {desc}: {err}")
+    which = ("reference encodes" if reverse else "our encodes")
     print(f"{trials - fails}/{trials} trials bit-identical "
-          "(reference decoder vs ours, on our encodes)")
+          f"(reference decoder vs ours, on {which})")
     return 1 if fails else 0
 
 
