@@ -12,6 +12,9 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
 
 namespace {
 
@@ -1536,10 +1539,42 @@ extern "C" int64_t th_sad_halfpel(const uint8_t* cur, int cur_stride,
   int64_t sad = 0;
   if (mx2 | my2) {
     const uint8_t* s2 = s1 + (int64_t)my2 * ref_stride + mx2;
+#if defined(__SSE2__)
+    if (bs == 16) {
+      // VP3 averages with truncation; pavgb rounds up, corrected by
+      // subtracting (a ^ b) & 1 (the reference's frag_copy2 identity).
+      __m128i acc = _mm_setzero_si128();
+      const __m128i one = _mm_set1_epi8(1);
+      for (int r = 0; r < 16;
+           r++, c += cur_stride, s1 += ref_stride, s2 += ref_stride) {
+        __m128i a = _mm_loadu_si128((const __m128i*)s1);
+        __m128i b = _mm_loadu_si128((const __m128i*)s2);
+        __m128i avg = _mm_sub_epi8(
+            _mm_avg_epu8(a, b),
+            _mm_and_si128(_mm_xor_si128(a, b), one));
+        __m128i vc = _mm_loadu_si128((const __m128i*)c);
+        acc = _mm_add_epi64(acc, _mm_sad_epu8(vc, avg));
+      }
+      return _mm_cvtsi128_si64(acc) +
+             _mm_cvtsi128_si64(_mm_unpackhi_epi64(acc, acc));
+    }
+#endif
     for (int r = 0; r < bs; r++, c += cur_stride, s1 += ref_stride, s2 += ref_stride)
       for (int k = 0; k < bs; k++)
         sad += abs((int)c[k] - (((int)s1[k] + s2[k]) >> 1));
   } else {
+#if defined(__SSE2__)
+    if (bs == 16) {
+      __m128i acc = _mm_setzero_si128();
+      for (int r = 0; r < 16; r++, c += cur_stride, s1 += ref_stride) {
+        __m128i vc = _mm_loadu_si128((const __m128i*)c);
+        __m128i va = _mm_loadu_si128((const __m128i*)s1);
+        acc = _mm_add_epi64(acc, _mm_sad_epu8(vc, va));
+      }
+      return _mm_cvtsi128_si64(acc) +
+             _mm_cvtsi128_si64(_mm_unpackhi_epi64(acc, acc));
+    }
+#endif
     for (int r = 0; r < bs; r++, c += cur_stride, s1 += ref_stride)
       for (int k = 0; k < bs; k++) sad += abs((int)c[k] - s1[k]);
   }
@@ -1554,8 +1589,38 @@ extern "C" {
 
 namespace {
 
+// SAD over an n x n block (n = 4, 8, or 16). The 8/16 paths use psadbw
+// (one instruction per 16 pixels), the scalar loop autovectorizes for
+// the rest -- the host-tier speed-of-light for the ME inner loop
+// (mcenc.c's oc_enc_frag_sad analogue).
 inline int64_t sad_block(const uint8_t* a, int as, const uint8_t* b, int bs_,
                          int n) {
+#if defined(__SSE2__)
+  if (n == 16) {
+    __m128i acc = _mm_setzero_si128();
+    for (int r = 0; r < 16; r++, a += as, b += bs_) {
+      __m128i va = _mm_loadu_si128((const __m128i*)a);
+      __m128i vb = _mm_loadu_si128((const __m128i*)b);
+      acc = _mm_add_epi64(acc, _mm_sad_epu8(va, vb));
+    }
+    return _mm_cvtsi128_si64(acc) +
+           _mm_cvtsi128_si64(_mm_unpackhi_epi64(acc, acc));
+  }
+  if (n == 8) {
+    __m128i acc = _mm_setzero_si128();
+    for (int r = 0; r < 8; r += 2, a += 2 * as, b += 2 * bs_) {
+      __m128i va = _mm_unpacklo_epi64(
+          _mm_loadl_epi64((const __m128i*)a),
+          _mm_loadl_epi64((const __m128i*)(a + as)));
+      __m128i vb = _mm_unpacklo_epi64(
+          _mm_loadl_epi64((const __m128i*)b),
+          _mm_loadl_epi64((const __m128i*)(b + bs_)));
+      acc = _mm_add_epi64(acc, _mm_sad_epu8(va, vb));
+    }
+    return _mm_cvtsi128_si64(acc) +
+           _mm_cvtsi128_si64(_mm_unpackhi_epi64(acc, acc));
+  }
+#endif
   int64_t s = 0;
   for (int r = 0; r < n; r++, a += as, b += bs_)
     for (int c = 0; c < n; c++) s += abs((int)a[c] - b[c]);
