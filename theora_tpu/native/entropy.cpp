@@ -1414,6 +1414,54 @@ const int ZIGN[64] = {
   35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
   58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+
+// SoA iDCT over 8 blocks at once: soa[k] holds coefficient k of 8
+// blocks; every butterfly line is one 8-lane int32 op. Bit-exact with
+// idct8_1d (same int32 arithmetic, int16 wraparound via shift pairs).
+inline __m256i w16(__m256i v) {
+  return _mm256_srai_epi32(_mm256_slli_epi32(v, 16), 16);
+}
+inline __m256i mul16s(int c, __m256i v) {
+  return _mm256_srai_epi32(_mm256_mullo_epi32(_mm256_set1_epi32(c), v), 16);
+}
+
+inline void idct8_soa(__m256i* x, int stride) {
+  __m256i t0 = mul16s(C4, w16(_mm256_add_epi32(x[0], x[4 * stride])));
+  __m256i t1 = mul16s(C4, w16(_mm256_sub_epi32(x[0], x[4 * stride])));
+  __m256i t2 = _mm256_sub_epi32(mul16s(C6, x[2 * stride]),
+                                mul16s(C2, x[6 * stride]));
+  __m256i t3 = _mm256_add_epi32(mul16s(C2, x[2 * stride]),
+                                mul16s(C6, x[6 * stride]));
+  __m256i t4 = _mm256_sub_epi32(mul16s(C7, x[1 * stride]),
+                                mul16s(C1, x[7 * stride]));
+  __m256i t5 = _mm256_sub_epi32(mul16s(C3, x[5 * stride]),
+                                mul16s(C5, x[3 * stride]));
+  __m256i t6 = _mm256_add_epi32(mul16s(C5, x[5 * stride]),
+                                mul16s(C3, x[3 * stride]));
+  __m256i t7 = _mm256_add_epi32(mul16s(C1, x[1 * stride]),
+                                mul16s(C7, x[7 * stride]));
+  __m256i r = _mm256_add_epi32(t4, t5);
+  t5 = mul16s(C4, w16(_mm256_sub_epi32(t4, t5)));
+  t4 = r;
+  r = _mm256_add_epi32(t7, t6);
+  t6 = mul16s(C4, w16(_mm256_sub_epi32(t7, t6)));
+  t7 = r;
+  r = _mm256_add_epi32(t0, t3); t3 = _mm256_sub_epi32(t0, t3); t0 = r;
+  r = _mm256_add_epi32(t1, t2); t2 = _mm256_sub_epi32(t1, t2); t1 = r;
+  r = _mm256_add_epi32(t6, t5); t5 = _mm256_sub_epi32(t6, t5); t6 = r;
+  x[0] = w16(_mm256_add_epi32(t0, t7));
+  x[1 * stride] = w16(_mm256_add_epi32(t1, t6));
+  x[2 * stride] = w16(_mm256_add_epi32(t2, t5));
+  x[3 * stride] = w16(_mm256_add_epi32(t3, t4));
+  x[4 * stride] = w16(_mm256_sub_epi32(t3, t4));
+  x[5 * stride] = w16(_mm256_sub_epi32(t2, t5));
+  x[6 * stride] = w16(_mm256_sub_epi32(t1, t6));
+  x[7 * stride] = w16(_mm256_sub_epi32(t0, t7));
+}
+#endif
+
 }  // namespace
 
 // qz: [n,64] int16 zig-zag quantized; deq: [n,64] int32 factors (zig-zag);
@@ -1422,6 +1470,49 @@ const int ZIGN[64] = {
 void th_residuals_batch(int64_t n, const int16_t* qz, const int32_t* deq,
                         const int32_t* dc, const int32_t* dc_quant,
                         const uint8_t* dc_only, int32_t* out) {
+#if defined(__AVX2__)
+  // SoA groups of 8 non-dc_only blocks.
+  int64_t grp[8];
+  int gi = 0;
+  alignas(32) int32_t soa[64][8];
+  auto flush = [&](void) {
+    if (gi == 0) return;
+    for (int g = gi; g < 8; g++) grp[g] = grp[0];  // pad with a real block
+    for (int k = 0; k < 64; k++)
+      for (int g = 0; g < 8; g++) soa[k][g] = 0;
+    for (int g = 0; g < 8; g++) {
+      int64_t i = grp[g];
+      const int16_t* q = qz + i * 64;
+      const int32_t* d = deq + i * 64;
+      soa[0][g] = i16w(dc[i] * dc_quant[i]);
+      for (int z = 1; z < 64; z++)
+        if (q[z]) soa[ZIGN[z]][g] = i16w((int32_t)q[z] * d[z]);
+    }
+    __m256i* v = (__m256i*)soa;
+    for (int r = 0; r < 8; r++) idct8_soa(v + r * 8, 1);
+    for (int c = 0; c < 8; c++) idct8_soa(v + c, 8);
+    const __m256i eight = _mm256_set1_epi32(8);
+    for (int k = 0; k < 64; k++)
+      v[k] = w16(_mm256_srai_epi32(_mm256_add_epi32(v[k], eight), 4));
+    for (int g = 0; g < gi; g++) {
+      int64_t i = grp[g];
+      int32_t* o = out + i * 64;
+      for (int k = 0; k < 64; k++) o[k] = soa[k][g];
+    }
+    gi = 0;
+  };
+  for (int64_t i = 0; i < n; i++) {
+    if (dc_only[i]) {
+      int32_t p = i16w((dc[i] * dc_quant[i] + 15) >> 5);
+      int32_t* o = out + i * 64;
+      for (int k = 0; k < 64; k++) o[k] = p;
+      continue;
+    }
+    grp[gi++] = i;
+    if (gi == 8) flush();
+  }
+  flush();
+#else
   for (int64_t i = 0; i < n; i++) {
     int32_t* o = out + i * 64;
     if (dc_only[i]) {
@@ -1441,6 +1532,7 @@ void th_residuals_batch(int64_t n, const int16_t* qz, const int32_t* deq,
     for (int r = 0; r < 8; r++) idct8_1d(w + r * 8, o + r, 8);
     for (int k = 0; k < 64; k++) o[k] = i16w((o[k] + 8) >> 4);
   }
+#endif
 }
 
 }  // extern "C"
