@@ -31,29 +31,53 @@ struct BitReader {
     pos = 0;
     eof = false;
   }
-  // MSB-first read; zero bits past EOF (bitpack.c:30-70).
+  // Word-based MSB-first window: up to 32 bits in one 64-bit load
+  // (zero-padded past EOF, bitpack.c:30-70 semantics).
+  uint32_t window(int bits) const {
+    int64_t byte0 = pos >> 3;
+    int off = (int)(pos & 7);
+    uint64_t w = 0;
+    int64_t navail = (nbits + 7) >> 3;
+    if (byte0 + 8 <= navail) {
+      w = ((uint64_t)data[byte0] << 56) | ((uint64_t)data[byte0 + 1] << 48) |
+          ((uint64_t)data[byte0 + 2] << 40) |
+          ((uint64_t)data[byte0 + 3] << 32) |
+          ((uint64_t)data[byte0 + 4] << 24) |
+          ((uint64_t)data[byte0 + 5] << 16) |
+          ((uint64_t)data[byte0 + 6] << 8) | (uint64_t)data[byte0 + 7];
+    } else {
+      for (int i = 0; i < 8; i++) {
+        uint64_t b = (byte0 + i < navail) ? data[byte0 + i] : 0;
+        w |= b << (56 - 8 * i);
+      }
+    }
+    uint32_t v = (uint32_t)((w << off) >> (64 - bits));
+    // Zero any bits past nbits (trailing byte padding must read as 0).
+    int64_t valid = nbits - pos;
+    if (valid < bits) {
+      if (valid <= 0) return 0;
+      v &= ~0u << (bits - (int)valid);
+    }
+    return v;
+  }
   uint32_t read(int bits) {
     if (bits == 0) return 0;
-    uint32_t v = 0;
-    for (int i = 0; i < bits; i++) {
-      int64_t p = pos + i;
-      int b = (p < nbits) ? ((data[p >> 3] >> (7 - (p & 7))) & 1) : 0;
-      v = (v << 1) | (uint32_t)b;
+    uint32_t v = bits <= 32 ? window(bits) : 0;
+    if (bits > 32) {
+      for (int i = 0; i < bits; i++) {
+        int64_t p = pos + i;
+        int b = (p < nbits) ? ((data[p >> 3] >> (7 - (p & 7))) & 1) : 0;
+        v = (v << 1) | (uint32_t)b;
+      }
+      pos += bits;
+      if (pos > nbits) eof = true;
+      return v;
     }
     pos += bits;
     if (pos > nbits) eof = true;
     return v;
   }
-  // Fast multi-bit peek (zero padded).
-  uint32_t peek(int bits) const {
-    uint32_t v = 0;
-    for (int i = 0; i < bits; i++) {
-      int64_t p = pos + i;
-      int b = (p < nbits) ? ((data[p >> 3] >> (7 - (p & 7))) & 1) : 0;
-      v = (v << 1) | (uint32_t)b;
-    }
-    return v;
-  }
+  uint32_t peek(int bits) const { return window(bits); }
 };
 
 struct BitWriter {
