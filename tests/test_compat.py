@@ -215,3 +215,61 @@ def test_vp3_compatible_drop_frames():
     for p in pkts[3:]:
         dec.decode_packet(p.data)
         dec.ycbcr_out()
+
+
+def test_twopass_ctl_roundtrip():
+    """TH_ENCCTL_2PASS_OUT / 2PASS_IN: pass-1 metrics flow through the
+    ctl interface into a pass-2 encoder (theoraenc.h:268-344)."""
+    import numpy as np
+
+    from tests.conftest import TESTDATA
+    import os
+
+    from theora_tpu import compat
+    from theora_tpu.info import TheoraInfo
+
+    W, H = 64, 48
+    raw = np.fromfile(os.path.join(TESTDATA, "clip64x48.i420"), np.uint8)
+    fsz = W * H * 3 // 2
+    frames = []
+    for i in range(6):
+        f = raw[(i * fsz) % (len(raw) - fsz):][:fsz]
+        frames.append(
+            [
+                f[: W * H].reshape(H, W),
+                f[W * H : W * H + fsz // 6].reshape(H // 2, W // 2),
+                f[W * H + fsz // 6 :].reshape(H // 2, W // 2),
+            ]
+        )
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=40, target_bitrate=64000, fps_numerator=30,
+        fps_denominator=1,
+    )
+    # Pass 1.
+    enc1 = compat.th_encode_alloc(info)
+    while enc1.flushheader() is not None:
+        pass
+    for fr in frames:
+        enc1.ycbcr_in(fr)
+        enc1.packetout(False)
+    blob = enc1.ctl(compat.TH_ENCCTL_2PASS_OUT)
+    assert isinstance(blob, bytes) and len(blob) > 12
+    # Pass 2.
+    info2 = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=40, target_bitrate=64000, fps_numerator=30,
+        fps_denominator=1,
+    )
+    enc2 = compat.th_encode_alloc(info2)
+    while enc2.flushheader() is not None:
+        pass
+    # RC initializes lazily on the first frame; prime it, then feed.
+    enc2._enc.encode_frame(frames[0])
+    assert enc2.ctl(compat.TH_ENCCTL_2PASS_IN, blob) == 0
+    total = 0
+    for fr in frames:
+        enc2.ycbcr_in(fr)
+        ok = enc2.packetout(False)
+        total += len(ok.data)
+    assert total > 0
