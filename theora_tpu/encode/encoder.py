@@ -1814,6 +1814,18 @@ class Encoder:
         (encode.c:591-621)."""
         from theora_tpu.constants import MODE_ALPHABETS
 
+        try:
+            from theora_tpu.native import mb_modes_pack_native
+
+            modes = [int(mb_modes[mbi]) for mbi in coded_mbis]
+            buf, nbits = mb_modes_pack_native(
+                modes, np.asarray(MODE_ALPHABETS, dtype=np.int32)
+            )
+            bw.append_bits(buf, nbits)
+            return
+        except ImportError:
+            pass
+
         vlc_bits = [1, 2, 3, 4, 5, 6, 7, 7]
         hist = np.zeros(8, dtype=np.int64)
         for mbi in coded_mbis:

@@ -680,3 +680,26 @@ def satd_halfpel_batch_native(cur, ref_padded, fy, fx, mvx, mvy, bs=16):
         satd.ctypes.data, dc.ctypes.data,
     )
     return satd, dc
+
+
+def mb_modes_pack_native(modes, alphabets):
+    """Scheme selection + MB mode emission (th_mb_modes_pack). Returns
+    (bitbuf bytes, nbits)."""
+    lib = get_lib()
+    if not hasattr(lib, "_mm_setup"):
+        lib.th_mb_modes_pack.restype = ctypes.c_int64
+        lib.th_mb_modes_pack.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._mm_setup = True
+    m32 = np.ascontiguousarray(modes, dtype=np.int32)
+    al = np.ascontiguousarray(alphabets, dtype=np.int32)
+    cap = 16 + len(m32) * 2
+    out = np.zeros(cap, dtype=np.uint8)
+    bits = lib.th_mb_modes_pack(
+        m32.ctypes.data, len(m32), al.ctypes.data, out.ctypes.data, cap
+    )
+    if bits < 0:
+        raise ValueError("mb modes pack failed")
+    return out.tobytes(), int(bits)

@@ -12,6 +12,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#include <algorithm>
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
@@ -2902,3 +2903,59 @@ void th_satd_halfpel_batch(const uint8_t* cur, int W, const uint8_t* ref,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// MB-mode scheme selection + emission (encode.c:591-621): histogram the
+// coded modes, pick the cheapest of 8 coding schemes (custom ranking /
+// 6 fixed alphabets / 3-bit CLC), and emit. Returns bit count or -1.
+extern "C" int64_t th_mb_modes_pack(const int32_t* modes, int64_t n,
+                                    const int32_t* alphabets /*[6][8]*/,
+                                    uint8_t* out, int64_t cap) {
+  static const int VLC_BITS[8] = {1, 2, 3, 4, 5, 6, 7, 7};
+  static const uint32_t VLC_CODES[8] = {0, 2, 6, 14, 30, 62, 126, 127};
+  int64_t hist[8] = {0};
+  for (int64_t i = 0; i < n; i++) hist[modes[i]]++;
+  // Scheme 0: rank by descending frequency (stable, ties by mode index).
+  int order0[8];
+  for (int m = 0; m < 8; m++) order0[m] = m;
+  std::stable_sort(order0, order0 + 8,
+                   [&](int a, int b) { return hist[a] > hist[b]; });
+  int rank0[8];
+  for (int r = 0; r < 8; r++) rank0[order0[r]] = r;
+  int64_t costs[8];
+  costs[0] = 24;
+  for (int m = 0; m < 8; m++) costs[0] += hist[m] * VLC_BITS[rank0[m]];
+  for (int s = 1; s < 7; s++) {
+    int rank[8];
+    for (int r = 0; r < 8; r++) rank[alphabets[(s - 1) * 8 + r]] = r;
+    costs[s] = 0;
+    for (int m = 0; m < 8; m++) costs[s] += hist[m] * VLC_BITS[rank[m]];
+  }
+  costs[7] = 3 * n;
+  int scheme = 0;
+  for (int s = 1; s < 8; s++)
+    if (costs[s] < costs[scheme]) scheme = s;
+  BitWriter bw;
+  bw.write((uint32_t)scheme, 3);
+  int rank[8];
+  if (scheme == 0) {
+    for (int m = 0; m < 8; m++) bw.write((uint32_t)rank0[m], 3);
+    for (int m = 0; m < 8; m++) rank[m] = rank0[m];
+  } else if (scheme == 7) {
+    for (int m = 0; m < 8; m++) rank[m] = m;
+  } else {
+    for (int r = 0; r < 8; r++) rank[alphabets[(scheme - 1) * 8 + r]] = r;
+  }
+  for (int64_t i = 0; i < n; i++) {
+    int r = rank[modes[i]];
+    if (scheme == 7)
+      bw.write((uint32_t)r, 3);
+    else
+      bw.write(VLC_CODES[r], VLC_BITS[r]);
+  }
+  int64_t bits = (int64_t)bw.buf.size() * 8 + bw.curbits;
+  bw.flush();
+  if ((int64_t)bw.buf.size() > cap) return -1;
+  memcpy(out, bw.buf.data(), bw.buf.size());
+  return bits;
+}
