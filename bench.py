@@ -115,19 +115,47 @@ def bench_tpu(frames):
     return mpix / dt
 
 
+def bench_host_encode(frames):
+    """Fallback metric if the TPU is unreachable: host-tier encode."""
+    from theora_tpu.encode.encoder import Encoder
+    from theora_tpu.info import TheoraInfo
+
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        pic_x=0, pic_y=0, fps_numerator=30, fps_denominator=1,
+        quality=QUALITY, keyframe_granule_shift=6,
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 1
+    fr = [[f[0], f[1], f[2]] for f in frames]
+    enc.encode_frame(fr[0])
+    t0 = time.perf_counter()
+    for x in fr:
+        enc.encode_frame(x)
+    dt = time.perf_counter() - t0
+    return NFRAMES * (W * H + 2 * (W // 2) * (H // 2)) / 1e6 / dt
+
+
 def main():
     frames = gen_frames()
     try:
         ref_mpixs = bench_reference(frames)
     except Exception:
         ref_mpixs = float("nan")
-    tpu_mpixs = bench_tpu(frames)
-    vs = tpu_mpixs / ref_mpixs if ref_mpixs == ref_mpixs else 0.0
+    metric = "720p keyframe encode compute Mpix/s/chip (fdct+quant+recon, bit-exact)"
+    try:
+        value = bench_tpu(frames)
+    except Exception:
+        # TPU unreachable: report the host tier so the driver still gets
+        # a measurement.
+        metric = "720p keyframe encode Mpix/s (host tier; TPU unreachable)"
+        value = bench_host_encode(frames)
+    vs = value / ref_mpixs if ref_mpixs == ref_mpixs else 0.0
     print(
         json.dumps(
             {
-                "metric": "720p keyframe encode compute Mpix/s/chip (fdct+quant+recon, bit-exact)",
-                "value": round(tpu_mpixs, 2),
+                "metric": metric,
+                "value": round(value, 2),
                 "unit": "Mpix/s",
                 "vs_baseline": round(vs, 3),
             }
