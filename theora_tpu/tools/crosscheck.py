@@ -81,13 +81,17 @@ def run_trial(rng, trial, tmp="/tmp/crosscheck"):
     hd = e.flush_headers()
     pk = [e.encode_frame(fr) for fr in synth(rng, fw, fh, nfr, fmt, trial % 3)]
     write_tpkt(tmp + ".tpkt", hd + pk)
-    r = subprocess.run(
-        [REF_DEC, tmp + ".tpkt", tmp + ".yuv"],
-        capture_output=True, text=True, timeout=60,
-    )
+    pp = int(rng.choice([0, 0, 0, 2, 5, 7]))
+    cmd = [REF_DEC, tmp + ".tpkt", tmp + ".yuv"]
+    if pp:
+        cmd.append(str(pp))
+        desc += f" pp{pp}"
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=60)
     if "decoded" not in (r.stdout + r.stderr):
         return desc, "reference decoder rejected the stream"
     dec = Decoder(parse_info_header(hd[0].data), parse_setup_header(hd[2].data))
+    if pp:
+        dec.set_pplevel(pp)
     mine = []
     for p in pk:
         dec.decode_packet(p.data)
