@@ -25,3 +25,21 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 TESTDATA = os.path.join(REPO_ROOT, "testdata")
+
+
+def ensure_ref_oracle() -> bool:
+    """Build the reference oracle binaries if missing; True when usable."""
+    import subprocess
+
+    dec = os.path.join(REPO_ROOT, "refbuild", "build", "ref_dec")
+    enc = os.path.join(REPO_ROOT, "refbuild", "build", "ref_enc")
+    if os.path.exists(dec) and os.path.exists(enc):
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(REPO_ROOT, "refbuild")],
+            check=True, capture_output=True, timeout=300,
+        )
+    except Exception:
+        return False
+    return os.path.exists(dec) and os.path.exists(enc)

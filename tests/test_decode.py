@@ -134,13 +134,12 @@ def test_compat_bad_packet_returns_error():
 def test_crosscheck_reverse_slice():
     """A slice of the reverse conformance campaign: random REFERENCE
     encoder configs must decode bit-identically in both decoders."""
-    import os
-
     import pytest
 
-    if not (os.path.exists("refbuild/build/ref_enc")
-            and os.path.exists("refbuild/build/ref_dec")):
-        pytest.skip("reference oracle not built")
+    from tests.conftest import ensure_ref_oracle
+
+    if not ensure_ref_oracle():
+        pytest.skip("reference oracle unavailable")
     from theora_tpu.tools.crosscheck import run_reverse_trial
 
     rng = np.random.RandomState(17)

@@ -232,12 +232,12 @@ def test_crosscheck_random_configs():
     """A slice of the randomized conformance campaign: random geometry /
     format / qi / kf / CBR encodes must decode bit-identically in the
     reference decoder and ours (full campaign: tools/crosscheck.py)."""
-    import os
+    import pytest
 
-    if not os.path.exists("refbuild/build/ref_dec"):
-        import pytest
+    from tests.conftest import ensure_ref_oracle
 
-        pytest.skip("reference oracle not built")
+    if not ensure_ref_oracle():
+        pytest.skip("reference oracle unavailable")
     from theora_tpu.tools.crosscheck import run_trial
 
     rng = np.random.RandomState(3)
