@@ -33,19 +33,37 @@ def main(argv=None):
     from theora_tpu.ogg import mux_stream
     from theora_tpu.tools.y4m import read_y4m
 
+    import numpy as np
+
     W, H, fps, frames, pixel_fmt = read_y4m(args.input, want_fmt=True)
-    if W % 16 or H % 16:
-        # Pad to multiples of 16 with a crop rectangle.
-        fw, fh = (W + 15) & ~15, (H + 15) & ~15
-        raise NotImplementedError(
-            f"picture {W}x{H} needs crop padding to {fw}x{fh}; "
-            "use multiples of 16 for now"
-        )
+    fw, fh = (W + 15) & ~15, (H + 15) & ~15
+    if fw != W or fh != H:
+        # Pad to multiples of 16 by edge replication, with a crop
+        # rectangle covering the real picture (encode.c:1562-1638).
+        hd = 0 if pixel_fmt == 3 else 1
+        vd = 0 if pixel_fmt >= 2 else 1
+        padded = []
+        for y, u, v in frames:
+            py = np.pad(y, ((0, fh - H), (0, fw - W)), mode="edge")
+            pu = np.pad(
+                u,
+                ((0, (fh >> vd) - u.shape[0]), (0, (fw >> hd) - u.shape[1])),
+                mode="edge",
+            )
+            pv = np.pad(
+                v,
+                ((0, (fh >> vd) - v.shape[0]), (0, (fw >> hd) - v.shape[1])),
+                mode="edge",
+            )
+            padded.append([py, pu, pv])
+        frames = padded
     info = TheoraInfo(
-        frame_width=W,
-        frame_height=H,
+        frame_width=fw,
+        frame_height=fh,
         pic_width=W,
         pic_height=H,
+        pic_x=0,
+        pic_y=0,
         fps_numerator=fps[0],
         fps_denominator=fps[1],
         quality=args.quality,
