@@ -16,6 +16,41 @@ def test_ogg_mux_demux_roundtrip():
         assert a.data == b.data
 
 
+def test_ogg_crc_rejects_corrupt_page():
+    """A corrupted page is dropped and the reader resyncs on the next
+    page (libogg semantics); false 'OggS' matches in bodies are skipped."""
+    from theora_tpu.ogg import PageReader
+    from theora_tpu.tpkt import Packet
+
+    pkts = [
+        Packet(b"A" * 100, granulepos=1),
+        Packet(b"B" * 100, granulepos=2),
+        Packet(b"C" * 100, granulepos=3),
+    ]
+    ogg = bytearray(mux_stream(pkts))
+    # Corrupt one body byte of the second page.
+    second = ogg.index(b"OggS", 4)
+    ogg[second + 40] ^= 0xFF
+    out = [p for _, p in PageReader(bytes(ogg)).packets()]
+    assert [p.data for p in out] == [pkts[0].data, pkts[2].data]
+    # A false capture pattern inside a body must not derail parsing.
+    fake = Packet(b"zz" + b"OggS" + b"\x00" * 60, granulepos=9)
+    ogg2 = mux_stream([fake])
+    out2 = [p for _, p in PageReader(ogg2).packets()]
+    assert len(out2) == 1 and out2[0].data == fake.data
+
+
+def test_transcode_rejects_cbr():
+    import pytest
+
+    from theora_tpu.info import TheoraInfo
+    from theora_tpu.parallel.transcode import transcode
+
+    info = TheoraInfo(frame_width=16, frame_height=16, target_bitrate=1000)
+    with pytest.raises(ValueError):
+        transcode([], info)
+
+
 def test_ogg_large_packet_spanning_pages():
     from theora_tpu.tpkt import Packet
 

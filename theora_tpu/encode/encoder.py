@@ -453,7 +453,7 @@ class Encoder:
                         pli, fragis, res, qti, qis
                     )
                     continue
-                except ImportError:
+                except (ImportError, RuntimeError):
                     trellis = False
             # Fast path: single-qi frames via the C++ tier.
             if len(qis) == 1:
@@ -521,7 +521,7 @@ class Encoder:
                     else:
                         out[pli] = (fragis, qdct, err2, res2, dct16, qti)
                     continue
-                except ImportError:
+                except (ImportError, RuntimeError):
                     pass
             dct = fdct8x8_batch(res)
             qiis = (
@@ -736,7 +736,7 @@ class Encoder:
             qdct[:] = qd16
             err2[:] = e2
             return paths, acbits
-        except ImportError:
+        except (ImportError, RuntimeError):
             pass
         paths = [None] * n
         acbits = np.zeros(n, dtype=np.int64)
@@ -1006,7 +1006,7 @@ class Encoder:
             zz = np.zeros(len(mb_list), np.int32)
             sad_nomv = sad_batch_native(cur_y, prev_o, mb_fy, mb_fx, zz, zz)
             sad_gold = sad_batch_native(cur_y, gold_o, mb_fy, mb_fx, zz, zz)
-        except ImportError:
+        except (ImportError, RuntimeError):
             sad_nomv = mcenc._per_mb_sad(
                 cur_y, prev_o, np.zeros(len(mb_list), int),
                 np.zeros(len(mb_list), int), mb_fy, mb_fx,
@@ -1460,7 +1460,7 @@ class Encoder:
                     fy, fx, refsel, my, mx, my + my2, mx + mx2, use2,
                     vpad, hpad,
                 )
-            except ImportError:
+            except (ImportError, RuntimeError):
                 pass
             ay = fy[:, None, None] + np.arange(8)[None, :, None]
             ax = fx[:, None, None] + np.arange(8)[None, None, :]
@@ -1750,7 +1750,7 @@ class Encoder:
             bw.append_bits(buf, nbits)
             self._sb_partial = sb_partial
             return
-        except ImportError:
+        except (ImportError, RuntimeError):
             pass
         # SB classification.
         sb_any = np.zeros(g.nsbs, dtype=bool)
@@ -1823,7 +1823,7 @@ class Encoder:
             )
             bw.append_bits(buf, nbits)
             return
-        except ImportError:
+        except (ImportError, RuntimeError):
             pass
 
         vlc_bits = [1, 2, 3, 4, 5, 6, 7, 7]

@@ -91,6 +91,16 @@ def get_lib():
     return _lib
 
 
+
+def _require_lib():
+    """get_lib() or a clean RuntimeError (for module-level helpers whose
+    callers expect an ImportError-like failure, not AttributeError on
+    None)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native entropy library unavailable")
+    return lib
+
 class NativeEntropy:
     """ctypes wrapper around the C++ entropy codec."""
 
@@ -263,7 +273,7 @@ def _setup_filters(lib):
 def dc_predict_native(mode, coded, refi, dc, pred_last):
     """mode 0: decode (dc updated in place); mode 1: encode (returns
     residuals). pred_last: length-3 list, updated in place."""
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_filters_setup"):
         _setup_filters(lib)
         lib._filters_setup = True
@@ -287,7 +297,7 @@ def dc_predict_native(mode, coded, refi, dc, pred_last):
 def loop_filter_native(plane, coded, bv, pad_y, pad_x=None):
     if pad_x is None:
         pad_x = pad_y
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_filters_setup"):
         _setup_filters(lib)
         lib._filters_setup = True
@@ -307,7 +317,7 @@ def residuals_native(qz, deq_rows, dc, dc_quant, dc_only):
     qz: [n,64] int zig-zag quantized; deq_rows: [n,64]; dc/dc_quant: [n];
     dc_only: [n] bool. Returns [n,8,8] int32 residuals.
     """
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_resid_setup"):
         lib.th_residuals_batch.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -331,7 +341,7 @@ def residuals_native(qz, deq_rows, dc, dc_quant, dc_only):
 
 def recon_plane_native(self_plane, prev_plane, gold_plane, vpad, hpad,
                        fy, fx, refi, mvx, mvy, residual, qpx, qpy, ufy, ufx):
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_recon_setup"):
         lib.th_recon_plane.argtypes = [ctypes.c_void_p] * 3 + [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
@@ -358,7 +368,7 @@ def recon_plane_native(self_plane, prev_plane, gold_plane, vpad, hpad,
 
 
 def sad_halfpel_native(cur, ref, y, x, pad, mvx, mvy, bs=16):
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_sad_setup"):
         lib.th_sad_halfpel.restype = ctypes.c_int64
         lib.th_sad_halfpel.argtypes = [
@@ -396,7 +406,7 @@ def _me_setup(lib):
 def motion_estimate_native(cur, ref_padded, mb_y, mb_x, max_mv=15, iters=2):
     """Full ME: pyramid full-pel + propagation + half-pel (16x16 MBs).
     Returns (mvs [n,2] half-pel (dx,dy), sads [n])."""
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_me_setup_done"):
         _me_setup(lib)
         lib._me_setup_done = True
@@ -420,7 +430,7 @@ def motion_estimate_native(cur, ref_padded, mb_y, mb_x, max_mv=15, iters=2):
 def me_block_refine_native(cur, ref_padded, by, bx, seed_mvs, bs=8):
     """Per-block refine + half-pel for the 4MV path (seed = MB full-pel
     MV)."""
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_me_setup_done"):
         _me_setup(lib)
         lib._me_setup_done = True
@@ -448,7 +458,7 @@ def fdct_quantize_rd_native(res_blocks, dequant_zz, lam, rd=True,
     (qz [n,64] int16, err2 [n] int64, res2 [n] int64) plus the raw
     zig-zag DCT [n,64] int16 when want_dct (for the trellis tokenizer).
     """
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_fq_setup"):
         lib.th_fdct_quantize_rd.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -481,7 +491,7 @@ def mode_decide_fill_native(cur, ref_padded, mb_list, mb_fy, mb_fx,
 
     Returns (mb_modes [n], mb_mvs [n,2], refi [nfrags], mode [nfrags],
     mv [nfrags,2])."""
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_md_setup"):
         lib.th_mode_decide_fill.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
@@ -526,7 +536,7 @@ def trellis_plan_blocks_native(dct16, qdct, dq0, dq1, qti, lam, nbt):
     [64] dequant rows; qti [n] 0/1; nbt [5,32] int64 bit costs. Returns
     (paths [n,66,4] int16, acbits [n] int64, err2 [n] int64).
     """
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_tpl_setup"):
         lib.th_trellis_plan_blocks.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -556,7 +566,7 @@ def trellis_plan_blocks_native(dct16, qdct, dq0, dq1, qti, lam, nbt):
 def sad_batch_native(cur, ref_padded, fy, fx, mvx, mvy, bs=16):
     """Batch half-pel SAD (th_sad_batch). cur [H,W]; ref padded; fy/fx
     block pixel coords; mvx/mvy half-pel MVs. Returns [n] int64."""
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_sb_setup"):
         lib.th_sad_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
@@ -582,7 +592,7 @@ def enc_residuals_native(cur, prev_padded, gold_padded, fy, fx, refsel,
                          o1y, o1x, o2y, o2x, use2, vpad, hpad):
     """MC residual gather for the encoder (th_enc_residuals). Returns
     [n, 8, 8] int32 = cur - prediction."""
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_er_setup"):
         lib.th_enc_residuals.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
@@ -610,7 +620,7 @@ def enc_residuals_native(cur, prev_padded, gold_padded, fy, fx, refsel,
 def coded_flags_pack_native(coded, scan_fragis, scan_sbi, nsbs):
     """Pack the coded-block-flags section (th_coded_flags_pack). Returns
     (bitbuf bytes, nbits, sb_partial bool[nsbs])."""
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_cf_setup"):
         lib.th_coded_flags_pack.restype = ctypes.c_int64
         lib.th_coded_flags_pack.argtypes = [
@@ -638,7 +648,7 @@ def coded_flags_pack_native(coded, scan_fragis, scan_sbi, nsbs):
 def hadamard_batch_native(res_blocks):
     """SATD (8x8 Hadamard, DC excluded) of residual blocks [n, 8, 8] or
     [n, 64]. Returns (satd [n] int64, dc [n] int32)."""
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_hb_setup"):
         lib.th_hadamard_batch.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -656,7 +666,7 @@ def hadamard_batch_native(res_blocks):
 def satd_halfpel_batch_native(cur, ref_padded, fy, fx, mvx, mvy, bs=16):
     """Batch half-pel SATD (th_satd_halfpel_batch); bs=16 sums the four
     8x8 SATDs of a macroblock. Returns (satd [n] int64, dc [n] int32)."""
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_shb_setup"):
         lib.th_satd_halfpel_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
@@ -685,7 +695,7 @@ def satd_halfpel_batch_native(cur, ref_padded, fy, fx, mvx, mvy, bs=16):
 def mb_modes_pack_native(modes, alphabets):
     """Scheme selection + MB mode emission (th_mb_modes_pack). Returns
     (bitbuf bytes, nbits)."""
-    lib = get_lib()
+    lib = _require_lib()
     if not hasattr(lib, "_mm_setup"):
         lib.th_mb_modes_pack.restype = ctypes.c_int64
         lib.th_mb_modes_pack.argtypes = [

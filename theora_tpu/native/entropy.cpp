@@ -366,6 +366,10 @@ int64_t th_decode_frame_tokens(
           eob_runs[z]--;
           break;
         }
+        // A phase-1/phase-2 accounting divergence on an adversarial
+        // packet must map to TH_EBADPACKET, not an out-of-bounds read
+        // (the Python twin raises IndexError here).
+        if (ti[z] >= toks[pli][z].size()) return -1;
         int t = toks[pli][z][ti[z]];
         int eb = ebs[pli][z][ti[z]];
         if (frag_bits) frag_bits[frag_base + f] += tbits[pli][z][ti[z]];

@@ -155,6 +155,15 @@ class PageReader:
             if end > len(data):
                 return
             body = data[idx + 27 + nsegs : end]
+            # CRC check (libogg drops bad pages and resyncs): recompute
+            # over the page with the CRC field zeroed; a mismatch means a
+            # corrupted page or a false 'OggS' inside a body -- resume the
+            # capture search one byte past this match.
+            page_bytes = bytearray(data[idx:end])
+            page_bytes[22:26] = b"\x00\x00\x00\x00"
+            if _crc(bytes(page_bytes)) != crc & 0xFFFFFFFF:
+                pos = idx + 1
+                continue
             yield {
                 "htype": htype,
                 "granulepos": granulepos,

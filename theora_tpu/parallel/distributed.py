@@ -65,6 +65,13 @@ def distributed_transcode(
     Every process must pass the same frames/info (frames can also be
     loaded per-process from shared storage; only the GOPs assigned to
     this process are actually encoded)."""
+    if info.target_bitrate > 0:
+        # Same invariant as transcode(): per-GOP CBR reservoirs would
+        # silently diverge from a sequential encode.
+        raise ValueError(
+            "distributed transcode does not support CBR "
+            "(target_bitrate > 0); encode sequentially instead"
+        )
     import jax
     import jax.numpy as jnp
     from jax.experimental import multihost_utils

@@ -54,6 +54,16 @@ def transcode(
     use_processes sidesteps the GIL for the Python orchestration between
     native calls (frames are pickled to the workers; worth it for long
     GOPs on multi-core hosts)."""
+    if info.target_bitrate > 0:
+        # Each GOP worker would build an independent CBR reservoir, so the
+        # output could not be byte-identical to a sequential encode -- the
+        # invariant this module documents. Refuse rather than silently
+        # diverge (rate-controlled clips go through Encoder sequentially).
+        raise ValueError(
+            "GOP-parallel transcode does not support CBR "
+            "(target_bitrate > 0): per-GOP reservoirs would break "
+            "sequential byte-identity; encode sequentially instead"
+        )
     enc0 = Encoder(info)
     header_pkts = enc0.flush_headers()
     gops = split_gops(frames, keyframe_freq)
