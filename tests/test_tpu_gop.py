@@ -1,0 +1,143 @@
+"""Device-resident GOP encoder (encode/tpu_gop.py).
+
+The contract: every decision and the closed-loop reconstruction are made
+on device; the host only entropy-codes the plan.  So (a) the device's
+carried reconstruction must equal the decoder's output on the produced
+packets bit-for-bit, and (b) the packets must decode identically in the
+reference decoder (oracle).
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO_ROOT, TESTDATA, ensure_ref_oracle
+from theora_tpu.decode.decoder import Decoder
+from theora_tpu.encode.tpu_gop import TpuGopEncoder
+from theora_tpu.headers import (
+    parse_comment_header,
+    parse_info_header,
+    parse_setup_header,
+)
+from theora_tpu.info import TheoraInfo
+
+
+def _load_clip(name, w, h, n):
+    raw = np.fromfile(os.path.join(TESTDATA, name), np.uint8)
+    fsz = w * h * 3 // 2
+    out = []
+    for i in range(min(n, len(raw) // fsz)):
+        fr = raw[i * fsz : (i + 1) * fsz]
+        out.append([
+            fr[: w * h].reshape(h, w),
+            fr[w * h : w * h + w * h // 4].reshape(h // 2, w // 2),
+            fr[w * h + w * h // 4 :].reshape(h // 2, w // 2),
+        ])
+    return out
+
+
+def _moving_frames(w, h, fmt, n, seed):
+    rng = np.random.RandomState(seed)
+    cw = w if fmt & 1 else w // 2
+    ch = h if fmt & 2 else h // 2
+    y0 = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    u0 = rng.randint(0, 256, (ch, cw)).astype(np.uint8)
+    v0 = rng.randint(0, 256, (ch, cw)).astype(np.uint8)
+    return [
+        [
+            np.roll(y0, (f, 2 * f), (0, 1)),
+            np.roll(u0, (f // 2, f), (0, 1)),
+            np.roll(v0, (f // 2, f), (0, 1)),
+        ]
+        for f in range(n)
+    ]
+
+
+def _decode_all(enc, datas):
+    hp = enc.flush_headers()
+    info = parse_info_header(hp[0].data)
+    parse_comment_header(hp[1].data)
+    setup = parse_setup_header(hp[2].data)
+    dec = Decoder(info, setup)
+    outs = []
+    for d in datas:
+        dec.decode_packet(d)
+        outs.append(dec)
+        yield dec
+
+
+@pytest.mark.parametrize("fmt,qi", [(0, 40), (2, 24), (3, 55)])
+def test_closed_loop_identity(fmt, qi):
+    """Device-carried reconstruction == decoder output, bit for bit."""
+    frames = _moving_frames(64, 48, fmt, 5, fmt * 7 + qi)
+    info = TheoraInfo(
+        frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+        quality=qi, pixel_fmt=fmt,
+    )
+    enc = TpuGopEncoder(info, qi=qi)
+    datas, recon = enc.encode_gop(frames, want_recon=True)
+    g = enc.g
+    for f, dec in enumerate(_decode_all(enc, datas)):
+        for pli in range(3):
+            vpad, hpad = g.plane_padding(pli)
+            hh, ww = g.plane_shape(pli)
+            got = dec._out_frame.planes[pli][
+                vpad : vpad + hh, hpad : hpad + ww
+            ]
+            want = recon[pli][f][vpad : vpad + hh, hpad : hpad + ww]
+            assert np.array_equal(got, want), (f, pli)
+
+
+def test_reference_decoder_agrees():
+    """Device-tier streams decode bit-identically in libtheora."""
+    if not ensure_ref_oracle():
+        pytest.skip("reference oracle unavailable")
+    from theora_tpu.tpkt import write_tpkt
+
+    frames = _load_clip("clip64x48.i420", 64, 48, 8)
+    info = TheoraInfo(
+        frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+        quality=32,
+    )
+    enc = TpuGopEncoder(info, qi=32)
+    pkts = enc.encode_clip(frames, keyframe_freq=4)
+    tpkt = "/tmp/test_tpu_gop.tpkt"
+    yuv = "/tmp/test_tpu_gop.yuv"
+    write_tpkt(tpkt, pkts)
+    subprocess.run(
+        [os.path.join(REPO_ROOT, "refbuild", "build", "ref_dec"),
+         tpkt, yuv],
+        check=True, capture_output=True,
+    )
+    ref = open(yuv, "rb").read()
+    ours = bytearray()
+    hp = enc.flush_headers()
+    dinfo = parse_info_header(hp[0].data)
+    parse_comment_header(hp[1].data)
+    setup = parse_setup_header(hp[2].data)
+    dec = Decoder(dinfo, setup)
+    for p in pkts[3:]:
+        dec.decode_packet(p.data)
+        for pl in dec.ycbcr_out():
+            ours += pl.tobytes()
+    assert bytes(ours) == ref
+
+
+def test_encode_clip_granulepos():
+    frames = _moving_frames(32, 32, 0, 7, 9)
+    info = TheoraInfo(
+        frame_width=32, frame_height=32, pic_width=32, pic_height=32,
+        quality=40,
+    )
+    enc = TpuGopEncoder(info, qi=40)
+    pkts = enc.encode_clip(frames, keyframe_freq=4)
+    assert len(pkts) == 3 + 7
+    gps = [p.granulepos for p in pkts[3:]]
+    assert gps == sorted(gps)
+    shift = info.keyframe_granule_shift
+    # Keyframes at 0 and 4 (frame numbering matches the host encoder's).
+    assert gps[0] == (1 << shift)
+    assert gps[4] == (5 << shift)
+    assert gps[3] == (1 << shift) + 3
+    assert pkts[-1].e_o_s

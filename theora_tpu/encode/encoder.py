@@ -1631,6 +1631,45 @@ class Encoder:
         return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
 
     # ------------------------------------------------------------------
+    def pack_frame_plan(self, ftype, coded, frag_refi, mb_modes, mb_mvs,
+                        qdct_by_frag) -> bytes:
+        """Pack one frame from an externally computed coding plan.
+
+        The device GOP encoder (encode/tpu_gop.py) makes every decision
+        (modes, MVs, skip, quantized coefficients + closed-loop recon) on
+        device; this entry runs only the bit-serial stages: DC
+        prediction, tokenization, Huffman selection and packing -- the
+        split of SURVEY.md section 7 (entropy is host work by nature).
+
+        coded: [nfrags] bool; frag_refi: [nfrags] FRAME_* (FRAME_NONE for
+        uncoded); qdct_by_frag: [nfrags, 64] int (zig-zag, actual DC in
+        slot 0 -- prediction happens here).  mb_modes/mb_mvs as packed.
+        """
+        g = self.geometry
+        self._cur_fti = 0 if ftype == INTRA_FRAME else 1
+        self._frame_qis = None
+        per_plane = {}
+        for pli in range(3):
+            pl = g.planes[pli]
+            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+            fragis = np.where(coded[sl])[0] + pl.froffset
+            per_plane[pli] = (fragis, qdct_by_frag[fragis].astype(np.int32))
+        vecs_by_plane = self._dc_predict_and_order(per_plane, coded, frag_refi)
+        bw = BitWriter()
+        self._frame_header_pack(bw, ftype, self.frame_qis)
+        if ftype == INTRA_FRAME:
+            return self._pack_tokens(bw, vecs_by_plane, INTRA_FRAME)
+        self._coded_flags_pack(bw, coded)
+        mb_luma_coded = np.zeros(g.nmbs, dtype=bool)
+        lum = g.mb_maps[:, 0, :]
+        has = (lum >= 0) & coded[np.clip(lum, 0, None)]
+        mb_luma_coded = has.any(axis=1) & g.mb_valid
+        coded_mbis = list(np.where(mb_luma_coded)[0])
+        self._mb_modes_pack(bw, mb_modes, coded_mbis)
+        self._mvs_pack(bw, mb_modes, mb_mvs, coded_mbis, coded)
+        return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
+
+    # ------------------------------------------------------------------
     def _luma_skip_guard(self, fragis, skip, coded, frag_mode) -> None:
         """Un-skip the least-beneficial luma block of any non-NOMV MB whose
         entire coded luma would otherwise vanish (its mode would not be

@@ -1,0 +1,523 @@
+"""Device-resident GOP encoder.
+
+The entire per-frame decision pipeline runs on device: batched motion
+estimation on original refs (ops/me_jax.py), per-MB mode decision, MC
+residual, fDCT + quantization, R/D skip, and the bit-exact closed-loop
+reconstruction (dequant + iDCT + recon + loop filter + UMV borders)
+carried across the GOP by one lax.scan per plane -- the encode-side
+counterpart of decode/tpu_batch.py.  The host runs only the bit-serial
+entropy stages per frame (DC prediction, tokenization, Huffman
+selection, packing) through Encoder.pack_frame_plan, which cannot change
+the reconstruction, so encoder and decoder stay in sync by construction.
+
+This is the batched-tensor redesign of the reference's sequential MB
+loop (analyze.c:2288-2711, encode.c:1640-1784): decisions that the
+reference interleaves with coding (neighbor-dependent mode costs, token
+rollback skip) are reformulated order-free so every fragment of every
+frame is one tensor program.  ME legality comes from the reference's own
+*_ORIG design (mcenc.c:314-316): search references are source frames,
+never reconstructions, so whole-GOP ME has no sequential dependency.
+
+Mode set: INTER_NOMV / INTER_MV / INTER_MV_LAST / INTER_MV_LAST2 /
+GOLDEN_NOMV / INTRA.  The LAST modes (the host tier's biggest win) need
+the decoder's sequential MV-predictor state; the split here keeps the
+expensive part batched: the device scores every MB against the frame's
+top-K shared candidate vectors in one dispatch (me_jax.mv_cand_sads),
+then a trivial host pass walks MBs in transmission order consulting
+those precomputed SADs -- arithmetic only, no pixels touched on host.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from theora_tpu.constants import (
+    FRAME_GOLD,
+    FRAME_NONE,
+    FRAME_PREV,
+    FRAME_SELF,
+    MODE_INTRA,
+    MODE_GOLDEN_NOMV,
+    MODE_INTER_MV,
+    MODE_INTER_MV_LAST,
+    MODE_INTER_MV_LAST2,
+    MODE_INTER_NOMV,
+)
+from theora_tpu.decode.decoder import _MVMAP, _MVMAP2
+from theora_tpu.encode.encoder import Encoder
+from theora_tpu.info import INTRA_FRAME, INTER_FRAME, TheoraInfo
+from theora_tpu.tpkt import Packet
+
+# Device mode-decision ids (argmin order fixes deterministic ties).
+_M_NOMV, _M_MV, _M_GOLD, _M_INTRA = 0, 1, 2, 3
+_MODE_OF = {
+    _M_NOMV: MODE_INTER_NOMV,
+    _M_MV: MODE_INTER_MV,
+    _M_GOLD: MODE_GOLDEN_NOMV,
+    _M_INTRA: MODE_INTRA,
+}
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("nv", "nh", "pad_y", "pad_x", "emit_recon"),
+)
+def _scan_encode_plane(
+    init_prev, init_gold,
+    cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
+    deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
+    nv, nh, pad_y, pad_x, emit_recon=False,
+):
+    """Closed-loop encode scan over F frames of one plane.
+
+    cur_blocks: [F, N, 8, 8] u8 source fragments (raster order);
+    refsel: [F, N] 0=intra 1=prev 2=gold; o*/use2: MC offsets from the
+    MVMAP tables; may_skip: [F, N] skip-eligible; is_intra: [F] bool.
+    deq_*: [64] i32; bv: [256] i32 loop-filter table; lam: f32 scalar.
+    Returns (qdct [F, N, 64] i16, coded [F, N] bool[, recon planes],
+    final prev plane).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from theora_tpu.ops import transforms_jax as tj
+    from theora_tpu.ops.loopfilter_jax import loop_filter_plane_jax
+    from theora_tpu.pipeline import fill_borders
+
+    h, w = nv * 8, nh * 8
+    n = nv * nh
+    by = pad_y + 8 * (jnp.arange(n) // nh)
+    bx = pad_x + 8 * (jnp.arange(n) % nh)
+    ay = by[:, None, None] + jnp.arange(8)[None, :, None]
+    ax = bx[:, None, None] + jnp.arange(8)[None, None, :]
+
+    def step(carry, xs):
+        prev, gold = carry
+        curf, rsf, y1, x1, y2, x2, u2, ms, ik = xs
+        y1 = y1.astype(jnp.int32)
+        x1 = x1.astype(jnp.int32)
+        y2 = y2.astype(jnp.int32)
+        x2 = x2.astype(jnp.int32)
+        p1 = prev[ay + y1[:, None, None], ax + x1[:, None, None]]
+        p2 = prev[ay + y2[:, None, None], ax + x2[:, None, None]]
+        g1 = gold[ay + y1[:, None, None], ax + x1[:, None, None]]
+        g2 = gold[ay + y2[:, None, None], ax + x2[:, None, None]]
+        pp = jnp.where(
+            u2[:, None, None], (p1.astype(jnp.int32) + p2) >> 1,
+            p1.astype(jnp.int32),
+        )
+        gg = jnp.where(
+            u2[:, None, None], (g1.astype(jnp.int32) + g2) >> 1,
+            g1.astype(jnp.int32),
+        )
+        pred = jnp.where(
+            (rsf == 0)[:, None, None], 128,
+            jnp.where((rsf == 1)[:, None, None], pp, gg),
+        )
+        curi = curf.astype(jnp.int32)
+        res = curi - pred
+        dct = tj.fdct8x8(res)
+        deq = jnp.where((rsf == 0)[:, None], deq_intra, deq_inter)
+        lam_q = jnp.where(rsf == 0, lam_q_intra, lam_q_inter).astype(
+            jnp.float32
+        )
+        qdct = tj.quantize_rd(dct, deq, lam_q)
+        dc_only = (qdct[:, 1:] == 0).all(axis=-1)
+        residual = tj.dequantize_idct(
+            qdct, deq, qdct[:, 0], deq[:, 0], dc_only
+        )
+        recon = jnp.clip(residual + pred, 0, 255)
+        unc = prev[ay, ax].astype(jnp.int32)
+        ssd_rec = ((recon - curi) ** 2).sum(axis=(1, 2))
+        ssd_unc = ((unc - curi) ** 2).sum(axis=(1, 2))
+        bits = 6 * (qdct != 0).sum(axis=1) + 2
+        lamterm = (lam * bits.astype(jnp.float32)).astype(jnp.int32)
+        skip = ms & (16 * ssd_unc <= 16 * ssd_rec + lamterm) & ~ik
+        coded = ~skip
+        blocks = jnp.where(
+            coded[:, None, None], recon, unc
+        ).astype(jnp.uint8)
+        plane = jnp.zeros_like(prev).at[ay, ax].set(blocks)
+        plane = loop_filter_plane_jax(
+            plane, coded.reshape(nv, nh), bv, nv, nh, pad_y, pad_x
+        )
+        plane = fill_borders(plane, h, w, pad_y, pad_x)
+        gold_new = jnp.where(ik, plane, gold)
+        qout = jnp.where(coded[:, None], qdct, 0).astype(jnp.int16)
+        ys = (qout, coded) + ((plane,) if emit_recon else ())
+        return (plane, gold_new), ys
+
+    (prev_f, _), ys = jax.lax.scan(
+        step,
+        (init_prev, init_gold),
+        (cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra),
+    )
+    return ys + (prev_f,)
+
+
+_MV_CANDS = 16  # shared candidate vectors scored per frame
+
+
+class TpuGopEncoder:
+    """Encode clips with the decision+pixel pipeline resident on device.
+
+    Output streams are valid Theora (decode bit-exactly in the reference
+    decoder); frame decisions follow the device policy above, so bytes
+    differ from the host tier's but quality is comparable.  Sequential
+    and mesh-sharded runs of this encoder are byte-identical.
+    """
+
+    def __init__(self, info: TheoraInfo, qi: int | None = None,
+                 rd_strength: float = 3.0):
+        info.validate()
+        self.info = info
+        self.enc = Encoder(info)
+        self.enc.use_trellis = False
+        self.g = self.enc.geometry
+        self.qi = int(info.quality if qi is None else qi)
+        self.enc.qi = self.qi
+        self.rd_strength = rd_strength
+        g = self.g
+        self._mb_list = np.where(g.mb_valid)[0]
+        frag0 = g.mb_maps[self._mb_list, 0, 0]
+        self._mb_row = g.frag_y[frag0] // 2
+        self._mb_col = g.frag_x[frag0] // 2
+        # Host-policy bias scale (encoder.py): rate cost in SAD units
+        # tracks the quantizer step.
+        dq = self.enc.dequant
+        self._bias_scale = min(
+            1.0, float(dq[self.qi, 0, 1, 1]) / float(dq[40, 0, 1, 1])
+        )
+        self._mv_bits_sad = (
+            28 * int(self.rd_strength * 4 + 4) * self._bias_scale
+        )
+        from theora_tpu.ops.fdct_np import rd_lambda
+
+        self._lam = (
+            rd_lambda(self.qi, int(dq[self.qi, 0, 1, 1]))
+            * self.rd_strength * 4.0
+        )
+        flimit = self.enc.qinfo["loop_filter_limits"][self.qi]
+        from theora_tpu.ops.loopfilter_np import build_bounding_values
+
+        self._bv = (
+            build_bounding_values(flimit).astype(np.int32)
+            if flimit else np.zeros(256, np.int32)
+        )
+
+    # ------------------------------------------------------------------
+    def flush_headers(self) -> list[Packet]:
+        return self.enc.flush_headers()
+
+    # ------------------------------------------------------------------
+    def _plane_blocks(self, plane: np.ndarray) -> np.ndarray:
+        h, w = plane.shape
+        return (
+            plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+
+    # ------------------------------------------------------------------
+    def _gop_plan(self, ys: np.ndarray):
+        """Batched ME + mode decision for frames 1..F-1 of a GOP.
+
+        ys: [F, H, W] u8 luma (bitstream orientation).  Returns per-frame
+        (mb_modes [nmbs], mb_mvs [nmbs, 2]) host arrays.
+        """
+        import jax.numpy as jnp
+
+        from theora_tpu.ops import me_jax
+
+        F = ys.shape[0]
+        if F < 2:
+            return []
+        cur = jnp.asarray(ys[1:])
+        prev = jnp.asarray(ys[:-1])
+        mv, sad_mv, sad_nomv = me_jax.me_search(cur, prev)
+        sad_gold = me_jax.sad_nomv_vs(cur, jnp.asarray(ys[0]))
+        sad_intra = me_jax.sad_intra_mb(cur)
+        mv = np.asarray(mv)
+        sad_mv = np.asarray(sad_mv)
+        sad_nomv = np.asarray(sad_nomv)
+        sad_gold = np.asarray(sad_gold)
+        sad_intra = np.asarray(sad_intra)
+        # Top-K shared candidates per frame (by best-MV popularity; the
+        # decoder's LAST/LAST2 predictors are almost always in this set).
+        K = _MV_CANDS
+        cands = np.zeros((F - 1, K, 2), np.int32)
+        for fi in range(F - 1):
+            flat = mv[fi].reshape(-1, 2)
+            flat = flat[(flat != 0).any(axis=1)]
+            if len(flat):
+                uniq, counts = np.unique(flat, axis=0, return_counts=True)
+                order = np.lexsort((uniq[:, 1], uniq[:, 0], -counts))
+                top = uniq[order[:K]]
+                cands[fi, : len(top)] = top
+        cand_sads = np.asarray(
+            me_jax.mv_cand_sads(cur, prev, jnp.asarray(cands))
+        )
+        return [
+            self._decide_frame(
+                fi, mv, sad_mv, sad_nomv, sad_gold, sad_intra,
+                cands, cand_sads,
+            )
+            for fi in range(F - 1)
+        ]
+
+    # ------------------------------------------------------------------
+    def _decide_frame(self, fi, mv, sad_mv, sad_nomv, sad_gold, sad_intra,
+                      cands, cand_sads):
+        """Sequential LAST/LAST2-aware mode decision for one frame --
+        the host tier's policy (encoder.py) over device-precomputed
+        SADs.  Walks MBs in transmission (mbi) order maintaining the
+        decoder's last/prior MV state (decode.c:806-900)."""
+        g = self.g
+        b = self._bias_scale
+        MVB = self._mv_bits_sad
+        cand_idx = {
+            (int(c[0]), int(c[1])): k
+            for k, c in enumerate(cands[fi])
+            if (c != 0).any()
+        }
+        mb_modes = np.where(g.mb_valid, 0, -1).astype(np.int32)
+        mb_mvs = np.zeros((g.nmbs, 2), dtype=np.int32)
+        last = (0, 0)
+        prior = (0, 0)
+        for i, mbi in enumerate(self._mb_list):
+            r, c = self._mb_row[i], self._mb_col[i]
+            best = (int(mv[fi, r, c, 0]), int(mv[fi, r, c, 1]))
+
+            def sad_at(v):
+                if v == best:
+                    return int(sad_mv[fi, r, c])
+                k = cand_idx.get(v)
+                return int(cand_sads[fi, k, r, c]) if k is not None else None
+
+            costs = [(int(sad_nomv[fi, r, c]), MODE_INTER_NOMV, None)]
+            costs.append(
+                (int(sad_intra[fi, r, c]) + 350 * b, MODE_INTRA, None)
+            )
+            costs.append(
+                (int(sad_gold[fi, r, c]) + 80 * b, MODE_GOLDEN_NOMV, None)
+            )
+            if best != (0, 0):
+                costs.append((int(sad_mv[fi, r, c]) + MVB,
+                              MODE_INTER_MV, best))
+            if last != (0, 0):
+                s = sad_at(last)
+                if s is not None:
+                    costs.append((s + 16 * b, MODE_INTER_MV_LAST, last))
+            if prior != (0, 0) and prior != last:
+                s = sad_at(prior)
+                if s is not None:
+                    costs.append((s + 24 * b, MODE_INTER_MV_LAST2, prior))
+            cost, mode, vec = min(costs, key=lambda t: t[0])
+            mb_modes[mbi] = mode
+            if mode == MODE_INTER_MV:
+                mb_mvs[mbi] = vec
+                prior = last
+                last = vec
+            elif mode == MODE_INTER_MV_LAST:
+                mb_mvs[mbi] = vec
+            elif mode == MODE_INTER_MV_LAST2:
+                mb_mvs[mbi] = vec
+                prior, last = last, prior
+        return mb_modes, mb_mvs
+
+    # ------------------------------------------------------------------
+    def _frag_plan(self, mb_modes, mb_mvs):
+        """Per-fragment refsel/mv/may_skip from the MB plan."""
+        g = self.g
+        nfrags = g.nfrags
+        refsel = np.zeros(nfrags, dtype=np.int8)
+        frag_mv = np.zeros((nfrags, 2), dtype=np.int32)
+        may_skip = np.zeros(nfrags, dtype=bool)
+        rs_of = np.zeros(64, np.int8)
+        rs_of[MODE_INTER_NOMV] = 1
+        rs_of[MODE_INTER_MV] = 1
+        rs_of[MODE_INTER_MV_LAST] = 1
+        rs_of[MODE_INTER_MV_LAST2] = 1
+        rs_of[MODE_GOLDEN_NOMV] = 2
+        rs_of[MODE_INTRA] = 0
+        mv_modes = np.zeros(64, bool)
+        for m in (MODE_INTER_MV, MODE_INTER_MV_LAST, MODE_INTER_MV_LAST2):
+            mv_modes[m] = True
+        maps = g.mb_maps[self._mb_list]          # [nmb, 3, 4]
+        modes = mb_modes[self._mb_list]
+        mvs = mb_mvs[self._mb_list]
+        flat = maps.reshape(-1)
+        ok = flat >= 0
+        rep_modes = np.repeat(modes, 12)
+        rep_mvs = np.repeat(mvs, 12, axis=0)
+        refsel[flat[ok]] = rs_of[rep_modes[ok]]
+        frag_mv[flat[ok]] = np.where(
+            mv_modes[rep_modes[ok]][:, None], rep_mvs[ok], 0
+        )
+        # Luma: only NOMV blocks may skip (mode transmission rides on
+        # coded luma; untransmitted modes decode as NOMV).  Chroma: any
+        # mode (uncoded chroma is a zero-MV prev copy regardless).
+        luma = maps[:, 0, :].reshape(-1)
+        okl = luma >= 0
+        may_skip[luma[okl]] = (
+            np.repeat(modes, 4)[okl] == MODE_INTER_NOMV
+        )
+        chroma = maps[:, 1:, :].reshape(-1)
+        okc = chroma >= 0
+        may_skip[chroma[okc]] = True
+        return refsel, frag_mv, may_skip
+
+    # ------------------------------------------------------------------
+    def _plane_inputs(self, pli, planes_f, refsel, frag_mv, may_skip):
+        """Scan inputs for one plane of one frame."""
+        g = self.g
+        info = self.info
+        pl = g.planes[pli]
+        sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+        qpx = 1 if (pli != 0 and not (info.pixel_fmt & 1)) else 0
+        qpy = 1 if (pli != 0 and not (info.pixel_fmt & 2)) else 0
+        rs = refsel[sl]
+        dx = frag_mv[sl, 0]
+        dy = frag_mv[sl, 1]
+        mx = _MVMAP[qpx][dx + 31]
+        mx2 = _MVMAP2[qpx][dx + 31]
+        my = _MVMAP[qpy][dy + 31]
+        my2 = _MVMAP2[qpy][dy + 31]
+        use2 = ((mx2 != 0) | (my2 != 0)) & (rs != 0)
+        return dict(
+            cur=self._plane_blocks(planes_f[pli]),
+            rs=rs.astype(np.int8),
+            o1y=my.astype(np.int8), o1x=mx.astype(np.int8),
+            o2y=(my + my2).astype(np.int8), o2x=(mx + mx2).astype(np.int8),
+            u2=use2, ms=may_skip[sl],
+        )
+
+    # ------------------------------------------------------------------
+    def encode_gop(self, gop_frames: list, want_recon: bool = False):
+        """Encode one GOP (frame 0 becomes the keyframe).
+
+        gop_frames: list of [y, u, v] display-orientation planes.
+        Returns (list of packet byte strings, recon) where recon is the
+        final reconstructed padded planes per pli (or None).
+        """
+        import jax.numpy as jnp
+
+        g = self.g
+        F = len(gop_frames)
+        planes_bs = [
+            [p[::-1].astype(np.uint8) for p in fr] for fr in gop_frames
+        ]
+        ys = np.stack([fr[0] for fr in planes_bs])
+        plans = self._gop_plan(ys)
+
+        nfrags = g.nfrags
+        frame_frag = []
+        zero_rs = np.zeros(nfrags, np.int8)
+        zero_mv = np.zeros((nfrags, 2), np.int32)
+        no_skip = np.zeros(nfrags, bool)
+        frame_frag.append((zero_rs, zero_mv, no_skip))  # keyframe
+        for mb_modes, mb_mvs in plans:
+            frame_frag.append(self._frag_plan(mb_modes, mb_mvs))
+
+        qdct_pl = {}
+        coded_pl = {}
+        recon_pl = {}
+        for pli in range(3):
+            pl = g.planes[pli]
+            vpad, hpad = g.plane_padding(pli)
+            stacks = {k: [] for k in ("cur", "rs", "o1y", "o1x", "o2y",
+                                      "o2x", "u2", "ms")}
+            for f in range(F):
+                rs, fmv, ms = frame_frag[f]
+                d = self._plane_inputs(pli, planes_bs[f], rs, fmv, ms)
+                for k in stacks:
+                    stacks[k].append(d[k])
+            arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items()}
+            is_intra = jnp.asarray(
+                np.array([f == 0 for f in range(F)], bool)
+            )
+            init = jnp.full(
+                (pl.nvfrags * 8 + 2 * vpad, pl.nhfrags * 8 + 2 * hpad),
+                0x80, jnp.uint8,
+            )
+            dq = self.enc.dequant
+            from theora_tpu.ops.fdct_np import rd_lambda
+
+            lam_qi = rd_lambda(
+                self.qi, int(dq[self.qi, pli, 0, 1])
+            ) * self.rd_strength
+            lam_qp = rd_lambda(
+                self.qi, int(dq[self.qi, pli, 1, 1])
+            ) * self.rd_strength
+            out = _scan_encode_plane(
+                init, init,
+                arrs["cur"], arrs["rs"], arrs["o1y"], arrs["o1x"],
+                arrs["o2y"], arrs["o2x"], arrs["u2"], arrs["ms"], is_intra,
+                jnp.asarray(dq[self.qi, pli, 0].astype(np.int32)),
+                jnp.asarray(dq[self.qi, pli, 1].astype(np.int32)),
+                jnp.asarray(self._bv), jnp.float32(self._lam),
+                jnp.float32(lam_qi), jnp.float32(lam_qp),
+                pl.nvfrags, pl.nhfrags, vpad, hpad,
+                emit_recon=want_recon,
+            )
+            qdct_pl[pli] = np.asarray(out[0])
+            coded_pl[pli] = np.asarray(out[1])
+            if want_recon:
+                recon_pl[pli] = np.asarray(out[2])
+
+        pkts = self._pack_gop(F, plans, frame_frag, qdct_pl, coded_pl)
+        return pkts, (recon_pl if want_recon else None)
+
+    # ------------------------------------------------------------------
+    def _pack_gop(self, F, plans, frame_frag, qdct_pl, coded_pl):
+        g = self.g
+        nfrags = g.nfrags
+        rs_to_ref = np.array(
+            [FRAME_SELF, FRAME_PREV, FRAME_GOLD], np.int32
+        )
+        pkts = []
+        for f in range(F):
+            qdct = np.zeros((nfrags, 64), np.int16)
+            coded = np.zeros(nfrags, bool)
+            for pli in range(3):
+                pl = g.planes[pli]
+                sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+                qdct[sl] = qdct_pl[pli][f]
+                coded[sl] = coded_pl[pli][f]
+            rs, _fmv, _ms = frame_frag[f]
+            frag_refi = np.where(
+                coded, rs_to_ref[rs.astype(np.int32)], FRAME_NONE
+            ).astype(np.int32)
+            if f == 0:
+                data = self.enc.pack_frame_plan(
+                    INTRA_FRAME, coded, frag_refi, None, None, qdct
+                )
+            else:
+                mb_modes, mb_mvs = plans[f - 1]
+                data = self.enc.pack_frame_plan(
+                    INTER_FRAME, coded, frag_refi, mb_modes, mb_mvs, qdct
+                )
+            pkts.append(data)
+        return pkts
+
+    # ------------------------------------------------------------------
+    def encode_clip(self, frames: list, keyframe_freq: int = 8
+                    ) -> list[Packet]:
+        """Headers + data packets for a whole clip, GOP by GOP."""
+        out = self.flush_headers()
+        shift = self.info.keyframe_granule_shift
+        pno = 3
+        nf = len(frames)
+        for base in range(0, nf, keyframe_freq):
+            gop = frames[base:base + keyframe_freq]
+            datas, _ = self.encode_gop(gop)
+            for j, data in enumerate(datas):
+                fnum = base + j
+                gp = ((base + 1) << shift) + (fnum - base)
+                out.append(Packet(
+                    data, granulepos=gp, packetno=pno,
+                    e_o_s=(fnum == nf - 1),
+                ))
+                pno += 1
+        return out

@@ -167,6 +167,70 @@ def quantize(dct_zz, dequant_zz):
     return jnp.sign(dct_zz) * q
 
 
+# Token-cost model of the R/D quantizer (ops/fdct_np.py _MAG_BITS).
+_MAG_BITS_J = np.array(
+    [0.0, 4.5, 5.5, 6.5, 6.5, 7.5, 7.5, 8.5, 9.5], dtype=np.float32
+)
+
+
+def quantize_rd(dct_zz, dequant_zz, lam):
+    """JAX twin of ops/fdct_np.quantize_rd_batch: per-AC-coefficient
+    magnitude reduction, isolated-coefficient kill and tail kill, each
+    accepted when it wins d^2 + lambda*bits.  Errors are evaluated in
+    float32 (deterministic elementwise IEEE ops, so results are identical
+    across backends and mesh shardings; the closed loop reconstructs from
+    whatever this returns, so bitstream validity never depends on the
+    decisions).
+
+    dct_zz/dequant_zz: [N, 64] int32; lam: [N] float32.  Returns [N, 64]
+    int32.
+    """
+    q0 = quantize(dct_zz, dequant_zz)
+    d = dequant_zz.astype(jnp.float32)
+    av = jnp.abs(dct_zz).astype(jnp.float32)
+    lamc = lam[:, None]
+    a0 = jnp.abs(q0)
+    a1 = jnp.maximum(a0 - 1, 0)
+    mb = jnp.asarray(_MAG_BITS_J)
+    err0 = (a0.astype(jnp.float32) * d - av) ** 2
+    err1 = (a1.astype(jnp.float32) * d - av) ** 2
+    bits0 = mb[jnp.minimum(a0, 8)]
+    bits1 = mb[jnp.minimum(a1, 8)]
+    take1 = err1 + lamc * bits1 <= err0 + lamc * bits0
+    out = jnp.where(take1, jnp.sign(q0) * a1, q0)
+    out = out.at[:, 0].set(q0[:, 0])  # never degrade DC
+    # Isolated kill: a lone +-1 between zeros costs a whole run+value
+    # token; two sweeps so newly isolated coefficients get a chance.
+    ISO_BITS = jnp.float32(11.0)
+    err_coded = (d - av) ** 2
+    err_zero = av * av
+    for _ in range(2):
+        nz = out != 0
+        left_zero = jnp.ones_like(nz).at[:, 2:].set(~nz[:, 1:-1])
+        right_zero = jnp.ones_like(nz).at[:, :-1].set(~nz[:, 1:])
+        iso = nz & left_zero & right_zero & (jnp.abs(out) == 1)
+        iso = iso.at[:, 0].set(False)
+        kill = iso & (err_zero - err_coded <= lamc * ISO_BITS)
+        out = jnp.where(kill, 0, out)
+    # Tail kill: dropping a block's last nonzero +-1 removes a token and
+    # usually merges EOB runs.
+    TAIL_BITS = jnp.float32(14.0)
+    rows = jnp.arange(out.shape[0])
+    for _ in range(4):
+        nz = out != 0
+        nz = nz.at[:, 0].set(False)
+        has = nz.any(axis=1)
+        last = 63 - jnp.argmax(nz[:, ::-1], axis=1)
+        q_at = out[rows, last]
+        d_at = d[rows, last]
+        v_at = av[rows, last]
+        ec = (jnp.abs(q_at).astype(jnp.float32) * d_at - v_at) ** 2
+        ez = v_at * v_at
+        kill = has & (jnp.abs(q_at) == 1) & (ez - ec <= lam * TAIL_BITS)
+        out = out.at[rows, last].set(jnp.where(kill, 0, q_at))
+    return out
+
+
 def dequantize_idct(coeffs_zz, dequant_zz, dc, dc_quant, dc_only):
     """Full reconstruction of residual blocks on TPU.
 
