@@ -115,6 +115,33 @@ def bench_tpu(frames):
     return mpix / dt
 
 
+def bench_device_e2e(frames):
+    """End-to-end device GOP encode: ME + mode decision + R/D quantize +
+    skip + closed-loop recon on chip (encode/tpu_gop.py), host doing
+    only entropy/packing.  Includes all host<->device transfers -- in
+    this environment those ride a ~11-22 MB/s TPU tunnel, so this
+    measures the system, not the chip (see compute core metric for the
+    chip-side roofline)."""
+    from theora_tpu.encode.tpu_gop import TpuGopEncoder
+    from theora_tpu.info import TheoraInfo
+
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        pic_x=0, pic_y=0, fps_numerator=30, fps_denominator=1,
+        quality=QUALITY, keyframe_granule_shift=6,
+    )
+    enc = TpuGopEncoder(info, qi=QUALITY)
+    fr = [[f[0], f[1], f[2]] for f in frames]
+    # Warm-up compiles the ME + per-plane scans at benchmark shapes.
+    enc.encode_gop(fr)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        enc.encode_clip(fr, keyframe_freq=NFRAMES)
+        dt = min(dt, time.perf_counter() - t0)
+    return NFRAMES * (W * H + 2 * (W // 2) * (H // 2)) / 1e6 / dt
+
+
 def bench_host_encode(frames):
     """Fallback metric if the TPU is unreachable: host-tier encode."""
     from theora_tpu.encode.encoder import Encoder
@@ -142,15 +169,25 @@ def main():
         ref_mpixs = bench_reference(frames)
     except Exception:
         ref_mpixs = float("nan")
-    metric = "720p keyframe encode compute Mpix/s/chip (fdct+quant+recon, bit-exact)"
+    extra = {}
+    metric = (
+        "720p end-to-end device GOP encode Mpix/s (ME+modes+RD quant+"
+        "closed loop on chip, host entropy; incl. tunnel transfers)"
+    )
     try:
-        value = bench_tpu(frames)
+        value = bench_device_e2e(frames)
+        try:
+            extra["compute_core_mpixs"] = round(bench_tpu(frames), 1)
+        except Exception:
+            pass
     except Exception:
         # TPU unreachable: report the host tier so the driver still gets
         # a measurement.
         metric = "720p keyframe encode Mpix/s (host tier; TPU unreachable)"
         value = bench_host_encode(frames)
     vs = value / ref_mpixs if ref_mpixs == ref_mpixs else 0.0
+    if ref_mpixs == ref_mpixs:
+        extra["ref_encode_mpixs"] = round(ref_mpixs, 2)
     print(
         json.dumps(
             {
@@ -158,6 +195,7 @@ def main():
                 "value": round(value, 2),
                 "unit": "Mpix/s",
                 "vs_baseline": round(vs, 3),
+                **extra,
             }
         )
     )

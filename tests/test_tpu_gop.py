@@ -124,6 +124,56 @@ def test_reference_decoder_agrees():
     assert bytes(ours) == ref
 
 
+def test_mesh_byte_identity():
+    """Mesh-sharded encode (gop x frag, incl. fragment all_gather and
+    the CBR psum over real packed bits) == sequential, byte for byte,
+    on every mesh shape."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from theora_tpu.parallel.gop import encode_clip_mesh, make_mesh
+
+    frames = _moving_frames(64, 48, 0, 11, 7)
+    info = TheoraInfo(
+        frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+        quality=40, fps_numerator=30, fps_denominator=1,
+    )
+    kw = dict(keyframe_freq=4, qi=40, target_bitrate=80_000,
+              rate_window=8)
+    ref = None
+    for nd, fragax in ((1, 1), (8, 2), (8, 1), (4, 4)):
+        mesh = make_mesh(nd, frag_axis=fragax)
+        pk = encode_clip_mesh(frames, info, mesh, **kw)
+        blob = b"".join(p.data for p in pk)
+        if ref is None:
+            ref = blob
+        assert blob == ref, dict(mesh.shape)
+    # And VBR vs the plain sequential encoder class.
+    mesh = make_mesh(8, frag_axis=2)
+    pk = encode_clip_mesh(frames, info, mesh, keyframe_freq=4, qi=40)
+    seq = TpuGopEncoder(info, qi=40).encode_clip(frames, keyframe_freq=4)
+    assert [p.data for p in pk] == [p.data for p in seq]
+
+
+def test_mesh_rate_window_guard():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from theora_tpu.parallel.gop import encode_clip_mesh, make_mesh
+
+    info = TheoraInfo(
+        frame_width=32, frame_height=32, pic_width=32, pic_height=32,
+        quality=40,
+    )
+    with pytest.raises(ValueError):
+        encode_clip_mesh(
+            [], info, make_mesh(8, frag_axis=1), target_bitrate=1000,
+            rate_window=4,
+        )
+
+
 def test_encode_clip_granulepos():
     frames = _moving_frames(32, 32, 0, 7, 9)
     info = TheoraInfo(

@@ -59,24 +59,21 @@ _MODE_OF = {
 }
 
 
-@functools.partial(
-    __import__("jax").jit,
-    static_argnames=("nv", "nh", "pad_y", "pad_x", "emit_recon"),
-)
-def _scan_encode_plane(
-    init_prev, init_gold,
-    cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
-    deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
-    nv, nh, pad_y, pad_x, emit_recon=False,
-):
-    """Closed-loop encode scan over F frames of one plane.
+def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
+                    frag_axis=None):
+    """Build the closed-loop encode scan for one plane geometry.
 
-    cur_blocks: [F, N, 8, 8] u8 source fragments (raster order);
-    refsel: [F, N] 0=intra 1=prev 2=gold; o*/use2: MC offsets from the
-    MVMAP tables; may_skip: [F, N] skip-eligible; is_intra: [F] bool.
-    deq_*: [64] i32; bv: [256] i32 loop-filter table; lam: f32 scalar.
-    Returns (qdct [F, N, 64] i16, coded [F, N] bool[, recon planes],
-    final prev plane).
+    Returned fn(init_prev, init_gold, cur_blocks [F, N, 8, 8] u8,
+    refsel, o1y, o1x, o2y, o2x, use2, may_skip [F, N], is_intra [F],
+    deq_intra, deq_inter [64] i32, bv [256] i32, lam/lam_q_* f32)
+    -> (qdct [F, N, 64] i16, coded [F, N] bool[, recon planes], final
+    prev plane).
+
+    With frag_axis set (inside shard_map), N is this shard's fragment
+    slice: the transform/quantize/skip work stays sharded and only the
+    reconstructed 8x8 blocks are all-gathered over the axis to assemble
+    the carried reference plane (replicated, like the decoder's) --
+    tensor-parallel encode over the fragment dimension.
     """
     import jax
     import jax.numpy as jnp
@@ -87,73 +84,122 @@ def _scan_encode_plane(
 
     h, w = nv * 8, nh * 8
     n = nv * nh
-    by = pad_y + 8 * (jnp.arange(n) // nh)
-    bx = pad_x + 8 * (jnp.arange(n) % nh)
-    ay = by[:, None, None] + jnp.arange(8)[None, :, None]
-    ax = bx[:, None, None] + jnp.arange(8)[None, None, :]
+    fby = pad_y + 8 * (jnp.arange(n) // nh)
+    fbx = pad_x + 8 * (jnp.arange(n) % nh)
+    fay = fby[:, None, None] + jnp.arange(8)[None, :, None]
+    fax = fbx[:, None, None] + jnp.arange(8)[None, None, :]
 
-    def step(carry, xs):
-        prev, gold = carry
-        curf, rsf, y1, x1, y2, x2, u2, ms, ik = xs
-        y1 = y1.astype(jnp.int32)
-        x1 = x1.astype(jnp.int32)
-        y2 = y2.astype(jnp.int32)
-        x2 = x2.astype(jnp.int32)
-        p1 = prev[ay + y1[:, None, None], ax + x1[:, None, None]]
-        p2 = prev[ay + y2[:, None, None], ax + x2[:, None, None]]
-        g1 = gold[ay + y1[:, None, None], ax + x1[:, None, None]]
-        g2 = gold[ay + y2[:, None, None], ax + x2[:, None, None]]
-        pp = jnp.where(
-            u2[:, None, None], (p1.astype(jnp.int32) + p2) >> 1,
-            p1.astype(jnp.int32),
-        )
-        gg = jnp.where(
-            u2[:, None, None], (g1.astype(jnp.int32) + g2) >> 1,
-            g1.astype(jnp.int32),
-        )
-        pred = jnp.where(
-            (rsf == 0)[:, None, None], 128,
-            jnp.where((rsf == 1)[:, None, None], pp, gg),
-        )
-        curi = curf.astype(jnp.int32)
-        res = curi - pred
-        dct = tj.fdct8x8(res)
-        deq = jnp.where((rsf == 0)[:, None], deq_intra, deq_inter)
-        lam_q = jnp.where(rsf == 0, lam_q_intra, lam_q_inter).astype(
-            jnp.float32
-        )
-        qdct = tj.quantize_rd(dct, deq, lam_q)
-        dc_only = (qdct[:, 1:] == 0).all(axis=-1)
-        residual = tj.dequantize_idct(
-            qdct, deq, qdct[:, 0], deq[:, 0], dc_only
-        )
-        recon = jnp.clip(residual + pred, 0, 255)
-        unc = prev[ay, ax].astype(jnp.int32)
-        ssd_rec = ((recon - curi) ** 2).sum(axis=(1, 2))
-        ssd_unc = ((unc - curi) ** 2).sum(axis=(1, 2))
-        bits = 6 * (qdct != 0).sum(axis=1) + 2
-        lamterm = (lam * bits.astype(jnp.float32)).astype(jnp.int32)
-        skip = ms & (16 * ssd_unc <= 16 * ssd_rec + lamterm) & ~ik
-        coded = ~skip
-        blocks = jnp.where(
-            coded[:, None, None], recon, unc
-        ).astype(jnp.uint8)
-        plane = jnp.zeros_like(prev).at[ay, ax].set(blocks)
-        plane = loop_filter_plane_jax(
-            plane, coded.reshape(nv, nh), bv, nv, nh, pad_y, pad_x
-        )
-        plane = fill_borders(plane, h, w, pad_y, pad_x)
-        gold_new = jnp.where(ik, plane, gold)
-        qout = jnp.where(coded[:, None], qdct, 0).astype(jnp.int16)
-        ys = (qout, coded) + ((plane,) if emit_recon else ())
-        return (plane, gold_new), ys
+    def scan_fn(init_prev, init_gold,
+                cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip,
+                is_intra, deq_intra, deq_inter, bv, lam, lam_q_intra,
+                lam_q_inter):
+        nl = cur_blocks.shape[1]
+        if frag_axis is None:
+            start = 0
+        else:
+            start = jax.lax.axis_index(frag_axis) * nl
+        # Fragment ids may be padded past n for even sharding; clamp the
+        # pads onto the last real fragment (their outputs are dropped and
+        # the plane scatter only uses the first n gathered blocks).
+        fi = jnp.minimum(start + jnp.arange(nl), n - 1)
+        by = pad_y + 8 * (fi // nh)
+        bx = pad_x + 8 * (fi % nh)
+        ay = by[:, None, None] + jnp.arange(8)[None, :, None]
+        ax = bx[:, None, None] + jnp.arange(8)[None, None, :]
 
-    (prev_f, _), ys = jax.lax.scan(
-        step,
-        (init_prev, init_gold),
-        (cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra),
+        def step(carry, xs):
+            prev, gold = carry
+            curf, rsf, y1, x1, y2, x2, u2, ms, ik = xs
+            y1 = y1.astype(jnp.int32)
+            x1 = x1.astype(jnp.int32)
+            y2 = y2.astype(jnp.int32)
+            x2 = x2.astype(jnp.int32)
+            p1 = prev[ay + y1[:, None, None], ax + x1[:, None, None]]
+            p2 = prev[ay + y2[:, None, None], ax + x2[:, None, None]]
+            g1 = gold[ay + y1[:, None, None], ax + x1[:, None, None]]
+            g2 = gold[ay + y2[:, None, None], ax + x2[:, None, None]]
+            pp = jnp.where(
+                u2[:, None, None], (p1.astype(jnp.int32) + p2) >> 1,
+                p1.astype(jnp.int32),
+            )
+            gg = jnp.where(
+                u2[:, None, None], (g1.astype(jnp.int32) + g2) >> 1,
+                g1.astype(jnp.int32),
+            )
+            pred = jnp.where(
+                (rsf == 0)[:, None, None], 128,
+                jnp.where((rsf == 1)[:, None, None], pp, gg),
+            )
+            curi = curf.astype(jnp.int32)
+            res = curi - pred
+            dct = tj.fdct8x8(res)
+            deq = jnp.where((rsf == 0)[:, None], deq_intra, deq_inter)
+            lam_q = jnp.where(rsf == 0, lam_q_intra, lam_q_inter).astype(
+                jnp.float32
+            )
+            qdct = tj.quantize_rd(dct, deq, lam_q)
+            dc_only = (qdct[:, 1:] == 0).all(axis=-1)
+            residual = tj.dequantize_idct(
+                qdct, deq, qdct[:, 0], deq[:, 0], dc_only
+            )
+            recon = jnp.clip(residual + pred, 0, 255)
+            unc = prev[ay, ax].astype(jnp.int32)
+            ssd_rec = ((recon - curi) ** 2).sum(axis=(1, 2))
+            ssd_unc = ((unc - curi) ** 2).sum(axis=(1, 2))
+            bits = 6 * (qdct != 0).sum(axis=1) + 2
+            lamterm = (lam * bits.astype(jnp.float32)).astype(jnp.int32)
+            skip = ms & (16 * ssd_unc <= 16 * ssd_rec + lamterm) & ~ik
+            coded = ~skip
+            blocks = jnp.where(
+                coded[:, None, None], recon, unc
+            ).astype(jnp.uint8)
+            if frag_axis is None:
+                blocks_full, coded_full = blocks, coded
+            else:
+                blocks_full = jax.lax.all_gather(
+                    blocks, frag_axis, axis=0, tiled=True
+                )
+                coded_full = jax.lax.all_gather(
+                    coded, frag_axis, axis=0, tiled=True
+                )
+            plane = jnp.zeros_like(prev).at[fay, fax].set(blocks_full[:n])
+            plane = loop_filter_plane_jax(
+                plane, coded_full[:n].reshape(nv, nh), bv, nv, nh,
+                pad_y, pad_x,
+            )
+            plane = fill_borders(plane, h, w, pad_y, pad_x)
+            gold_new = jnp.where(ik, plane, gold)
+            qout = jnp.where(coded[:, None], qdct, 0).astype(jnp.int16)
+            ys = (qout, coded) + ((plane,) if emit_recon else ())
+            return (plane, gold_new), ys
+
+        (prev_f, _), ys = jax.lax.scan(
+            step,
+            (init_prev, init_gold),
+            (cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip,
+             is_intra),
+        )
+        return ys + (prev_f,)
+
+    return scan_fn
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("nv", "nh", "pad_y", "pad_x", "emit_recon"),
+)
+def _scan_encode_plane(
+    init_prev, init_gold,
+    cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
+    deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
+    nv, nh, pad_y, pad_x, emit_recon=False,
+):
+    """Single-device jitted wrapper over make_plane_scan."""
+    return make_plane_scan(nv, nh, pad_y, pad_x, emit_recon)(
+        init_prev, init_gold,
+        cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
+        deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
     )
-    return ys + (prev_f,)
 
 
 _MV_CANDS = 16  # shared candidate vectors scored per frame
@@ -175,14 +221,21 @@ class TpuGopEncoder:
         self.enc = Encoder(info)
         self.enc.use_trellis = False
         self.g = self.enc.geometry
-        self.qi = int(info.quality if qi is None else qi)
-        self.enc.qi = self.qi
         self.rd_strength = rd_strength
         g = self.g
         self._mb_list = np.where(g.mb_valid)[0]
         frag0 = g.mb_maps[self._mb_list, 0, 0]
         self._mb_row = g.frag_y[frag0] // 2
         self._mb_col = g.frag_x[frag0] // 2
+        self.set_qi(int(info.quality if qi is None else qi))
+
+    # ------------------------------------------------------------------
+    def set_qi(self, qi: int) -> None:
+        """Set the quantizer and recompute derived parameters (CBR-style
+        feedback between GOP batches changes qi; the compiled scans are
+        qi-independent -- tables arrive as arrays)."""
+        self.qi = int(np.clip(qi, 0, 63))
+        self.enc.qi = self.qi
         # Host-policy bias scale (encoder.py): rate cost in SAD units
         # tracks the quantizer step.
         dq = self.enc.dequant
@@ -233,10 +286,29 @@ class TpuGopEncoder:
         F = ys.shape[0]
         if F < 2:
             return []
-        cur = jnp.asarray(ys[1:])
-        prev = jnp.asarray(ys[:-1])
+        gold = np.broadcast_to(ys[0], (F - 1,) + ys.shape[1:])
+        return self._plan_frames(ys[1:], ys[:-1], gold)
+
+    # ------------------------------------------------------------------
+    def _plan_frames(self, cur, prev, gold):
+        """ME + mode decision for a batch of B independent frames.
+
+        cur/prev/gold: [B, H, W] u8 (prev/gold are the per-frame
+        *original* references).  Returns B (mb_modes, mb_mvs) pairs.
+        Batching across GOPs is legal for the same reason as across
+        frames (original refs only).
+        """
+        import jax.numpy as jnp
+
+        from theora_tpu.ops import me_jax
+
+        cur = jnp.asarray(np.ascontiguousarray(cur))
+        prev = jnp.asarray(np.ascontiguousarray(prev))
+        B = cur.shape[0]
         mv, sad_mv, sad_nomv = me_jax.me_search(cur, prev)
-        sad_gold = me_jax.sad_nomv_vs(cur, jnp.asarray(ys[0]))
+        sad_gold = me_jax.sad_nomv_vs(
+            cur, jnp.asarray(np.ascontiguousarray(gold))
+        )
         sad_intra = me_jax.sad_intra_mb(cur)
         mv = np.asarray(mv)
         sad_mv = np.asarray(sad_mv)
@@ -246,8 +318,8 @@ class TpuGopEncoder:
         # Top-K shared candidates per frame (by best-MV popularity; the
         # decoder's LAST/LAST2 predictors are almost always in this set).
         K = _MV_CANDS
-        cands = np.zeros((F - 1, K, 2), np.int32)
-        for fi in range(F - 1):
+        cands = np.zeros((B, K, 2), np.int32)
+        for fi in range(B):
             flat = mv[fi].reshape(-1, 2)
             flat = flat[(flat != 0).any(axis=1)]
             if len(flat):
@@ -263,7 +335,7 @@ class TpuGopEncoder:
                 fi, mv, sad_mv, sad_nomv, sad_gold, sad_intra,
                 cands, cand_sads,
             )
-            for fi in range(F - 1)
+            for fi in range(B)
         ]
 
     # ------------------------------------------------------------------

@@ -1,23 +1,37 @@
-"""Multi-device scaling: GOP/frame data parallelism over a device mesh.
+"""Multi-device scaling: the real GOP encoder sharded over a device mesh.
 
-The codec has no model weights; the scaling axes are (SURVEY.md section 2.7):
-  - "gop": independent frames / keyframe-delimited GOPs, data-parallel.
-  - "frag": fragments within a frame, for very large frames.
+The codec has no model weights; the scaling axes are (SURVEY.md §2.7):
+  - "gop": independent keyframe-delimited GOPs, data-parallel -- each
+    device runs the full closed-loop encode scan for its own GOPs;
+  - "frag": fragments within a frame, tensor-parallel -- the transform/
+    quantize/skip work shards over fragments and only the reconstructed
+    8x8 blocks are all-gathered to assemble the carried reference plane.
 
-Shared artifacts (dequant tables, Huffman codebooks) are tiny and replicated.
-Rate-control statistics are the one cross-shard dependency: a psum over the
-mesh mirrors the reservoir all-reduce a CBR encode spanning shards needs.
-Entropy-coded bytes are gathered to host in stream order for Ogg muxing.
+Shared artifacts (dequant tables, loop-filter table, lambdas) are tiny
+and replicated.  Rate control is the one cross-shard dependency: after
+the host entropy-codes each batch, the REAL packed bit counts are
+psum-reduced over the whole mesh (rate_psum) and fed back into the next
+batch's quantizer choice -- the reservoir all-reduce a CBR encode
+spanning shards needs.  Entropy-coded packets are ordered host-side for
+Ogg muxing.
+
+Byte-identity invariant: encode_clip_mesh over ANY mesh shape produces
+the same packets as the sequential TpuGopEncoder (integer compute,
+fixed tie-break orders, associative integer psum) -- tested in
+tests/test_distributed.py / test_tpu_gop.py.
 """
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from theora_tpu.ops import transforms_jax as tj
+from theora_tpu.encode.tpu_gop import TpuGopEncoder, make_plane_scan
+from theora_tpu.info import TheoraInfo
+from theora_tpu.tpkt import Packet
 
 
 def make_mesh(
@@ -33,55 +47,291 @@ def make_mesh(
     return Mesh(dev_array, ("gop", "frag"))
 
 
-def gop_encode_step(mesh: Mesh):
-    """Build a pjit-compiled GOP-parallel intra encode step.
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _rate_psum(mesh, gop_bits):
+    """psum of per-GOP REAL packed bit counts over the whole mesh --
+    the CBR rate-control collective (gop_bits: [G] int32, sharded over
+    "gop"; returns the replicated total)."""
+    from jax import shard_map
 
-    Returns fn(plane_blocks [B, N, 8, 8] u8, dequant_zz [64] i32)
-      -> (qdct [B, N, 64], recon [B, N, 8, 8], frame_bits_est [B],
-          total_bits_est scalar replicated)
-    with B sharded over "gop", N sharded over "frag", and the total-bits
-    estimate psum-reduced over the whole mesh (the rate-control collective).
-    """
-    from jax.experimental.shard_map import shard_map
+    def f(b):
+        return jax.lax.psum(jax.lax.psum(b.sum(), "gop"), "frag")
 
-    def step(plane_blocks, dequant_zz):
-        res = plane_blocks.astype(jnp.int32) - 128
-        dct = tj.fdct8x8(res)
-        qdct = tj.quantize(dct, dequant_zz)
-        dc_only = (qdct[..., 1:] == 0).all(axis=-1)
-        B, N = qdct.shape[0], qdct.shape[1]
-        flat = qdct.reshape(-1, 64)
-        residual = tj.dequantize_idct(
-            flat,
-            jnp.broadcast_to(dequant_zz, flat.shape),
-            flat[:, 0],
-            jnp.broadcast_to(dequant_zz[0], (flat.shape[0],)),
-            dc_only.reshape(-1),
-        ).reshape(plane_blocks.shape)
-        recon = tj.recon_intra(residual)
-        # Crude bit estimate: ~6 bits per nonzero coefficient + 1/block.
-        nz = (qdct != 0).sum(axis=(1, 2))
-        # Per-frame totals need the fragment shards combined first.
-        frame_bits = jax.lax.psum(6 * nz + qdct.shape[1], "frag")
-        # Rate-control collective: total bits across the whole mesh.
-        total = jax.lax.psum(frame_bits.sum(), "gop")
-        return qdct, recon, frame_bits, total
+    return shard_map(
+        f, mesh=mesh, in_specs=(P("gop"),), out_specs=P()
+    )(gop_bits)
 
-    sharded = shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P("gop", "frag", None, None), P()),
-        out_specs=(
-            P("gop", "frag", None),
-            P("gop", "frag", None, None),
-            P("gop"),
-            P(),
-        ),
+
+def rate_psum(mesh: Mesh, gop_bits: np.ndarray) -> int:
+    sharded = jax.device_put(
+        jnp.asarray(gop_bits, jnp.int32), NamedSharding(mesh, P("gop"))
     )
-    return jax.jit(sharded)
+    return int(_rate_psum(mesh, sharded))
 
 
-def shard_frames(mesh: Mesh, plane_blocks: np.ndarray):
-    """Device-put a frame batch with (gop, frag) sharding."""
-    sharding = NamedSharding(mesh, P("gop", "frag", None, None))
-    return jax.device_put(plane_blocks, sharding)
+class MeshGopEncoder:
+    """TpuGopEncoder fanned out over a (gop, frag) device mesh.
+
+    Encodes batches of G equal-length GOPs in one sharded dispatch per
+    plane; the host packs each GOP's frames afterwards.
+    """
+
+    def __init__(self, mesh: Mesh, info: TheoraInfo, qi: int | None = None,
+                 rd_strength: float = 3.0):
+        self.mesh = mesh
+        self.base = TpuGopEncoder(info, qi=qi, rd_strength=rd_strength)
+        self.g = self.base.g
+        self._scan_cache = {}
+
+    # ------------------------------------------------------------------
+    def _sharded_scan(self, pli):
+        key = pli
+        fn = self._scan_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax import shard_map
+
+        g = self.g
+        pl = g.planes[pli]
+        vpad, hpad = g.plane_padding(pli)
+        scan = make_plane_scan(
+            pl.nvfrags, pl.nhfrags, vpad, hpad, frag_axis="frag"
+        )
+
+        def local(init_prev, init_gold, cur, rs, o1y, o1x, o2y, o2x, u2,
+                  ms, ik, deqi, deqp, bv, lam, lqi, lqp):
+            def one_gop(ip, ig, c, r, a, b_, cc, dd, u, m, k):
+                return scan(ip, ig, c, r, a, b_, cc, dd, u, m, k,
+                            deqi, deqp, bv, lam, lqi, lqp)
+
+            return jax.vmap(one_gop)(
+                init_prev, init_gold, cur, rs, o1y, o1x, o2y, o2x, u2,
+                ms, ik,
+            )
+
+        gfp = P("gop", None, "frag")
+        fn = jax.jit(shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P("gop", None, None), P("gop", None, None),
+                P("gop", None, "frag", None, None),
+                gfp, gfp, gfp, gfp, gfp, gfp, gfp,
+                P("gop", None),
+                P(), P(), P(), P(), P(), P(),
+            ),
+            out_specs=(
+                P("gop", None, "frag", None),
+                P("gop", None, "frag"),
+                P("gop", None, None),
+            ),
+            check_vma=False,
+        ))
+        self._scan_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def encode_gops(self, gops: list, want_sizes: bool = False):
+        """Encode G GOPs (equal frame counts) in one mesh dispatch per
+        plane.  Returns a list of per-GOP packet byte lists."""
+        base = self.base
+        g = self.g
+        G = len(gops)
+        F = len(gops[0])
+        assert all(len(x) == F for x in gops)
+        fragshards = self.mesh.shape["frag"]
+
+        planes_bs = [
+            [[p[::-1].astype(np.uint8) for p in fr] for fr in gop]
+            for gop in gops
+        ]
+        # Batched ME + mode decision across all GOPs' inter frames.
+        plans_per_gop = [[] for _ in range(G)]
+        if F > 1:
+            ys = [np.stack([fr[0] for fr in pg]) for pg in planes_bs]
+            cur = np.concatenate([y[1:] for y in ys])
+            prev = np.concatenate([y[:-1] for y in ys])
+            gold = np.concatenate(
+                [np.broadcast_to(y[0], (F - 1,) + y.shape[1:]) for y in ys]
+            )
+            flat_plans = base._plan_frames(cur, prev, gold)
+            for gi in range(G):
+                plans_per_gop[gi] = flat_plans[
+                    gi * (F - 1) : (gi + 1) * (F - 1)
+                ]
+
+        nfrags = g.nfrags
+        zero_rs = np.zeros(nfrags, np.int8)
+        zero_mv = np.zeros((nfrags, 2), np.int32)
+        no_skip = np.zeros(nfrags, bool)
+        frame_frag = [
+            [(zero_rs, zero_mv, no_skip)]
+            + [base._frag_plan(mm, mv) for mm, mv in plans_per_gop[gi]]
+            for gi in range(G)
+        ]
+
+        qdct_pl = {}
+        coded_pl = {}
+        for pli in range(3):
+            pl = g.planes[pli]
+            vpad, hpad = g.plane_padding(pli)
+            n = pl.nfrags
+            npad = -(-n // fragshards) * fragshards
+            stacks = {k: [] for k in ("cur", "rs", "o1y", "o1x", "o2y",
+                                      "o2x", "u2", "ms")}
+            for gi in range(G):
+                fs = {k: [] for k in stacks}
+                for f in range(F):
+                    rs, fmv, ms = frame_frag[gi][f]
+                    d = base._plane_inputs(
+                        pli, planes_bs[gi][f], rs, fmv, ms
+                    )
+                    for k in fs:
+                        fs[k].append(d[k])
+                for k in stacks:
+                    arr = np.stack(fs[k])
+                    if npad != n:
+                        pad = np.zeros(
+                            (F, npad - n) + arr.shape[2:], arr.dtype
+                        )
+                        if k == "ms":
+                            pad[:] = True  # pads skip themselves
+                        arr = np.concatenate([arr, pad], axis=1)
+                    stacks[k].append(arr)
+            arrs = {
+                k: jnp.asarray(np.stack(v)) for k, v in stacks.items()
+            }
+            is_intra = jnp.asarray(
+                np.broadcast_to(
+                    np.arange(F) == 0, (G, F)
+                ).copy()
+            )
+            init = jnp.full(
+                (G, pl.nvfrags * 8 + 2 * vpad, pl.nhfrags * 8 + 2 * hpad),
+                0x80, jnp.uint8,
+            )
+            dq = base.enc.dequant
+            from theora_tpu.ops.fdct_np import rd_lambda
+
+            lam_qi = rd_lambda(
+                base.qi, int(dq[base.qi, pli, 0, 1])
+            ) * base.rd_strength
+            lam_qp = rd_lambda(
+                base.qi, int(dq[base.qi, pli, 1, 1])
+            ) * base.rd_strength
+            fn = self._sharded_scan(pli)
+            qdct, coded, _final = fn(
+                init, init,
+                arrs["cur"], arrs["rs"], arrs["o1y"], arrs["o1x"],
+                arrs["o2y"], arrs["o2x"], arrs["u2"], arrs["ms"],
+                is_intra,
+                jnp.asarray(dq[base.qi, pli, 0].astype(np.int32)),
+                jnp.asarray(dq[base.qi, pli, 1].astype(np.int32)),
+                jnp.asarray(base._bv), jnp.float32(base._lam),
+                jnp.float32(lam_qi), jnp.float32(lam_qp),
+            )
+            qdct_pl[pli] = np.asarray(qdct)[:, :, :n]
+            coded_pl[pli] = np.asarray(coded)[:, :, :n]
+
+        out = []
+        for gi in range(G):
+            out.append(base._pack_gop(
+                F, plans_per_gop[gi], frame_frag[gi],
+                {pli: qdct_pl[pli][gi] for pli in range(3)},
+                {pli: coded_pl[pli][gi] for pli in range(3)},
+            ))
+        return out
+
+
+def encode_clip_mesh(
+    frames: list,
+    info: TheoraInfo,
+    mesh: Mesh,
+    keyframe_freq: int = 8,
+    qi: int | None = None,
+    target_bitrate: int = 0,
+    rate_window: int = 8,
+) -> list[Packet]:
+    """Encode a clip over the mesh, GOP batches of size = gop-axis.
+
+    With target_bitrate > 0, a reservoir controller adjusts qi at fixed
+    rate_window GOP boundaries from the psum of real packed bit counts
+    (the rate collective).  The window is mesh-independent and the psum
+    is an associative integer sum, so the qi trajectory -- and therefore
+    every output byte -- is identical on any mesh shape.
+    """
+    enc = MeshGopEncoder(mesh, info, qi=qi)
+    G = mesh.shape["gop"]
+    if target_bitrate > 0 and rate_window % G != 0:
+        # A window boundary inside a dispatch batch would let different
+        # mesh shapes apply the qi update at different GOPs, breaking
+        # byte-identity; insist on aligned windows.
+        raise ValueError(
+            f"rate_window ({rate_window}) must be a multiple of the "
+            f"mesh gop axis ({G}) for a mesh-invariant CBR trajectory"
+        )
+    out = enc.base.flush_headers()
+    shift = info.keyframe_granule_shift
+    nf = len(frames)
+    gop_list = [
+        frames[i : i + keyframe_freq] for i in range(0, nf, keyframe_freq)
+    ]
+    fullness = 0.0
+    fps = max(info.fps_numerator / max(info.fps_denominator, 1), 1e-6)
+    pno = 3
+    win_bits: list[int] = []
+    win_frames = 0
+
+    def rate_update():
+        nonlocal fullness, win_frames
+        if not win_bits:
+            return
+        # REAL packed bits, psum-reduced over the mesh (pad the window
+        # to the gop axis; zeros don't change the sum).
+        arr = np.zeros(-(-len(win_bits) // G) * G, np.int32)
+        arr[: len(win_bits)] = win_bits
+        total = rate_psum(mesh, arr)
+        target = target_bitrate * win_frames / fps
+        fullness += target - total
+        step = int(round(-fullness / max(target / 2, 1.0)))
+        if step:
+            enc.base.set_qi(enc.base.qi + int(np.clip(step, -4, 4)))
+        win_bits.clear()
+        win_frames = 0
+
+    for b0 in range(0, len(gop_list), G):
+        # A rate window never spans a dispatch batch partially: dispatch
+        # batches subdivide windows when G <= rate_window, and updates
+        # happen between dispatches at fixed GOP indices either way.
+        batch = gop_list[b0 : b0 + G]
+        real = len(batch)
+        F = max(len(gp) for gp in batch)
+        # Equal-shape padding: short GOPs repeat their last frame, the
+        # batch pads with copies of GOP 0 (outputs dropped).
+        padded = [
+            gp + [gp[-1]] * (F - len(gp)) for gp in batch
+        ]
+        while len(padded) < G:
+            padded.append(padded[0])
+        pkts_per_gop = enc.encode_gops(padded)
+        for gi in range(real):
+            nreal = len(batch[gi])
+            base_f = (b0 + gi) * keyframe_freq
+            for j in range(nreal):
+                fnum = base_f + j
+                gp = ((base_f + 1) << shift) + j
+                out.append(Packet(
+                    pkts_per_gop[gi][j], granulepos=gp, packetno=pno,
+                    e_o_s=(fnum == nf - 1),
+                ))
+                pno += 1
+            if target_bitrate > 0:
+                win_bits.append(
+                    8 * sum(len(d) for d in pkts_per_gop[gi][:nreal])
+                )
+                win_frames += nreal
+                if (b0 + gi + 1) % rate_window == 0:
+                    rate_update()
+    if target_bitrate > 0:
+        rate_update()
+    return out
