@@ -120,6 +120,17 @@ class Encoder:
         # the lambda.
         self.rd_quant = True
         self.rd_strength = 3.0
+        # Skip-decision lambda multiplier on top of rd_strength*4.
+        # Swept on smooth/textured/noise content (round 2): 2.5 RD-
+        # dominates 1.0 at every qi and closes the q40 equal-PSNR gap
+        # vs the reference (30503 vs ref 30835 bytes at +0.03 dB).
+        self.skip_lambda_scale = 2.5
+        # Reference-style coupled mode/skip rollback (analyze.c:859-882,
+        # 933-956): implemented in _coupled_transform_skip, default OFF --
+        # measured RD-negative in this architecture at every lambda tried
+        # (the aggressive NOMV skip above already harvests the economy;
+        # see ROUND_NOTES).
+        self.coupled_skip = False
         # Viterbi trellis tokenizer with exact Huffman bit costs
         # (tokenize.c:457-744 analogue); supersedes rd_quant on
         # single-qi frames.
@@ -1502,6 +1513,23 @@ class Encoder:
         coded[g.scan_fragis] = True
         coded &= frag_refi != FRAME_NONE
         frag_qii = self._select_adaptive_qis(planes, coded)
+
+        from theora_tpu.ops.fdct_np import rd_lambda
+
+        lam = (
+            rd_lambda(self.qi, int(self.dequant[self.qi, 0, 1, 1]))
+            * self.rd_strength * 4.0
+            * getattr(self, "skip_lambda_scale", 1.0)
+        )
+        if getattr(self, "coupled_skip", True):
+            per_plane = self._coupled_transform_skip(
+                planes, coded, frag_refi, frag_mode, frag_mv, mb_modes,
+                residual, frag_qii, prev_rec, lam,
+            )
+            return self._finish_inter(
+                planes, per_plane, coded, frag_refi, frag_mode, frag_mv,
+                frag_qii, mb_modes, mb_mvs, mb_list,
+            )
         per_plane = self._transform_quantize(
             planes, coded, frag_refi, residual, frag_qii
         )
@@ -1511,13 +1539,6 @@ class Encoder:
         # bit cost (uncoded semantics == NOMV prediction). Extending the
         # skip to other modes was tried and measured an RD loss without a
         # modedec-grade cost model; revisit with SATD-based rate fits.
-        from theora_tpu.ops.fdct_np import rd_lambda
-
-        lam = (
-            rd_lambda(self.qi, int(self.dequant[self.qi, 0, 1, 1]))
-            * self.rd_strength * 4.0
-            * getattr(self, "skip_lambda_scale", 1.0)
-        )
         for pli in range(3):
             fragis, qdct, err2, res2 = per_plane[pli][:4]
             if len(fragis) == 0:
@@ -1599,6 +1620,17 @@ class Encoder:
                     ]
                 per_plane[pli] = tuple(kept)
 
+        return self._finish_inter(
+            planes, per_plane, coded, frag_refi, frag_mode, frag_mv,
+            frag_qii, mb_modes, mb_mvs, mb_list,
+        )
+
+    # ------------------------------------------------------------------
+    def _finish_inter(self, planes, per_plane, coded, frag_refi, frag_mode,
+                      frag_mv, frag_qii, mb_modes, mb_mvs, mb_list) -> bytes:
+        """DC prediction + tokenization + packing tail shared by the
+        legacy and coupled skip paths."""
+        g = self.geometry
         ncoded_total = int(coded.sum())
         if ncoded_total == 0:
             # 0-byte dup-frame packet, or an explicit no-coded-blocks inter
@@ -1608,7 +1640,6 @@ class Encoder:
         # Uncoded fragments keep FRAME_NONE so DC prediction skips them.
         frag_refi[~coded] = FRAME_NONE
 
-        # --- DC prediction + tokenization + packing ------------------------
         vecs_by_plane = self._dc_predict_and_order(per_plane, coded, frag_refi)
         bw = BitWriter()
         self._frame_header_pack(bw, INTER_FRAME, self.frame_qis)
@@ -1629,6 +1660,206 @@ class Encoder:
             per_plane,
         )
         return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
+
+    # ------------------------------------------------------------------
+    def _uncoded_ssd_plane(self, planes, prev_rec, pli):
+        """Per-fragment SSD (scaled x16 to the DCT domain) of the uncoded
+        prediction: a zero-MV copy from the reconstructed previous frame
+        (the skip_ssd array of analyze.c:529-531)."""
+        g = self.geometry
+        pl = g.planes[pli]
+        vpad, hpad = g.plane_padding(pli)
+        h, w = pl.nvfrags * 8, pl.nhfrags * 8
+        prev_w = prev_rec.planes[pli][vpad : vpad + h, hpad : hpad + w]
+        d = planes[pli].astype(np.int32) - prev_w
+        return (
+            (d * d)
+            .reshape(pl.nvfrags, 8, pl.nhfrags, 8)
+            .sum(axis=(1, 3), dtype=np.int64)
+            .reshape(-1)
+            * 16
+        )
+
+    # ------------------------------------------------------------------
+    def _apply_skip(self, per_plane, pli, skip, coded):
+        """Drop skipped rows from a per_plane tuple and clear coded."""
+        fragis, qdct, err2, res2 = per_plane[pli][:4]
+        extra = per_plane[pli][4:]
+        keep = ~skip
+        coded[fragis[skip]] = False
+        kept = [fragis[keep], qdct[keep], err2[keep], res2[keep]]
+        if len(extra) >= 4 and extra[2] is not None:
+            plans = extra[2]
+            plans = (
+                plans[keep]
+                if isinstance(plans, np.ndarray)
+                else [p for p, k in zip(plans, keep) if k]
+            )
+            kept += [
+                extra[0][keep] if extra[0] is not None else None,
+                extra[1][keep], plans, extra[3][keep],
+            ]
+        per_plane[pli] = tuple(kept)
+
+    # ------------------------------------------------------------------
+    def _coupled_transform_skip(self, planes, coded, frag_refi, frag_mode,
+                                frag_mv, mb_modes, residual, frag_qii,
+                                prev_rec, lam):
+        """Coupled mode/skip R-D: the reference's retroactive skip with
+        rollback (analyze.c:859-882, 933-956), reformulated for the
+        batched pipeline as luma-first coding:
+
+          1. transform+tokenize luma; per-block skip for ANY mode against
+             the true uncoded (prev-copy) SSD, priced with trellis-exact
+             bits;
+          2. MB-level rollback: skip a whole MB's remaining luma when the
+             uncoded SSD beats coded SSD + lambda*(ac bits + mode/flag
+             overhead) -- the mode-cost/skip coupling;
+          3. mode forcing: an MB with no coded luma transmits nothing, so
+             its mode becomes INTER_NOMV (analyze.c:956) and its chroma
+             re-predicts accordingly -- THEN chroma is transformed.
+
+        Decoder-state safety: the decoder's last/prior MV predictors
+        advance only on transmitted modes, and our mode decisions were
+        made assuming transmission.  Full-luma skip (and the MB rollback)
+        is therefore only allowed for modes that do not advance that
+        state: NOMV, GOLDEN_NOMV, INTRA and INTER_MV_LAST.  MV / LAST2 /
+        4MV macroblocks keep at least one coded luma block
+        (_luma_skip_guard), exactly like the non-coupled path.
+        """
+        from theora_tpu.constants import (
+            FRAME_PREV,
+            MODE_INTER_MV_FOUR,
+            MODE_INTER_MV_LAST,
+            MODE_INTER_NOMV,
+            MODE_GOLDEN_NOMV as _GOLD,
+        )
+
+        g = self.geometry
+        pl0 = g.planes[0]
+        nfrags = g.nfrags
+
+        luma_mask = np.zeros(nfrags, bool)
+        luma_mask[: pl0.nfrags] = True
+        luma_coded = coded & luma_mask
+        per_plane = self._transform_quantize(
+            planes, luma_coded, frag_refi, residual, frag_qii
+        )
+
+        fragis, qdct, err2, res2 = per_plane[0][:4]
+        extra = per_plane[0][4:]
+        if len(extra) >= 4 and extra[2] is not None:
+            bits_est = extra[3] + 2
+        else:
+            bits_est = 6 * (qdct != 0).sum(axis=1) + 2
+        unc = self._uncoded_ssd_plane(planes, prev_rec, 0)[fragis]
+        modes_f = frag_mode[fragis]
+        # Per-block skip.  NOMV blocks keep the proven aggressive lambda
+        # (skipping them only drops the residual refinement -- prediction
+        # is the prev copy either way).  For motion/intra modes skipping
+        # REPLACES the prediction with a zero-MV copy and the damage
+        # compounds through the closed loop, so those use a conservative
+        # lambda.  4MV blocks never skip (per-block MVs ride on coded
+        # flags and feed chroma MV derivation).
+        lam_other = lam * getattr(self, "skip_other_scale", 0.25)
+        is_nomv = modes_f == MODE_INTER_NOMV
+        lam_blk = np.where(is_nomv, lam, lam_other)
+        skip = (unc <= err2 + (lam_blk * bits_est).astype(np.int64)) & (
+            modes_f != MODE_INTER_MV_FOUR
+        )
+        if not getattr(self, "skip_nonnomv", True):
+            skip &= is_nomv
+        # Keep >=1 coded luma block in MBs whose mode must stay
+        # transmitted for MV-predictor consistency.
+        self._luma_skip_guard_modes(fragis, skip, coded, frag_mode)
+
+        # MB-level rollback with mode overhead for state-safe modes.
+        safe = np.isin(
+            mb_modes, (MODE_INTER_NOMV, _GOLD, MODE_INTRA,
+                       MODE_INTER_MV_LAST),
+        )
+        ov = getattr(self, "mb_skip_overhead_bits", 6.0)
+        if not getattr(self, "mb_rollback", True):
+            safe &= False
+        pos = {int(f): i for i, f in enumerate(fragis)}
+        for mbi in np.where(safe & g.mb_valid)[0]:
+            idx = [pos[f] for f in g.mb_maps[mbi, 0, :4]
+                   if f >= 0 and f in pos]
+            live = [i for i in idx if not skip[i]]
+            if not live:
+                continue
+            lam_mb = lam if mb_modes[mbi] == MODE_INTER_NOMV else lam_other
+            unc_s = int(unc[live].sum())
+            cod_s = int(err2[live].sum())
+            bits_s = float(np.asarray(bits_est)[live].sum())
+            if unc_s <= cod_s + int(lam_mb * (bits_s + ov)):
+                for i in live:
+                    skip[i] = True
+        self._apply_skip(per_plane, 0, skip, coded)
+
+        # Mode forcing: no coded luma -> INTER_NOMV, chroma re-predicts.
+        for mbi in np.where(g.mb_valid)[0]:
+            lum = [f for f in g.mb_maps[mbi, 0, :4] if f >= 0]
+            if not lum or any(coded[f] for f in lum):
+                continue
+            if mb_modes[mbi] == MODE_INTER_NOMV:
+                continue
+            mb_modes[mbi] = MODE_INTER_NOMV
+            for pli in (1, 2):
+                for f in g.mb_maps[mbi, pli]:
+                    if f >= 0 and coded[f]:
+                        frag_refi[f] = FRAME_PREV
+                        frag_mode[f] = MODE_INTER_NOMV
+                        frag_mv[f] = 0
+
+        # Chroma: transform with the (possibly re-predicted) refs, then
+        # the any-mode chroma skip against the uncoded prediction.
+        chroma_coded = coded & ~luma_mask
+        per_chroma = self._transform_quantize(
+            planes, chroma_coded, frag_refi, residual, frag_qii
+        )
+        for pli in (1, 2):
+            per_plane[pli] = per_chroma[pli]
+            fragis, qdct, err2, res2 = per_plane[pli][:4]
+            if len(fragis) == 0:
+                continue
+            extra = per_plane[pli][4:]
+            if len(extra) >= 4 and extra[2] is not None:
+                bits_est = extra[3] + 2
+            else:
+                bits_est = 6 * (qdct != 0).sum(axis=1) + 2
+            unc = self._uncoded_ssd_plane(planes, prev_rec, pli)[
+                fragis - g.planes[pli].froffset
+            ]
+            skip = unc <= err2 + (lam * bits_est).astype(np.int64)
+            if skip.any():
+                self._apply_skip(per_plane, pli, skip, coded)
+        return per_plane
+
+    # ------------------------------------------------------------------
+    def _luma_skip_guard_modes(self, fragis, skip, coded, frag_mode) -> None:
+        """Un-skip one luma block of any MB whose mode advances the
+        decoder's MV-predictor state (MV/LAST2/4MV) and would otherwise
+        lose all coded luma -- its mode must stay transmitted."""
+        from theora_tpu.constants import (
+            MODE_INTER_MV as _MV,
+            MODE_INTER_MV_FOUR as _M4,
+            MODE_INTER_MV_LAST2 as _ML2,
+        )
+
+        g = self.geometry
+        skipmap = np.zeros(g.nfrags, dtype=bool)
+        skipmap[fragis] = skip
+        pos = {int(f): i for i, f in enumerate(fragis)}
+        for mbi in np.where(g.mb_valid)[0]:
+            lum = [f for f in g.mb_maps[mbi, 0, :4] if f >= 0 and coded[f]]
+            if not lum or frag_mode[lum[0]] not in (_MV, _ML2, _M4):
+                continue
+            if not all(skipmap[f] for f in lum):
+                continue
+            keep = min(lum, key=lambda f: 0)
+            skip[pos[keep]] = False
+            skipmap[keep] = False
 
     # ------------------------------------------------------------------
     def pack_frame_plan(self, ftype, coded, frag_refi, mb_modes, mb_mvs,
