@@ -72,6 +72,26 @@ int main(int argc, char **argv) {
     th_encode_ctl(enc, TH_ENCCTL_SET_KEYFRAME_FREQUENCY_FORCE, &v, sizeof(v));
   }
 
+  /* Optional 2-pass driving via env vars (protocol per the reference's
+   * encoder_example.c:1127-1226): REF_2PASS_OUT=<path> runs pass 1 and
+   * writes the OT2P metrics file; REF_2PASS_IN=<path> runs pass 2
+   * consuming it. */
+  const char *tp_out = getenv("REF_2PASS_OUT");
+  const char *tp_in = getenv("REF_2PASS_IN");
+  FILE *tpf = NULL;
+  if (tp_out) {
+    unsigned char *tb;
+    int tn;
+    tpf = fopen(tp_out, "wb");
+    if (!tpf) { perror("2pass out"); return 1; }
+    tn = th_encode_ctl(enc, TH_ENCCTL_2PASS_OUT, &tb, sizeof(tb));
+    if (tn < 0) { fprintf(stderr, "2PASS_OUT init failed\n"); return 1; }
+    fwrite(tb, 1, (size_t)tn, tpf);
+  } else if (tp_in) {
+    tpf = fopen(tp_in, "rb");
+    if (!tpf) { perror("2pass in"); return 1; }
+  }
+
   fwrite("TPKT", 1, 4, fout);
   ogg_packet op;
   th_comment tc;
@@ -93,10 +113,39 @@ int main(int argc, char **argv) {
     ycbcr[0].width = w; ycbcr[0].height = h; ycbcr[0].stride = w; ycbcr[0].data = buf;
     ycbcr[1].width = cw; ycbcr[1].height = ch; ycbcr[1].stride = cw; ycbcr[1].data = buf + ysz;
     ycbcr[2].width = cw; ycbcr[2].height = ch; ycbcr[2].stride = cw; ycbcr[2].data = buf + ysz + csz;
+    if (tp_in) {
+      for (;;) {
+        unsigned char tbuf[80];
+        int want = th_encode_ctl(enc, TH_ENCCTL_2PASS_IN, NULL, 0);
+        if (want < 0) { fprintf(stderr, "2PASS_IN query failed\n"); return 1; }
+        if (want == 0) break;
+        if (want > (int)sizeof(tbuf)) want = (int)sizeof(tbuf);
+        int got = (int)fread(tbuf, 1, (size_t)want, tpf);
+        if (got <= 0) { fprintf(stderr, "2-pass file short\n"); return 1; }
+        if (th_encode_ctl(enc, TH_ENCCTL_2PASS_IN, tbuf, (size_t)got) < 0) {
+          fprintf(stderr, "2PASS_IN feed failed\n");
+          return 1;
+        }
+      }
+    }
     int ret = th_encode_ycbcr_in(enc, ycbcr);
     if (ret != 0) { fprintf(stderr, "ycbcr_in=%d at frame %d\n", ret, f); return 1; }
+    if (tp_out) {
+      unsigned char *tb;
+      int tn = th_encode_ctl(enc, TH_ENCCTL_2PASS_OUT, &tb, sizeof(tb));
+      if (tn < 0) { fprintf(stderr, "2PASS_OUT failed\n"); return 1; }
+      fwrite(tb, 1, (size_t)tn, tpf);
+    }
     while (th_encode_packetout(enc, f == nframes - 1, &op) > 0) put_packet(fout, &op);
   }
+  if (tp_out) {
+    unsigned char *tb;
+    int tn = th_encode_ctl(enc, TH_ENCCTL_2PASS_OUT, &tb, sizeof(tb));
+    if (tn < 0) { fprintf(stderr, "2PASS_OUT summary failed\n"); return 1; }
+    fseek(tpf, 0, SEEK_SET);
+    fwrite(tb, 1, (size_t)tn, tpf);
+  }
+  if (tpf) fclose(tpf);
   th_encode_free(enc);
   fclose(fin);
   fclose(fout);

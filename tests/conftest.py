@@ -27,6 +27,25 @@ if REPO_ROOT not in sys.path:
 TESTDATA = os.path.join(REPO_ROOT, "testdata")
 
 
+def _ref_tools_fixture():
+    import pytest
+
+    if not ensure_ref_oracle():
+        pytest.skip("reference oracle unavailable")
+    return (
+        os.path.join(REPO_ROOT, "refbuild", "build", "ref_enc"),
+        os.path.join(REPO_ROOT, "refbuild", "build", "ref_dec"),
+    )
+
+
+try:
+    import pytest as _pytest
+
+    ref_tools = _pytest.fixture(name="ref_tools")(_ref_tools_fixture)
+except ImportError:
+    pass
+
+
 def ensure_ref_oracle() -> bool:
     """Build the reference oracle binaries if missing; True when usable."""
     import subprocess

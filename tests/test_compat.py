@@ -246,30 +246,47 @@ def test_twopass_ctl_roundtrip():
         quality=40, target_bitrate=64000, fps_numerator=30,
         fps_denominator=1,
     )
-    # Pass 1.
+    # Pass 1, driven like encoder_example.c:1190-1226: placeholder
+    # header before the first frame, per-frame records, then the real
+    # summary after the last packet -- rewritten at file offset 0.
     enc1 = compat.th_encode_alloc(info)
     while enc1.flushheader() is not None:
         pass
-    for fr in frames:
+    placeholder = enc1.ctl(compat.TH_ENCCTL_2PASS_OUT)
+    assert isinstance(placeholder, bytes) and len(placeholder) == 38
+    body = b""
+    for i, fr in enumerate(frames):
         enc1.ycbcr_in(fr)
-        enc1.packetout(False)
-    blob = enc1.ctl(compat.TH_ENCCTL_2PASS_OUT)
-    assert isinstance(blob, bytes) and len(blob) > 12
-    # Pass 2.
+        rec = enc1.ctl(compat.TH_ENCCTL_2PASS_OUT)
+        assert isinstance(rec, bytes) and len(rec) == 12
+        body += rec
+        enc1.packetout(i == len(frames) - 1)
+    summary = enc1.ctl(compat.TH_ENCCTL_2PASS_OUT)
+    assert isinstance(summary, bytes) and len(summary) == 38
+    blob = summary + body
+    # Pass 2: chunked feeding via the query protocol.
     info2 = TheoraInfo(
         frame_width=W, frame_height=H, pic_width=W, pic_height=H,
-        quality=40, target_bitrate=64000, fps_numerator=30,
+        quality=0, target_bitrate=64000, fps_numerator=30,
         fps_denominator=1,
     )
     enc2 = compat.th_encode_alloc(info2)
     while enc2.flushheader() is not None:
         pass
-    # RC initializes lazily on the first frame; prime it, then feed.
-    enc2._enc.encode_frame(frames[0])
-    assert enc2.ctl(compat.TH_ENCCTL_2PASS_IN, blob) == 0
+    pos = 0
     total = 0
-    for fr in frames:
+    for i, fr in enumerate(frames):
+        while True:
+            want = enc2.ctl(compat.TH_ENCCTL_2PASS_IN)
+            assert want >= 0
+            if want == 0:
+                break
+            chunk = blob[pos : pos + min(want, 80)]
+            assert chunk, "pass-2 input exhausted early"
+            consumed = enc2.ctl(compat.TH_ENCCTL_2PASS_IN, chunk)
+            assert consumed > 0
+            pos += consumed
         enc2.ycbcr_in(fr)
-        ok = enc2.packetout(False)
+        ok = enc2.packetout(i == len(frames) - 1)
         total += len(ok.data)
     assert total > 0

@@ -88,6 +88,11 @@ class th_enc_ctx:
         self._headers_done = False
         self._header_queue: list[Packet] = []
         self._dup_count = 0
+        self._2p_sent = 0          # pass-1 records already handed out
+        self._2p_fill = b""        # pass-2 incremental input buffer
+        self._eos = False
+        self._rate_buf: int | None = None
+        self._rate_flags: int | None = None
 
     def ctl(self, req: int, buf=None) -> int | object:
         e = self._enc
@@ -102,9 +107,28 @@ class th_enc_ctx:
             e.qi = max(0, min(63, int(buf)))
             return 0
         if req == TH_ENCCTL_SET_BITRATE:
+            # Mid-stream change resizes the reservoir but preserves the
+            # current fullness (encode.c:1461-1478, oc_enc_rc_resize).
             e.info.target_bitrate = int(buf)
-            e.rc = None  # re-init lazily
+            if e.rc is not None:
+                e.rc.set_bitrate(int(buf))
             return 0
+        if req == TH_ENCCTL_SET_RATE_FLAGS:
+            # TH_RATECTL_DROP_FRAMES|CAP_OVERFLOW|CAP_UNDERFLOW
+            # (theoraenc.h:176-197).
+            self._rate_flags = int(buf)
+            if self._ensure_rc() is not None:
+                e.rc.set_rate_flags(int(buf))
+                return 0
+            return TH_EINVAL
+        if req == TH_ENCCTL_SET_RATE_BUFFER:
+            # Rate buffer size in frames; resizable on the fly
+            # (theoraenc.h:199-219, rate.c:345).
+            self._rate_buf = int(buf)
+            if self._ensure_rc() is not None:
+                e.rc.resize_buffer(int(buf), started=e.curframe_num >= 0)
+                return 0
+            return TH_EINVAL
         if req == TH_ENCCTL_GET_SPLEVEL_MAX:
             return SP_LEVEL_MAX
         if req in (TH_ENCCTL_SET_SPLEVEL, TH_ENCCTL_GET_SPLEVEL):
@@ -133,20 +157,58 @@ class th_enc_ctx:
             self._enc = Encoder(e.info, qinfo=buf, huff_codes=e.huff_codes)
             return 0
         if req == TH_ENCCTL_2PASS_OUT:
-            if e.rc is None:
+            # Reference protocol (rate.c:878-936, encoder_example.c
+            # :1190-1226): first call before any frame returns the
+            # 38-byte placeholder header; per-frame calls return the
+            # 12-byte records; the call after the last packet returns
+            # the real summary header to rewrite at file offset 0.
+            rc = self._ensure_rc()
+            if rc is None:
                 return TH_EINVAL
-            data = e.rc.twopass_out_header()
-            for m in e.rc.frame_metrics:
-                data += e.rc.twopass_out_frame(m)
-            return data
+            if rc.twopass == 0:
+                self._2p_sent = 0
+                return rc.start_pass1()
+            if rc.twopass != 1:
+                return TH_EINVAL
+            if self._2p_sent < len(rc.frame_metrics):
+                out = b"".join(
+                    rc.pack_metrics(m)
+                    for m in rc.frame_metrics[self._2p_sent:]
+                )
+                self._2p_sent = len(rc.frame_metrics)
+                return out
+            if self._eos:
+                return rc.pass1_summary()
+            return b""
         if req == TH_ENCCTL_2PASS_IN:
-            from theora_tpu.encode.rate import RateControl
-
-            metrics = RateControl.twopass_parse(bytes(buf))
-            if e.rc is None:
+            # Feed pass-1 data; with buf=None returns the number of
+            # bytes still wanted (0 = ready for the next frame), per
+            # the reference's pull protocol (rate.c:949-1034).
+            rc = self._ensure_rc()
+            if rc is None:
                 return TH_EINVAL
-            e.rc.set_twopass_metrics(metrics)
-            return 0
+            import struct as _struct
+
+            if buf is None:
+                if rc.twopass == 2:
+                    return 0
+                need = 38 - len(self._2p_fill)
+                if need > 0:
+                    return need
+                n0, n1 = _struct.unpack_from("<II", self._2p_fill, 8)
+                return max(38 + 12 * (n0 + n1) - len(self._2p_fill), 0)
+            if rc.twopass == 2:
+                return 0  # already primed; excess data is ignored
+            self._2p_fill += bytes(buf)
+            if len(self._2p_fill) >= 38:
+                n0, n1 = _struct.unpack_from("<II", self._2p_fill, 8)
+                if len(self._2p_fill) >= 38 + 12 * (n0 + n1):
+                    try:
+                        rc.start_pass2(self._2p_fill, self._rate_buf)
+                    except ValueError:
+                        return TH_EBADHEADER
+                    self._2p_fill = b""
+            return len(buf)
         if req == TH_ENCCTL_SET_VP3_COMPATIBLE:
             if self._headers_done:
                 return TH_EINVAL
@@ -171,6 +233,18 @@ class th_enc_ctx:
             return self._header_queue.pop(0)
         return None
 
+    def _ensure_rc(self):
+        """Lazy rate-control init for ctl codes that need it before the
+        first frame (CBR mode only)."""
+        e = self._enc
+        if e.rc is None and e.info.target_bitrate > 0:
+            from theora_tpu.encode.rate import RateControl
+
+            e.rc = RateControl(e.info, e.dequant, e.keyframe_freq)
+            if self._rate_flags is not None:
+                e.rc.set_rate_flags(self._rate_flags)
+        return e.rc
+
     def ycbcr_in(self, ycbcr) -> int:
         self._pending = self._enc.encode_frame(ycbcr)
         return 0
@@ -180,6 +254,7 @@ class th_enc_ctx:
         self._pending = None
         if p is not None and last:
             p.e_o_s = True
+            self._eos = True
         return p
 
 

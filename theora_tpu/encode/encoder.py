@@ -271,42 +271,29 @@ class Encoder:
         self.curframe_num += 1
         self._frames_since_keyframe += 1
         self._recon_state = None
-        is_key = (
-            self._prev_orig is None
-            or self._frames_since_keyframe >= self.keyframe_freq
-        )
-        if is_key:
-            self._frames_since_keyframe = 0
-        # Rate control: lazy init, qi selection, frame dropping.
+        # Rate control: lazy init.
         if self.info.target_bitrate > 0 and self.rc is None:
             from theora_tpu.encode.rate import RateControl
 
             self.rc = RateControl(self.info, self.dequant, self.keyframe_freq)
+        is_key = (
+            self._prev_orig is None
+            or self._frames_since_keyframe >= self.keyframe_freq
+        )
+        if self.rc is not None and self.rc.twopass == 2:
+            # Pass 2 replays pass 1's keyframe positions
+            # (rc.twopass_force_kf; encode.c:1753-1764).
+            is_key = self._prev_orig is None or self.rc.twopass_force_kf
+        if is_key:
+            self._frames_since_keyframe = 0
         # Flip to bitstream orientation.
         planes = [p[::-1].astype(np.uint8) for p in ycbcr]
         if self.rc is not None:
             ftype = 0 if is_key else 1
-            if not is_key and self.rc.should_drop(ftype):
-                # Dropped frame: 0-byte dup packet, or an explicit
-                # no-coded-blocks inter frame in VP3 mode
-                # (encode.c:1259-1271, 875-906).
-                drop = (
-                    self._drop_frame_pack() if self.vp3_compatible else b""
-                )
-                self._dec.decode_packet(drop)
-                self.rc.update(ftype, self.qi, 0)
-                shift = self.info.keyframe_granule_shift
-                self.granpos = ((self.keyframe_num + 1) << shift) + (
-                    self.curframe_num - self.keyframe_num
-                )
-                pkt = Packet(
-                    drop, granulepos=self.granpos, packetno=self.packetno,
-                    e_o_s=e_o_s,
-                )
-                self.packetno += 1
-                self._prev_orig = planes
-                return pkt
-            self.qi = self.rc.select_qi(ftype, self.qi)
+            self.qi = self.rc.select_qi(
+                ftype, self.qi,
+                frames_since_kf=self._frames_since_keyframe,
+            )
         if self.collect is not None:
             self._satd_frame = np.zeros(self.geometry.nfrags, dtype=np.int64)
             self._qti_frame = np.zeros(self.geometry.nfrags, dtype=np.int32)
@@ -329,10 +316,23 @@ class Encoder:
                 self._huff_pred = [[0, 0], [0, 0]]
                 data = self._encode_intra(planes)
                 self.keyframe_num = self.curframe_num
-        if is_key:
-            self._last_kf_size = len(data)
+        dropped = False
         if self.rc is not None:
-            self.rc.update(0 if is_key else 1, self.qi, len(data) * 8)
+            # Post-encode drop decision: a frame that busts the budget
+            # is replaced by a 0-byte dup (or an explicit VP3 drop
+            # packet) and the decoded reference frames stay put
+            # (rate.c:825-832, encode.c:1259-1271).
+            dropped = self.rc.update(
+                0 if is_key else 1, self.qi, len(data) * 8,
+                droppable=not is_key,
+            )
+            if dropped:
+                data = (
+                    self._drop_frame_pack() if self.vp3_compatible else b""
+                )
+                self._recon_state = None
+        if is_key and not dropped:
+            self._last_kf_size = len(data)
         # Track original frames for motion estimation (the *_ORIG refs,
         # mcenc.c:314-316).
         self._prev_orig = planes

@@ -23,6 +23,13 @@ def main(argv=None):
     ap.add_argument("--rd-strength", type=float, default=None)
     ap.add_argument("--two-pass", action="store_true",
                     help="two-pass CBR (requires --bitrate)")
+    ap.add_argument("--two-pass-file", default=None,
+                    help="write/keep the OT2P pass-1 metrics file here")
+    ap.add_argument("--rate-buffer", type=int, default=0,
+                    help="rate buffer size in frames (finite 2-pass "
+                         "window; default = whole file)")
+    ap.add_argument("--drop-frames", type=int, default=1,
+                    help="allow frame dropping under rate pressure (0/1)")
     ap.add_argument("-j", "--workers", type=int, default=0,
                     help="GOP-parallel encode with N worker processes "
                          "(VBR only; byte-identical to sequential)")
@@ -79,17 +86,29 @@ def main(argv=None):
         return e
 
     t0 = time.perf_counter()
-    metrics = None
+    pass1_blob = None
     if args.two_pass:
         if not args.bitrate:
             ap.error("--two-pass requires --bitrate")
-        # Pass 1: measure per-frame complexity (rate.c:878-936 analogue).
+        # Pass 1: fixed-qi measurement pass writing the reference's
+        # OT2P metrics format (rate.c:878-936; driver protocol per
+        # encoder_example.c:1190-1226).
+        from theora_tpu.encode.rate import RateControl
+
         enc1 = make_encoder()
-        for i, fr in enumerate(frames):
+        enc1.rc = RateControl(info, enc1.dequant, args.keyframe_freq)
+        body = b""
+        enc1.rc.start_pass1()  # placeholder header; real one at the end
+        for fr in frames:
             enc1.encode_frame(fr)
-        metrics = enc1.rc.frame_metrics
+            body += enc1.rc.pass1_frame_data()
+        pass1_blob = enc1.rc.pass1_summary() + body
+        if args.two_pass_file:
+            with open(args.two_pass_file, "wb") as f:
+                f.write(pass1_blob)
         print(
-            f"pass 1: {len(metrics)} frame metrics collected",
+            f"pass 1: {len(enc1.rc.frame_metrics)} frame metrics "
+            f"({len(pass1_blob)} bytes OT2P)",
             file=sys.stderr,
         )
     if args.workers and not args.bitrate and not args.two_pass:
@@ -112,11 +131,19 @@ def main(argv=None):
         )
         return
     enc = make_encoder()
-    if metrics is not None:
+    if pass1_blob is not None:
         from theora_tpu.encode.rate import RateControl
 
         enc.rc = RateControl(info, enc.dequant, args.keyframe_freq)
-        enc.rc.set_twopass_metrics(metrics)
+        enc.rc.start_pass2(
+            pass1_blob, buf_delay=args.rate_buffer or None
+        )
+    if args.bitrate and not args.drop_frames:
+        from theora_tpu.encode.rate import RateControl
+
+        if enc.rc is None:
+            enc.rc = RateControl(info, enc.dequant, args.keyframe_freq)
+        enc.rc.drop_frames = False
     pkts = enc.flush_headers()
     for i, fr in enumerate(frames):
         pkts.append(enc.encode_frame(fr, e_o_s=(i == len(frames) - 1)))
