@@ -189,3 +189,34 @@ def test_tpu_batch_decoder_bit_exact():
         for i, o in enumerate(outs):
             mine = np.concatenate([x.reshape(-1) for x in o])
             assert np.array_equal(mine, ref[i]), f"{name} frame {i}"
+
+
+def test_tpu_batch_decoder_chained_batches():
+    """Reference planes stay device-resident across decode_batch calls
+    (donated buffers): splitting a stream into several batches must be
+    byte-identical to one batch and to the golden yuv."""
+    import os
+
+    from tests.conftest import TESTDATA
+    from theora_tpu.decode.tpu_batch import TpuBatchDecoder
+    from theora_tpu.headers import parse_info_header, parse_setup_header
+    from theora_tpu.tpkt import read_tpkt
+
+    name = "cif_k4_q40"
+    pkts = read_tpkt(os.path.join(TESTDATA, f"{name}.tpkt"))
+    dec = TpuBatchDecoder(
+        parse_info_header(pkts[0].data), parse_setup_header(pkts[2].data)
+    )
+    data = [p.data for p in pkts[3:]]
+    outs = []
+    # Uneven chunking on purpose: batch boundaries mid-GOP.
+    for lo, hi in ((0, 3), (3, 7), (7, len(data))):
+        outs.extend(dec.decode_batch(data[lo:hi]))
+    ref = np.fromfile(
+        os.path.join(TESTDATA, f"{name}.ref.yuv"), dtype=np.uint8
+    ).reshape(len(data), -1)
+    for i, o in enumerate(outs):
+        mine = np.concatenate([x.reshape(-1) for x in o])
+        assert np.array_equal(mine, ref[i]), f"frame {i}"
+    # sync_refs_to_host lets the scalar path continue the stream.
+    dec.sync_refs_to_host()

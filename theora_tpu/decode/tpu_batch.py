@@ -1,12 +1,25 @@
 """GOP-batch TPU decode: host entropy for all frames up front, then ONE
-jitted lax.scan per plane runs the entire pixel pipeline (dequant + iDCT
-+ MC + reconstruction + loop filter + borders) for every frame on
-device, carrying the reference planes in the scan state.
+jitted program per plane expands sparse coefficients on device and runs
+the entire pixel pipeline (dequant + iDCT + MC + reconstruction + loop
+filter + borders) for every frame via lax.scan, carrying the reference
+planes in the scan state.
 
-This amortizes the host<->device transfer and dispatch that bound the
-per-frame TpuDecoder (~0.2 ms/frame compute vs ~10 ms tunnel): a batch
-moves one coefficient tensor up and one YUV tensor down. Bit-exact with
-the scalar decoder (same integer kernels; dense uncoded-fragment
+Transfer discipline (this is what amortizes the host<->device link that
+bounds the per-frame TpuDecoder):
+
+- UP: coefficients go up SPARSE -- per-fragment nonzero counts (uint8),
+  zig-zag positions (uint8) and values (int16), padded to a bucketed
+  length -- ~10x smaller than the dense [nfrags, 64] int16 tensor. The
+  dense tensor is materialized on device by one scatter-add.
+- DOWN: only the picture-region uint8 pixels come back, cropped on
+  device (no UMV padding rows).
+- Reference planes stay RESIDENT on device between decode_batch calls
+  (donated into the next dispatch); nothing reference-sized crosses the
+  link in a chained-GOP stream.
+
+On TPU backends the iDCT uses the Pallas SoA kernel
+(ops/pallas_kernels.py); elsewhere the XLA twin. Both are bit-exact
+with the scalar decoder (same integer kernels; dense uncoded-fragment
 formulation of decode/tpu_decoder.py).
 """
 from __future__ import annotations
@@ -22,28 +35,48 @@ from theora_tpu.info import INTRA_FRAME
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("nv", "nh", "pad_y", "pad_x"),
+    static_argnames=("nv", "nh", "pad_y", "pad_x", "use_pallas"),
+    donate_argnums=(0, 1),
 )
 def _scan_decode_plane(
     init_prev, init_gold,
-    qz, deq_tab, qii, inter, dc, dc_only, refsel,
+    counts, zzi, vals, deq_tab, qii, inter, dc, dc_only, refsel,
     o1y, o1x, o2y, o2x, use2, coded, bv, do_filter, is_intra,
-    nv, nh, pad_y, pad_x,
+    nv, nh, pad_y, pad_x, use_pallas=False,
 ):
     """Scan over F frames for one plane.
 
-    Per-frame inputs are stacked on axis 0; refsel==0 selects intra
-    (128), 1 PREV, 2 GOLD. is_intra[f] rotates GOLD; do_filter[f] gates
-    the loop filter (multiplied into bv).
+    counts: [F, n] uint8 nonzero-AC counts per fragment; zzi/vals:
+    [NNZ_PAD] uint8/int16 concatenated nonzero positions/values in
+    (frame, fragment) order, zero-padded. Other per-frame inputs are
+    stacked on axis 0; refsel==0 selects intra (128), 1 PREV, 2 GOLD.
+    is_intra[f] rotates GOLD; do_filter[f] gates the loop filter
+    (multiplied into bv). Returns (planes_cropped, prev_out, gold_out).
     """
     import jax
     import jax.numpy as jnp
 
+    from theora_tpu.ops import mc_jax as mc
     from theora_tpu.ops import transforms_jax as tj
     from theora_tpu.ops.loopfilter_jax import loop_filter_plane_jax
     from theora_tpu.pipeline import fill_borders
 
     h, w = nv * 8, nh * 8
+    F, n = counts.shape
+    # Expand sparse coefficients to dense [F, n, 64] on device: one
+    # scatter-add (padding scatters value 0 into the tail fragment's DC
+    # slot, which the DC pass overwrites anyway).
+    flat_counts = counts.reshape(-1).astype(jnp.int32)
+    ids = jnp.repeat(
+        jnp.arange(F * n, dtype=jnp.int32), flat_counts,
+        total_repeat_length=zzi.shape[0],
+    )
+    qz = (
+        jnp.zeros((F * n, 64), jnp.int16)
+        .at[ids, zzi.astype(jnp.int32)]
+        .add(vals)
+        .reshape(F, n, 64)
+    )
 
     def step(carry, xs):
         prev_plane, gold_plane = carry
@@ -53,65 +86,85 @@ def _scan_decode_plane(
             jnp.int32
         )
         dcqf = deqt[0, intf.astype(jnp.int32), 0].astype(jnp.int32)
-        residual = tj.dequantize_idct(
-            qzf.astype(jnp.int32), deqf, dcf.astype(jnp.int32), dcqf, dof
-        )
-        by = pad_y + 8 * (jnp.arange(nv * nh) // nh)
-        bx = pad_x + 8 * (jnp.arange(nv * nh) % nh)
-        ay = by[:, None, None] + jnp.arange(8)[None, :, None]
-        ax = bx[:, None, None] + jnp.arange(8)[None, None, :]
-        p1 = prev_plane[ay + y1[:, None, None], ax + x1[:, None, None]]
-        p2 = prev_plane[ay + y2[:, None, None], ax + x2[:, None, None]]
-        g1 = gold_plane[ay + y1[:, None, None], ax + x1[:, None, None]]
-        g2 = gold_plane[ay + y2[:, None, None], ax + x2[:, None, None]]
-        pp = jnp.where(
-            u2[:, None, None],
-            (p1.astype(jnp.int32) + p2) >> 1,
-            p1.astype(jnp.int32),
-        )
-        gg = jnp.where(
-            u2[:, None, None],
-            (g1.astype(jnp.int32) + g2) >> 1,
-            g1.astype(jnp.int32),
-        )
-        pred = jnp.where(
-            (rsf == 0)[:, None, None],
-            128,
-            jnp.where((rsf == 1)[:, None, None], pp, gg),
-        )
+        if use_pallas:
+            from theora_tpu.ops import pallas_kernels as pk
+
+            qzi = qzf.astype(jnp.int32)
+            deq = tj._i16(qzi * deqf)
+            deq = deq.at[:, 0].set(tj._i16(dcf.astype(jnp.int32) * dcqf))
+            nat = jnp.zeros_like(deq).at[:, tj._ZZ].set(deq)
+            full = pk.soa_to_blocks(pk.idct8x8_soa(nat.T))
+            residual = jnp.where(
+                dof[:, None, None],
+                tj.dc_fill(dcf.astype(jnp.int32), dcqf),
+                full,
+            )
+        else:
+            residual = tj.dequantize_idct(
+                qzf.astype(jnp.int32), deqf, dcf.astype(jnp.int32), dcqf,
+                dof,
+            )
+        # MC as one-hot matmuls over per-fragment neighborhoods (MXU
+        # path; see ops/mc_jax.py) instead of element gathers.
+        nb_p = mc.block_neighborhoods(prev_plane, nv, nh, pad_y, pad_x)
+        nb_g = mc.block_neighborhoods(gold_plane, nv, nh, pad_y, pad_x)
+        nb = jnp.where((rsf == 2)[:, None, None], nb_g, nb_p)
+        s1, s2 = mc.mc_select2(nb, y1, x1, y2, x2, pad_y, pad_x)
+        sel = jnp.where(u2[:, None, None], (s1 + s2) >> 1, s1)
+        pred = jnp.where((rsf == 0)[:, None, None], 128, sel)
         blocks = jnp.clip(residual + pred, 0, 255).astype(jnp.uint8)
-        plane = jnp.zeros_like(prev_plane).at[ay, ax].set(blocks)
+        plane = mc.blocks_to_plane(blocks, nv, nh, pad_y, pad_x)
         plane = loop_filter_plane_jax(
             plane, codedf, bvf, nv, nh, pad_y, pad_x
         )
         plane = fill_borders(plane, h, w, pad_y, pad_x)
         gold_new = jnp.where(isintra, plane, gold_plane)
-        return (plane, gold_new), plane
+        # Downloads are picture-region-only; full padded planes live in
+        # the carry.
+        return (plane, gold_new), plane[pad_y:pad_y + h, pad_x:pad_x + w]
 
     bvs = bv * do_filter[:, None].astype(jnp.int32)
-    (_, _), planes = jax.lax.scan(
+    (prev_out, gold_out), planes = jax.lax.scan(
         step,
         (init_prev, init_gold),
         (qz, deq_tab, qii, inter, dc, dc_only, refsel,
          o1y, o1x, o2y, o2x, use2, coded, bvs, is_intra),
     )
-    return planes
+    return planes, prev_out, gold_out
+
+
+def _nnz_bucket(n: int) -> int:
+    """Round the sparse length up to a coarse bucket so jit caches stay
+    small (one compile per bucket)."""
+    b = 1 << 14
+    while b < n:
+        b <<= 1
+    return b
 
 
 class TpuBatchDecoder(Decoder):
-    """Decode a batch of packets with one device dispatch per plane."""
+    """Decode a batch of packets with one device dispatch per plane.
+    Reference planes stay resident on device across batches."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # Device-resident (prev, gold) per plane, carried across
+        # decode_batch calls.
+        self._dev_refs: dict[int, tuple] | None = None
 
     def decode_batch(self, packets: list[bytes]) -> list[list[np.ndarray]]:
         """Returns display-orientation [y, u, v] planes per packet.
         The batch must start at a decodable point (keyframe or existing
-        reference state); dup packets repeat the previous output."""
+        reference state); dup packets repeat the previous output.
+        Chained calls keep the reference state on device."""
+        import jax
         import jax.numpy as jnp
 
         from theora_tpu.ops.loopfilter_np import build_bounding_values
 
+        use_pallas = jax.default_backend() == "tpu"
         g = self.geometry
         nfrags = g.nfrags
-        F = len(packets)
         per_frame = []
         for data in packets:
             if len(data) == 0:
@@ -159,6 +212,7 @@ class TpuBatchDecoder(Decoder):
 
         # Stack per-plane inputs over live frames and scan on device.
         out_planes = {}
+        new_dev_refs = {}
         for pli in range(3):
             pl = g.planes[pli]
             sl = slice(pl.froffset, pl.froffset + pl.nfrags)
@@ -166,10 +220,22 @@ class TpuBatchDecoder(Decoder):
             qpx = 1 if (pli != 0 and not (self.info.pixel_fmt & 1)) else 0
             qpy = 1 if (pli != 0 and not (self.info.pixel_fmt & 2)) else 0
             stacks = {k: [] for k in
-                      "qz deqt qii inter dc donly rs y1 x1 y2 x2 u2 coded "
+                      "deqt qii inter dc donly rs y1 x1 y2 x2 u2 coded "
                       "bvf ik".split()}
-            for fr in live:
+            counts = np.zeros((len(live), pl.nfrags), np.uint8)
+            zzis, valss = [], []
+            for fi, fr in enumerate(live):
                 side = fr["side"]
+                # Sparse AC coefficients for this plane (zzi 1..63; DC
+                # travels separately, already predicted).
+                qzp = fr["qz"][sl]
+                fr_idx, zz_idx = np.nonzero(qzp[:, 1:])
+                zz_idx = zz_idx + 1
+                counts[fi] = np.bincount(
+                    fr_idx, minlength=pl.nfrags
+                ).astype(np.uint8)
+                zzis.append(zz_idx.astype(np.uint8))
+                valss.append(qzp[fr_idx, zz_idx].astype(np.int16))
                 frame_dequant = np.stack(
                     [np.stack([self.dequant[qi, pli] for qi in fr["qis"]])]
                 )[0]
@@ -198,7 +264,6 @@ class TpuBatchDecoder(Decoder):
                     if flimit
                     else np.zeros(256, np.int32)
                 )
-                stacks["qz"].append(fr["qz"][sl].astype(np.int16))
                 stacks["deqt"].append(deqt)
                 stacks["qii"].append(qii)
                 stacks["inter"].append(mode_inter)
@@ -215,34 +280,50 @@ class TpuBatchDecoder(Decoder):
                 )
                 stacks["bvf"].append(bvf)
                 stacks["ik"].append(fr["ftype"] == INTRA_FRAME)
+            zz_flat = np.concatenate(zzis)
+            val_flat = np.concatenate(valss)
+            nnz = _nnz_bucket(max(len(zz_flat), 1))
+            zz_pad = np.zeros(nnz, np.uint8)
+            zz_pad[: len(zz_flat)] = zz_flat
+            val_pad = np.zeros(nnz, np.int16)
+            val_pad[: len(val_flat)] = val_flat
             arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items()}
-            prev_i = self.ref_idx[FRAME_PREV]
-            gold_i = self.ref_idx[FRAME_GOLD]
-            if prev_i < 0 or gold_i < 0:
-                init = jnp.full(
-                    (pl.nvfrags * 8 + 2 * vpad, pl.nhfrags * 8 + 2 * hpad),
-                    0x80, jnp.uint8,
-                )
-                init_prev = init_gold = init
+            if self._dev_refs is not None and pli in self._dev_refs:
+                init_prev, init_gold = self._dev_refs[pli]
             else:
-                init_prev = jnp.asarray(self.buffers[prev_i].planes[pli])
-                init_gold = jnp.asarray(self.buffers[gold_i].planes[pli])
+                prev_i = self.ref_idx[FRAME_PREV]
+                gold_i = self.ref_idx[FRAME_GOLD]
+                if prev_i < 0 or gold_i < 0:
+                    shape = (
+                        pl.nvfrags * 8 + 2 * vpad,
+                        pl.nhfrags * 8 + 2 * hpad,
+                    )
+                    init_prev = jnp.full(shape, 0x80, jnp.uint8)
+                    init_gold = jnp.full(shape, 0x80, jnp.uint8)
+                else:
+                    init_prev = jnp.asarray(self.buffers[prev_i].planes[pli])
+                    init_gold = jnp.asarray(self.buffers[gold_i].planes[pli])
             do_filter = jnp.asarray(
                 np.array([1 if b.any() else 0 for b in stacks["bvf"]],
                          np.int32)
             )
-            planes = _scan_decode_plane(
+            planes, prev_out, gold_out = _scan_decode_plane(
                 init_prev, init_gold,
-                arrs["qz"], arrs["deqt"], arrs["qii"], arrs["inter"],
-                arrs["dc"], arrs["donly"], arrs["rs"], arrs["y1"],
-                arrs["x1"], arrs["y2"], arrs["x2"], arrs["u2"],
-                arrs["coded"], arrs["bvf"], do_filter,
+                jnp.asarray(counts), jnp.asarray(zz_pad),
+                jnp.asarray(val_pad), arrs["deqt"], arrs["qii"],
+                arrs["inter"], arrs["dc"], arrs["donly"], arrs["rs"],
+                arrs["y1"], arrs["x1"], arrs["y2"], arrs["x2"],
+                arrs["u2"], arrs["coded"], arrs["bvf"], do_filter,
                 jnp.asarray(arrs["ik"]),
-                pl.nvfrags, pl.nhfrags, vpad, hpad,
+                pl.nvfrags, pl.nhfrags, vpad, hpad, use_pallas,
             )
             out_planes[pli] = np.asarray(planes)
+            new_dev_refs[pli] = (prev_out, gold_out)
+        self._dev_refs = new_dev_refs
 
-        # Update host-side reference state to the batch's final frames.
+        # Update host-side bookkeeping: which buffer slots the refs
+        # WOULD occupy (pixels stay on device; sync_refs_to_host()
+        # materializes them if host-side decode_packet must continue).
         last_intra = None
         for i, fr in enumerate(live):
             if fr["ftype"] == INTRA_FRAME:
@@ -250,25 +331,20 @@ class TpuBatchDecoder(Decoder):
         refi = 0
         while refi in (self.ref_idx[FRAME_GOLD], self.ref_idx[FRAME_PREV]):
             refi += 1
-        for pli in range(3):
-            self.buffers[refi].planes[pli][:] = out_planes[pli][-1]
         self.ref_idx[FRAME_PREV] = refi
         self.ref_idx[FRAME_SELF] = refi
         if last_intra is not None:
-            gold_i = 0
-            while gold_i in (refi,):
-                gold_i += 1
             if last_intra == len(live) - 1:
                 self.ref_idx[FRAME_GOLD] = refi
             else:
-                for pli in range(3):
-                    self.buffers[gold_i].planes[pli][:] = (
-                        out_planes[pli][last_intra]
-                    )
+                gold_i = 0
+                while gold_i in (refi,):
+                    gold_i += 1
                 self.ref_idx[FRAME_GOLD] = gold_i
         self._out_frame = self.buffers[refi]
 
-        # Assemble display-orientation outputs (dup packets repeat).
+        # Assemble display-orientation outputs (dup packets repeat);
+        # device already cropped the UMV padding.
         outs = []
         li = -1
         for fr in per_frame:
@@ -276,11 +352,22 @@ class TpuBatchDecoder(Decoder):
                 li += 1
             frame_out = []
             for pli in range(3):
-                vpad, hpad = g.plane_padding(pli)
                 h, w = g.plane_shape(pli)
-                p = out_planes[pli][max(li, 0)][
-                    vpad : vpad + h, hpad : hpad + w
-                ]
+                p = out_planes[pli][max(li, 0)][:h, :w]
                 frame_out.append(p[::-1].copy())
             outs.append(frame_out)
         return outs
+
+    def sync_refs_to_host(self) -> None:
+        """Materialize the device-resident reference planes into the
+        host buffers (needed before mixing decode_batch with the
+        scalar decode_packet path)."""
+        if self._dev_refs is None:
+            return
+        prev_i = self.ref_idx[FRAME_PREV]
+        gold_i = self.ref_idx[FRAME_GOLD]
+        for pli, (prev_out, gold_out) in self._dev_refs.items():
+            self.buffers[prev_i].planes[pli][:] = np.asarray(prev_out)
+            if gold_i != prev_i:
+                self.buffers[gold_i].planes[pli][:] = np.asarray(gold_out)
+        self._dev_refs = None

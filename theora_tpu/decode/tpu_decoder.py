@@ -19,6 +19,7 @@ import numpy as np
 from theora_tpu.constants import FRAME_GOLD, FRAME_PREV, FRAME_SELF
 from theora_tpu.decode.decoder import Decoder, _MVMAP, _MVMAP2
 from theora_tpu.info import INTRA_FRAME
+from theora_tpu.ops import mc_jax as mc
 from theora_tpu.ops import transforms_jax as tj
 from theora_tpu.ops.loopfilter_jax import loop_filter_plane_jax
 from theora_tpu.pipeline import fill_borders
@@ -42,31 +43,16 @@ def decode_plane_tpu(
     nv, nh, pad_y, pad_x, do_filter,
 ):
     residual = tj.dequantize_idct(qz, deq_rows, dc, dc_quant, dc_only)
-    by = pad_y + 8 * (jnp.arange(nv * nh) // nh)
-    bx = pad_x + 8 * (jnp.arange(nv * nh) % nh)
-    ay = by[:, None, None] + jnp.arange(8)[None, :, None]
-    ax = bx[:, None, None] + jnp.arange(8)[None, None, :]
-    p1 = prev_plane[ay + o1y[:, None, None], ax + o1x[:, None, None]].astype(
-        jnp.int32
-    )
-    p2 = prev_plane[ay + o2y[:, None, None], ax + o2x[:, None, None]].astype(
-        jnp.int32
-    )
-    g1 = gold_plane[ay + o1y[:, None, None], ax + o1x[:, None, None]].astype(
-        jnp.int32
-    )
-    g2 = gold_plane[ay + o2y[:, None, None], ax + o2x[:, None, None]].astype(
-        jnp.int32
-    )
-    pp = jnp.where(use2[:, None, None], (p1 + p2) >> 1, p1)
-    gg = jnp.where(use2[:, None, None], (g1 + g2) >> 1, g1)
-    pred = jnp.where(
-        (refsel == 0)[:, None, None],
-        128,
-        jnp.where((refsel == 1)[:, None, None], pp, gg),
-    )
+    # MC via masked shifts over block neighborhoods (ops/mc_jax.py) --
+    # element gathers and scatters run ~100x slower on TPU.
+    nb_p = mc.block_neighborhoods(prev_plane, nv, nh, pad_y, pad_x)
+    nb_g = mc.block_neighborhoods(gold_plane, nv, nh, pad_y, pad_x)
+    nb = jnp.where((refsel == 2)[:, None, None], nb_g, nb_p)
+    s1, s2 = mc.mc_select2(nb, o1y, o1x, o2y, o2x, pad_y, pad_x)
+    sel = jnp.where(use2[:, None, None], (s1 + s2) >> 1, s1)
+    pred = jnp.where((refsel == 0)[:, None, None], 128, sel)
     blocks = jnp.clip(residual + pred, 0, 255).astype(jnp.uint8)
-    plane = jnp.zeros_like(prev_plane).at[ay, ax].set(blocks)
+    plane = mc.blocks_to_plane(blocks, nv, nh, pad_y, pad_x)
     if do_filter:
         plane = loop_filter_plane_jax(plane, coded, bv, nv, nh, pad_y, pad_x)
     h, w = nv * 8, nh * 8

@@ -78,16 +78,13 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
     import jax
     import jax.numpy as jnp
 
+    from theora_tpu.ops import mc_jax as mc
     from theora_tpu.ops import transforms_jax as tj
     from theora_tpu.ops.loopfilter_jax import loop_filter_plane_jax
     from theora_tpu.pipeline import fill_borders
 
     h, w = nv * 8, nh * 8
     n = nv * nh
-    fby = pad_y + 8 * (jnp.arange(n) // nh)
-    fbx = pad_x + 8 * (jnp.arange(n) % nh)
-    fay = fby[:, None, None] + jnp.arange(8)[None, :, None]
-    fax = fbx[:, None, None] + jnp.arange(8)[None, None, :]
 
     def scan_fn(init_prev, init_gold,
                 cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip,
@@ -100,36 +97,30 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
             start = jax.lax.axis_index(frag_axis) * nl
         # Fragment ids may be padded past n for even sharding; clamp the
         # pads onto the last real fragment (their outputs are dropped and
-        # the plane scatter only uses the first n gathered blocks).
+        # the plane reassembly only uses the first n gathered blocks).
         fi = jnp.minimum(start + jnp.arange(nl), n - 1)
-        by = pad_y + 8 * (fi // nh)
-        bx = pad_x + 8 * (fi % nh)
-        ay = by[:, None, None] + jnp.arange(8)[None, :, None]
-        ax = bx[:, None, None] + jnp.arange(8)[None, None, :]
 
         def step(carry, xs):
             prev, gold = carry
             curf, rsf, y1, x1, y2, x2, u2, ms, ik = xs
-            y1 = y1.astype(jnp.int32)
-            x1 = x1.astype(jnp.int32)
-            y2 = y2.astype(jnp.int32)
-            x2 = x2.astype(jnp.int32)
-            p1 = prev[ay + y1[:, None, None], ax + x1[:, None, None]]
-            p2 = prev[ay + y2[:, None, None], ax + x2[:, None, None]]
-            g1 = gold[ay + y1[:, None, None], ax + x1[:, None, None]]
-            g2 = gold[ay + y2[:, None, None], ax + x2[:, None, None]]
-            pp = jnp.where(
-                u2[:, None, None], (p1.astype(jnp.int32) + p2) >> 1,
-                p1.astype(jnp.int32),
-            )
-            gg = jnp.where(
-                u2[:, None, None], (g1.astype(jnp.int32) + g2) >> 1,
-                g1.astype(jnp.int32),
-            )
-            pred = jnp.where(
-                (rsf == 0)[:, None, None], 128,
-                jnp.where((rsf == 1)[:, None, None], pp, gg),
-            )
+            # MC via masked shifts over block neighborhoods
+            # (ops/mc_jax.py) -- element gathers run ~100x slower on
+            # TPU. Sharded runs take their fragment rows of the
+            # replicated neighborhood tensor (row-granular take).
+            nb_p = mc.block_neighborhoods(prev, nv, nh, pad_y, pad_x)
+            nb_g = mc.block_neighborhoods(gold, nv, nh, pad_y, pad_x)
+            unc_all = mc.plane_to_blocks(prev, nv, nh, pad_y, pad_x)
+            if frag_axis is None:
+                nbs_p, nbs_g, unc = nb_p, nb_g, unc_all
+            else:
+                nbs_p = jnp.take(nb_p, fi, axis=0)
+                nbs_g = jnp.take(nb_g, fi, axis=0)
+                unc = jnp.take(unc_all, fi, axis=0)
+            unc = unc.astype(jnp.int32)
+            nb = jnp.where((rsf == 2)[:, None, None], nbs_g, nbs_p)
+            s1, s2 = mc.mc_select2(nb, y1, x1, y2, x2, pad_y, pad_x)
+            selv = jnp.where(u2[:, None, None], (s1 + s2) >> 1, s1)
+            pred = jnp.where((rsf == 0)[:, None, None], 128, selv)
             curi = curf.astype(jnp.int32)
             res = curi - pred
             dct = tj.fdct8x8(res)
@@ -143,7 +134,6 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
                 qdct, deq, qdct[:, 0], deq[:, 0], dc_only
             )
             recon = jnp.clip(residual + pred, 0, 255)
-            unc = prev[ay, ax].astype(jnp.int32)
             ssd_rec = ((recon - curi) ** 2).sum(axis=(1, 2))
             ssd_unc = ((unc - curi) ** 2).sum(axis=(1, 2))
             bits = 6 * (qdct != 0).sum(axis=1) + 2
@@ -162,7 +152,8 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
                 coded_full = jax.lax.all_gather(
                     coded, frag_axis, axis=0, tiled=True
                 )
-            plane = jnp.zeros_like(prev).at[fay, fax].set(blocks_full[:n])
+            plane = mc.blocks_to_plane(blocks_full[:n], nv, nh,
+                                       pad_y, pad_x)
             plane = loop_filter_plane_jax(
                 plane, coded_full[:n].reshape(nv, nh), bv, nv, nh,
                 pad_y, pad_x,
