@@ -101,15 +101,16 @@ def bench_tpu(frames):
     q.block_until_ready()
 
     reps = 16
-    # Pipelined dispatch, single final block: measures sustained device
-    # throughput (per-rep blocking would measure the tunnel round-trip
-    # latency of this environment instead of chip compute).
+    # Pipelined dispatch with a forcing 1-element readback: on this
+    # environment's axon backend block_until_ready can return before
+    # compute finishes (see ROUND_NOTES), so a tiny device->host read is
+    # the only reliable fence; its ~35 ms RTT amortizes over the reps.
     t0 = time.perf_counter()
     for _ in range(reps):
         qy, ry = intra_encode_core(yb_d, dq_y)
         qc, rc = intra_encode_core(cb_d, dq_c)
-    qy.block_until_ready()
-    qc.block_until_ready()
+    np.asarray(qy[:1, :1])
+    np.asarray(qc[:1, :1])
     dt = (time.perf_counter() - t0) / reps
     mpix = NFRAMES * (W * H + 2 * (W // 2) * (H // 2)) / 1e6
     return mpix / dt
