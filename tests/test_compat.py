@@ -91,10 +91,30 @@ def test_custom_quant_params_and_stripe_cb():
     )
     dec = compat.th_decode_alloc(state)
     stripes = []
-    dec.ctl(compat.TH_DECCTL_SET_STRIPE_CB, lambda y, a, b: stripes.append((a, b)))
+    dec.ctl(
+        compat.TH_DECCTL_SET_STRIPE_CB,
+        lambda y, a, b: stripes.append(
+            (a, b, [p[(a * 8) >> (1 if i else 0) : (b * 8) >> (1 if i else 0)].copy()
+                    for i, p in enumerate(y)])
+        ),
+    )
     ret, gp = dec.packetin(pkt.data)
     assert ret == 0
-    assert stripes == [(0, H // 8)]
+    # Striped decode: >1 invocation, delivered bottom-to-top (yfrag0
+    # decreasing to 0, reference convention), ranges tiling [0, H//8).
+    assert len(stripes) > 1
+    ends = [s[1] for s in stripes]
+    starts = [s[0] for s in stripes]
+    assert ends[0] == H // 8 and starts[-1] == 0
+    assert ends[1:] == starts[:-1]  # contiguous, decreasing
+    # Delivered rows were final at callback time: match the finished frame.
+    final = dec.ycbcr_out()
+    for a, b, rows in stripes:
+        for pli in range(3):
+            sh = 1 if pli else 0
+            np.testing.assert_array_equal(
+                rows[pli], final[pli][(a * 8) >> sh : (b * 8) >> sh]
+            )
 
 
 def test_legacy_theora_api_roundtrip():

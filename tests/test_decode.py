@@ -146,3 +146,49 @@ def test_crosscheck_reverse_slice():
     for t in range(4):
         desc, err = run_reverse_trial(rng, t)
         assert err is None, f"{desc}: {err}"
+
+
+@pytest.mark.parametrize("name", ["cif_k4_q40", "cif_cbr", "clip444", "clip422"])
+def test_striped_decode_bit_exact_and_incremental(name):
+    """Striped decode callback (TH_DECCTL_SET_STRIPE_CB semantics,
+    decode.c:2858-2943): fires >1 time per frame with contiguous
+    bottom-to-top luma fragment-row ranges, each delivered row final at
+    callback time, zero callbacks for dup frames, and the final frame
+    bit-exact vs an unstriped decode."""
+    pkts = read_tpkt(os.path.join(TESTDATA, f"{name}.tpkt"))
+    info = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
+    plain = Decoder(info, setup)
+    striped = Decoder(info, setup)
+    vsh = info.vdec
+    log = []
+
+    def cb(ycbcr, a, b):
+        log.append(
+            (a, b,
+             [p[(a * 8) >> (vsh if i else 0) : (b * 8) >> (vsh if i else 0)].copy()
+              for i, p in enumerate(ycbcr)])
+        )
+
+    striped.stripe_callback = cb
+    nvy = info.frame_height // 8
+    for p in pkts[3:]:
+        log.clear()
+        plain.decode_packet(p.data)
+        ret = striped.decode_packet(p.data)
+        a = plain.ycbcr_out()
+        b = striped.ycbcr_out()
+        for pli in range(3):
+            assert np.array_equal(a[pli], b[pli])
+        if ret != 0:
+            assert log == []  # dup/drop frames fire no callbacks
+            continue
+        assert len(log) > 1
+        assert log[0][1] == nvy and log[-1][0] == 0
+        assert [s[1] for s in log][1:] == [s[0] for s in log][:-1]
+        for a0, b0, rows in log:
+            for pli in range(3):
+                sh = vsh if pli else 0
+                assert np.array_equal(
+                    rows[pli], b[pli][(a0 * 8) >> sh : (b0 * 8) >> sh]
+                ), f"{name} stripe [{a0},{b0}) plane {pli} not final at callback"

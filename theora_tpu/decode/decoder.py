@@ -465,9 +465,20 @@ class Decoder:
         prev_frame = self.buffers[self.ref_idx[FRAME_PREV]]
         self._copy_uncoded(coded, prev_frame, self_frame)
 
-        # Loop filter (state.c:1055-1105).
+        # Loop filter (state.c:1055-1105), striped when a stripe callback
+        # is installed (decode.c:2858-2943).
         flimit = self.setup.qinfo["loop_filter_limits"][self.qis[0]]
-        if flimit:
+        self._out_frame = self_frame
+        self.ref_idx[FRAME_SELF] = refi  # ensure set before postprocess
+        striped = (
+            self.stripe_callback is not None
+            and self.pp_level == 0
+            and not any(self.telemetry.values())
+        )
+        if striped:
+            self._pp_planes = None
+            self._filter_and_deliver_striped(self_frame, coded, flimit)
+        elif flimit:
             bv = build_bounding_values(flimit)
             for pli in range(3):
                 pl = g.planes[pli]
@@ -484,13 +495,9 @@ class Decoder:
                     loop_filter_plane_vec(self_frame.planes[pli], cm, bv)
 
         self_frame.fill_borders()
-        self._out_frame = self_frame
-        self.ref_idx[FRAME_SELF] = refi  # ensure set before postprocess
         if self.pp_level > 0:
             self._postprocess(coded, frag_qii)
-        # Per-frame decode metrics + striped-decode callback analogue
-        # (TH_DECCTL_SET_STRIPE_CB; we deliver whole frames,
-        # decode.c:2927-2941).
+        # Per-frame decode metrics.
         self.last_frame_metrics = {
             "frame": self.curframe_num,
             "keyframe": self.frame_type == INTRA_FRAME,
@@ -507,10 +514,15 @@ class Decoder:
                 "order": order,
                 "frag_bits": getattr(self, "_frag_bits", None),
             }
-        if getattr(self, "stripe_callback", None) is not None:
-            self.stripe_callback(
-                self.ycbcr_out(), 0, self.geometry.planes[0].nvfrags
-            )
+        if self.stripe_callback is not None and not striped:
+            # Postproc/telemetry paths run whole-frame (the reference
+            # instead threads each pp stage through the stripe pipeline
+            # with extra row delays, decode.c:2894-2915); deliver the
+            # finished rows in reference-sized stripes, bottom-to-top.
+            nvy = g.planes[0].nvfrags
+            ycbcr = self.ycbcr_out()
+            for a in range(nvy, 0, -4):
+                self.stripe_callback(ycbcr, max(a - 4, 0), a)
 
         # Reference rotation (decode.c:2947-2962).
         if self.frame_type == INTRA_FRAME:
@@ -1045,6 +1057,59 @@ class Decoder:
                      ("bits", bits)):
             if v is not None:
                 self.telemetry[k] = int(v)
+
+    def _filter_and_deliver_striped(self, self_frame, coded, flimit):
+        """Loop-filter the frame in superblock-row stripes, firing the
+        striped-decode callback as rows become final mid-decode
+        (decode.c:2858-2943, th_stripe_decoded_func theoradec.h:110-141).
+
+        Callback arguments match the reference exactly: (ycbcr, yfrag0,
+        yfrag_end) delivers luma fragment rows [yfrag0, yfrag_end) of the
+        display-oriented frame; frames decode bottom-to-top in display
+        coordinates (our buffers, like the reference's, store the image
+        flipped), so yfrag0 decreases to 0 across calls, at which point
+        the frame is complete. When chroma is vertically subsampled both
+        bounds are even. The ycbcr buffer is a live view: rows outside
+        the union of delivered ranges are not yet final.
+
+        The filter itself is the whole-row vectorized kernel restricted
+        to the stripe's fragment rows -- splitting the sequential outer
+        row loop preserves bit-exactness; availability lags one fragment
+        row behind filtering per the VP3 edge order (a row's bottom
+        pixels are final only once the next row's top-edge filters have
+        fired)."""
+        g = self.geometry
+        nvy = g.planes[0].nvfrags
+        bv = build_bounding_values(flimit) if flimit else None
+        cms = []
+        views = []
+        for pli in range(3):
+            pl = g.planes[pli]
+            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+            cms.append(coded[sl].reshape(pl.nvfrags, pl.nhfrags))
+            vpad, hpad = g.plane_padding(pli)
+            h, w = g.plane_shape(pli)
+            p = self_frame.planes[pli][vpad : vpad + h, hpad : hpad + w]
+            views.append(p[::-1])
+        shift = [0] + [1 if g.planes[1].nvfrags < nvy else 0] * 2
+        done = [0, 0, 0]
+        delivered = 0
+        for y1 in range(4, nvy + 4, 4):
+            y1 = min(y1, nvy)
+            avail = nvy
+            for pli in range(3):
+                pl = g.planes[pli]
+                r1 = min(y1 >> shift[pli], pl.nvfrags)
+                if bv is not None and r1 > done[pli]:
+                    loop_filter_plane_vec(
+                        self_frame.planes[pli], cms[pli], bv, done[pli], r1
+                    )
+                done[pli] = r1
+                edelay = 1 if (bv is not None and r1 < pl.nvfrags) else 0
+                avail = min(avail, (r1 - edelay) << shift[pli])
+            if avail > delivered:
+                self.stripe_callback(views, nvy - avail, nvy - delivered)
+                delivered = avail
 
     def ycbcr_out(self):
         """Full-frame planes in display orientation (top-down), like

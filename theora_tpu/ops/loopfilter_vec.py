@@ -45,15 +45,27 @@ def _clamp(x):
 
 
 def loop_filter_plane_vec(
-    plane: np.ndarray, coded: np.ndarray, bv: np.ndarray
+    plane: np.ndarray, coded: np.ndarray, bv: np.ndarray,
+    r0: int = 0, r1: int | None = None,
 ) -> None:
     """In-place loop filter of one padded plane, bit-exact with
-    loop_filter_plane (theora_tpu/ops/loopfilter_np.py)."""
+    loop_filter_plane (theora_tpu/ops/loopfilter_np.py).
+
+    `r0`/`r1` restrict processing to fragment rows [r0, r1); calling with
+    contiguous ranges reproduces the full-plane result exactly (the outer
+    loop is sequential in r), which is what striped decode uses
+    (decode.c:2858-2943 delivers rows incrementally with a one-row filter
+    delay)."""
     nv, nh = coded.shape
+    if r1 is None:
+        r1 = nv
+    # Vertical and horizontal UMV paddings differ on 4:2:2 chroma planes
+    # (16 vs 8, state.c:778-809) -- derive each from its own axis.
     pad = (plane.shape[1] - nh * 8) // 2
+    vpad = (plane.shape[0] - nv * 8) // 2
     W = plane.shape[1]
-    for r in range(nv):
-        y0 = pad + r * 8
+    for r in range(r0, r1):
+        y0 = vpad + r * 8
         row = coded[r]
         # Edge firing masks.
         hfire = np.zeros(nh, dtype=bool)          # E_v(r,c), c>=1
