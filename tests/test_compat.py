@@ -24,7 +24,7 @@ def test_compat_encode_decode():
     )
     enc = compat.th_encode_alloc(info)
     assert enc.ctl(compat.TH_ENCCTL_SET_KEYFRAME_FREQUENCY_FORCE, 4) == 4
-    assert enc.ctl(compat.TH_ENCCTL_GET_SPLEVEL_MAX) == 2
+    assert enc.ctl(compat.TH_ENCCTL_GET_SPLEVEL_MAX) == 4
     headers = []
     while True:
         p = enc.flushheader()

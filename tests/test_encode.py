@@ -284,3 +284,78 @@ def test_fast_recon_byte_identical():
         enc.flush_headers()
         outs.append([enc.encode_frame(fr).data for fr in frames])
     assert outs[0] == outs[1]
+
+
+def test_speed_levels():
+    """TH_ENCCTL_SET_SPLEVEL semantics (encint.h:216-227): every level
+    0-4 produces streams both decoders accept bit-identically; level 1
+    (early skip) is outcome-identical to level 0 (its threshold is a
+    strict subset of the full R/D skip rule); level >=2 disables the
+    4MV mode; level 4 emits no motion vectors at all."""
+    import subprocess
+    import tempfile
+
+    from tests.conftest import ensure_ref_oracle
+    from theora_tpu.constants import (
+        MODE_INTER_MV, MODE_INTER_MV_FOUR, MODE_INTER_MV_LAST,
+        MODE_INTER_MV_LAST2, MODE_GOLDEN_MV,
+    )
+    from theora_tpu.tpkt import write_tpkt
+
+    have_oracle = ensure_ref_oracle()
+    frames = _load_clip("clip64x48.i420", 64, 48)[:8]
+    info = TheoraInfo(
+        frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+        quality=40,
+    )
+    streams = {}
+    for lvl in range(5):
+        enc = Encoder(info)
+        enc.keyframe_freq = 4
+        enc.set_splevel(lvl)
+        hdrs = enc.flush_headers()
+        pkts = [enc.encode_frame(fr) for fr in frames]
+        streams[lvl] = pkts
+        pinfo = parse_info_header(hdrs[0].data)
+        psetup = parse_setup_header(hdrs[2].data)
+        dec = Decoder(pinfo, psetup)
+        tdec = Decoder(pinfo, psetup)  # telemetry paints output pixels
+        tdec.set_telemetry(mv=1)
+        mv_modes = set()
+        got_mv = False
+        ours = []
+        for p in pkts:
+            dec.decode_packet(p.data)
+            tdec.decode_packet(p.data)
+            ours.append(
+                np.concatenate([pl.reshape(-1) for pl in dec.ycbcr_out()])
+            )
+            st = tdec._telemetry_state
+            if st is not None:
+                mv_modes |= set(np.unique(st["mode"]).tolist())
+                if st["mv"] is not None and np.abs(st["mv"]).max() > 0:
+                    got_mv = True
+        if lvl >= 2:
+            assert MODE_INTER_MV_FOUR not in mv_modes, lvl
+        if lvl >= 4:
+            assert not got_mv and not mv_modes & {
+                MODE_INTER_MV, MODE_INTER_MV_FOUR, MODE_INTER_MV_LAST,
+                MODE_INTER_MV_LAST2, MODE_GOLDEN_MV,
+            }, lvl
+        if have_oracle:
+            with tempfile.TemporaryDirectory() as td:
+                tp = os.path.join(td, "s.tpkt")
+                yv = os.path.join(td, "s.yuv")
+                write_tpkt(tp, hdrs + pkts)
+                from tests.conftest import REPO_ROOT
+
+                r = subprocess.run(
+                    [os.path.join(REPO_ROOT, "refbuild", "build", "ref_dec"),
+                     tp, yv],
+                    capture_output=True, text=True,
+                )
+                assert r.returncode == 0, (lvl, r.stderr)
+                ref = np.fromfile(yv, np.uint8).reshape(len(frames), -1)
+                for i in range(len(frames)):
+                    assert np.array_equal(ours[i], ref[i]), (lvl, i)
+    assert [p.data for p in streams[0]] == [p.data for p in streams[1]]

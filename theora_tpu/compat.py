@@ -59,7 +59,7 @@ TH_DECCTL_SET_TELEMETRY_MV = 11
 TH_DECCTL_SET_TELEMETRY_QI = 13
 TH_DECCTL_SET_TELEMETRY_BITS = 15
 
-SP_LEVEL_MAX = 2
+SP_LEVEL_MAX = 4  # OC_SP_LEVEL_MAX (encint.h:226)
 
 
 def th_version_string() -> str:
@@ -135,11 +135,11 @@ class th_enc_ctx:
             if req == TH_ENCCTL_SET_SPLEVEL:
                 if not 0 <= int(buf) <= SP_LEVEL_MAX:
                     return TH_EINVAL
-                # Speed levels map to R/D effort (encode.c splevel
-                # semantics: 0 = full trellis, 1 = fast R/D tokenizer,
-                # 2 = plain quantizer).
-                e.use_trellis = int(buf) == 0
-                e.rd_quant = int(buf) < 2
+                # Full reference semantics (encint.h:216-227): 0 = all
+                # features, 1 = early skip, 2 = fast analysis (no
+                # trellis/4MV, single quantizer), 3 = plain quantizer,
+                # 4 = no motion compensation.
+                e.set_splevel(int(buf))
                 self._splevel = int(buf)
                 return 0
             return getattr(self, "_splevel", 0)

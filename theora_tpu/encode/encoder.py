@@ -135,6 +135,13 @@ class Encoder:
         # (tokenize.c:457-744 analogue); supersedes rd_quant on
         # single-qi frames.
         self.use_trellis = True
+        # Speed level (OC_SP_LEVEL_*, encint.h:216-227): 0 = everything,
+        # 1 = early skip, 2 = fast analysis (no trellis, no 4MV, single
+        # quantizer), 3 = plain quantizer, 4 = no motion compensation.
+        # Set via set_splevel(); default 0 (the reference defaults to 1,
+        # encode.c:1208 -- we default to best quality since the host tier
+        # already matches the reference's speed there).
+        self.sp_level = 0
         # AC Huffman table indices chosen when packing the previous frame
         # of each type ([ftype][y,c]); the trellis' cost model
         # (encode.c:838-858 carry).
@@ -264,6 +271,25 @@ class Encoder:
         ]
         self.packetno = 3
         return pkts
+
+    # ------------------------------------------------------------------
+    def set_splevel(self, lvl: int) -> None:
+        """Map a speed level onto the R/D- and search-effort knobs
+        (TH_ENCCTL_SET_SPLEVEL; reference semantics encint.h:216-227,
+        gates in analyze.c:709,782,2392-2430 and mcenc.c:506).
+
+        0: full trellis + R/D quantizer + full-/half-pel ME + 4MV.
+        1: + early skip (blocks whose uncoded SSD can't beat any coded
+           version bypass transform/tokenize).
+        2: fast analysis: heuristic R/D quantizer instead of the trellis,
+           no 4MV search, single quantizer.
+        3: plain round-to-nearest quantizer.
+        4: no motion compensation (MV modes priced out; no search)."""
+        if not 0 <= lvl <= 4:
+            raise ValueError("speed level out of range")
+        self.sp_level = lvl
+        self.use_trellis = lvl < 2
+        self.rd_quant = lvl < 3
 
     # ------------------------------------------------------------------
     def encode_frame(self, ycbcr: list[np.ndarray], e_o_s: bool = False) -> Packet:
@@ -992,25 +1018,33 @@ class Encoder:
         # MB top-left in luma pixels: from the MB's block 0 fragment.
         mb_fy = g.frag_y[g.mb_maps[mb_list, 0, 0]] * 8
         mb_fx = g.frag_x[g.mb_maps[mb_list, 0, 0]] * 8
-        try:
-            from theora_tpu.native import motion_estimate_native
+        sp_level = self.sp_level
+        if sp_level >= 4:
+            # OC_SP_LEVEL_NOMC (encint.h:224): no motion search at all;
+            # MV-mode SADs are filled in after the NOMV SADs below.
+            full_mvs = np.zeros((len(mb_list), 2), np.int32)
+            mvs = np.zeros((len(mb_list), 2), np.int32)
+            sad_mv = None
+        else:
+            try:
+                from theora_tpu.native import motion_estimate_native
 
-            mvs, sad_mv = motion_estimate_native(
-                cur_y, prev_o, mb_fy, mb_fx
-            )
-            full_mvs = np.stack(
-                [mvs[:, 0] // 2, mvs[:, 1] // 2], axis=1
-            ).astype(np.int32)
-        except Exception:
-            full_mvs, full_sads = mcenc.full_pel_search(
-                cur_y, prev_o, mb_fy, mb_fx
-            )
-            full_mvs, full_sads = mcenc.propagate_mvs(
-                cur_y, prev_o, mb_fy, mb_fx, full_mvs, full_sads
-            )
-            mvs, sad_mv = mcenc.half_pel_refine(
-                cur_y, prev_o, full_mvs, mb_fy, mb_fx
-            )
+                mvs, sad_mv = motion_estimate_native(
+                    cur_y, prev_o, mb_fy, mb_fx
+                )
+                full_mvs = np.stack(
+                    [mvs[:, 0] // 2, mvs[:, 1] // 2], axis=1
+                ).astype(np.int32)
+            except Exception:
+                full_mvs, full_sads = mcenc.full_pel_search(
+                    cur_y, prev_o, mb_fy, mb_fx
+                )
+                full_mvs, full_sads = mcenc.propagate_mvs(
+                    cur_y, prev_o, mb_fy, mb_fx, full_mvs, full_sads
+                )
+                mvs, sad_mv = mcenc.half_pel_refine(
+                    cur_y, prev_o, full_mvs, mb_fy, mb_fx
+                )
         try:
             from theora_tpu.native import sad_batch_native
 
@@ -1041,35 +1075,47 @@ class Encoder:
             .sum(axis=(1, 2))
             .astype(np.int64)
         )
+        if sad_mv is None:
+            sad_mv = sad_nomv.copy()
 
         # --- Per-block MVs for the 4MV mode (mcenc.c:430-496 analogue) -----
         from theora_tpu.constants import MODE_INTER_MV_FOUR
 
         nmb = len(mb_list)
-        blk_off = np.array([(0, 0), (0, 8), (8, 0), (8, 8)])  # (dy, dx); bi=i<<1|j
-        blk_fy = (mb_fy[:, None] + blk_off[None, :, 0]).reshape(-1)
-        blk_fx = (mb_fx[:, None] + blk_off[None, :, 1]).reshape(-1)
-        seed_dy = np.repeat(full_mvs[:, 1], 4)
-        seed_dx = np.repeat(full_mvs[:, 0], 4)
-        try:
-            from theora_tpu.native import me_block_refine_native
+        if sp_level >= 2:
+            # OC_SP_LEVEL_FAST_ANALYSIS / NOMC: skip the per-block 4MV
+            # search; the mode is priced out of the decision.
+            bmvs = np.zeros((nmb, 4, 2), np.int32)
+            sad_4mv = np.full(nmb, np.int64(1) << 40)
+            if sp_level >= 4:
+                sad_mv = np.full(nmb, np.int64(1) << 40)
+        else:
+            blk_off = np.array([(0, 0), (0, 8), (8, 0), (8, 8)])  # (dy, dx)
+            blk_fy = (mb_fy[:, None] + blk_off[None, :, 0]).reshape(-1)
+            blk_fx = (mb_fx[:, None] + blk_off[None, :, 1]).reshape(-1)
+            seed_dy = np.repeat(full_mvs[:, 1], 4)
+            seed_dx = np.repeat(full_mvs[:, 0], 4)
+            try:
+                from theora_tpu.native import me_block_refine_native
 
-            bmvs, bsad = me_block_refine_native(
-                cur_y, prev_o, blk_fy, blk_fx,
-                np.stack([seed_dx, seed_dy], axis=1), bs=8,
-            )
-        except Exception:
-            bsad = mcenc._per_block_sad(
-                cur_y, prev_o, blk_fy, blk_fx, 8, seed_dy, seed_dx
-            )
-            bdy, bdx, bsad = mcenc._refine(
-                cur_y, prev_o, blk_fy, blk_fx, 8, seed_dy, seed_dx, bsad, 15, 1
-            )
-            bmvs, bsad = mcenc.half_pel_refine_blocks(
-                cur_y, prev_o, np.stack([bdx, bdy], axis=1), blk_fy, blk_fx, 8
-            )
-        sad_4mv = bsad.reshape(nmb, 4).sum(axis=1)
-        bmvs = bmvs.reshape(nmb, 4, 2)
+                bmvs, bsad = me_block_refine_native(
+                    cur_y, prev_o, blk_fy, blk_fx,
+                    np.stack([seed_dx, seed_dy], axis=1), bs=8,
+                )
+            except Exception:
+                bsad = mcenc._per_block_sad(
+                    cur_y, prev_o, blk_fy, blk_fx, 8, seed_dy, seed_dx
+                )
+                bdy, bdx, bsad = mcenc._refine(
+                    cur_y, prev_o, blk_fy, blk_fx, 8, seed_dy, seed_dx,
+                    bsad, 15, 1
+                )
+                bmvs, bsad = mcenc.half_pel_refine_blocks(
+                    cur_y, prev_o, np.stack([bdx, bdy], axis=1),
+                    blk_fy, blk_fx, 8
+                )
+            sad_4mv = bsad.reshape(nmb, 4).sum(axis=1)
+            bmvs = bmvs.reshape(nmb, 4, 2)
 
         # --- Native fast path: mode decision + fragment fill in C++ --------
         _native_md = None
@@ -1512,7 +1558,10 @@ class Encoder:
         coded = np.zeros(nfrags, dtype=bool)
         coded[g.scan_fragis] = True
         coded &= frag_refi != FRAME_NONE
-        frag_qii = self._select_adaptive_qis(planes, coded)
+        frag_qii = (
+            self._select_adaptive_qis(planes, coded)
+            if self.sp_level < 2 else None  # single quantizer at FAST_ANALYSIS
+        )
 
         from theora_tpu.ops.fdct_np import rd_lambda
 
@@ -1521,6 +1570,28 @@ class Encoder:
             * self.rd_strength * 4.0
             * getattr(self, "skip_lambda_scale", 1.0)
         )
+        if self.sp_level >= 1:
+            # Early skip (OC_SP_LEVEL_EARLY_SKIP, analyze.c:708-715):
+            # blocks whose uncoded SSD cannot beat any coded version
+            # (minimum coded cost is ~2 bits at zero coded error) bypass
+            # the transform/tokenize stages entirely. At level 1 the
+            # threshold makes this a strict subset of the post-transform
+            # R/D skip, so the output stream is unchanged; levels >= 2
+            # widen the threshold (speed/quality trade).
+            widen = 1.0 if self.sp_level == 1 else 4.0
+            thresh = np.int64(lam * 2.0 * widen)
+            for pli in range(3):
+                pl = g.planes[pli]
+                sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+                cand = coded[sl].copy()
+                if pli == 0:
+                    cand &= frag_mode[sl] == MODE_INTER_NOMV
+                if not cand.any():
+                    continue
+                unc = self._uncoded_ssd_plane(planes, prev_rec, pli)
+                early = cand & (unc <= thresh)
+                if early.any():
+                    coded[np.where(early)[0] + pl.froffset] = False
         if getattr(self, "coupled_skip", True):
             per_plane = self._coupled_transform_skip(
                 planes, coded, frag_refi, frag_mode, frag_mv, mb_modes,

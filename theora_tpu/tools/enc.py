@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("-j", "--workers", type=int, default=0,
                     help="GOP-parallel encode with N worker processes "
                          "(VBR only; byte-identical to sequential)")
+    ap.add_argument("-z", "--speed", type=int, default=0,
+                    help="speed level 0-4 (encoder_example -z): 0 full "
+                         "effort, 1 early skip, 2 fast analysis, 3 plain "
+                         "quantizer, 4 no motion compensation")
     args = ap.parse_args(argv)
 
     from theora_tpu.encode.encoder import Encoder
@@ -83,6 +87,8 @@ def main(argv=None):
         e.adaptive_quant = args.adaptive_quant
         if args.rd_strength is not None:
             e.rd_strength = args.rd_strength
+        if args.speed:
+            e.set_splevel(args.speed)
         return e
 
     t0 = time.perf_counter()
