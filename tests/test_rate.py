@@ -282,3 +282,78 @@ def test_gop_parallel_transcode_identical():
     for a, b in zip(seq, par):
         assert a.data == b.data
         assert a.granulepos == b.granulepos
+
+
+def test_gop_retry_after_worker_kill(tmp_path):
+    """Elastic GOP retry (SURVEY.md section 5): SIGKILL one process-pool
+    worker mid-encode; the lost GOP is reassigned and the final output is
+    byte-identical to a sequential encode."""
+    import os
+
+    import numpy as np
+
+    from theora_tpu.parallel import transcode as tmod
+
+    W, H = 64, 48
+    raw = np.fromfile(os.path.join(TESTDATA, "clip64x48.i420"), np.uint8)
+    fsz = W * H * 3 // 2
+    frames = []
+    for i in range(len(raw) // fsz):
+        f = raw[i * fsz : (i + 1) * fsz]
+        frames.append(
+            [
+                f[: W * H].reshape(H, W),
+                f[W * H : W * H + fsz // 6].reshape(H // 2, W // 2),
+                f[W * H + fsz // 6 :].reshape(H // 2, W // 2),
+            ]
+        )
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H, quality=40
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 4
+    seq = enc.flush_headers()
+    for i, fr in enumerate(frames):
+        seq.append(enc.encode_frame(fr, e_o_s=(i == len(frames) - 1)))
+    marker = tmp_path / "killed"
+    os.environ[tmod._FAULT_ENV] = f"1:{marker}"
+    try:
+        par = tmod.transcode(
+            frames, info, keyframe_freq=4, max_workers=2, use_processes=True
+        )
+    finally:
+        del os.environ[tmod._FAULT_ENV]
+    assert marker.exists(), "fault was never injected"
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        assert a.data == b.data and a.granulepos == b.granulepos
+
+
+def test_distributed_recovers_dropped_gop():
+    """distributed_transcode elastic recovery: a GOP lost by its assigned
+    process (simulated via fault injection) is re-encoded by host 0;
+    output byte-identical to the healthy run."""
+    import numpy as np
+
+    from theora_tpu.parallel.distributed import distributed_transcode
+
+    W, H = 64, 48
+    rng = np.random.RandomState(7)
+    frames = [
+        [
+            ((np.mgrid[0:H, 0:W][1] * 2 + 7 * i) % 256).astype(np.uint8),
+            np.full((H // 2, W // 2), 100 + i, np.uint8),
+            np.full((H // 2, W // 2), 150 - i, np.uint8),
+        ]
+        for i in range(12)
+    ]
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H, quality=40
+    )
+    healthy = distributed_transcode(frames, info, keyframe_freq=4)
+    lossy = distributed_transcode(
+        frames, info, keyframe_freq=4, _drop_gops={1}
+    )
+    assert len(healthy) == len(lossy) > 3
+    for a, b in zip(healthy, lossy):
+        assert a.data == b.data and a.granulepos == b.granulepos

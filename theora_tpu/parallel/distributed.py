@@ -58,6 +58,7 @@ def distributed_transcode(
     info: TheoraInfo,
     keyframe_freq: int = 64,
     configure=None,
+    _drop_gops: set | None = None,
 ):
     """Encode `frames` across all jax processes; returns the ordered
     packet list on process 0 (header packets included), [] elsewhere.
@@ -84,6 +85,11 @@ def distributed_transcode(
     blobs: dict[int, bytes] = {}
     for gi in range(ngops):
         if gi % nproc != pid:
+            continue
+        if _drop_gops and gi in _drop_gops:
+            # Fault injection for the elastic-recovery test: this
+            # process "loses" the GOP (as a worker that crashed and
+            # restarted after its assignment would).
             continue
         pkts = _encode_gop(
             info, gops[gi], gi * keyframe_freq, keyframe_freq,
@@ -119,6 +125,26 @@ def distributed_transcode(
     if pid != 0:
         return []
     from theora_tpu.encode.encoder import Encoder
+
+    # Elastic recovery (SURVEY.md section 5): a GOP whose gathered blob
+    # is empty was lost by its assigned process (crash/restart after
+    # assignment); host 0 reassigns it to itself. GOP encoding is
+    # deterministic, so the recovered output is byte-identical to what
+    # the failed worker would have produced. (A process that dies
+    # *inside* the collective stalls jax.distributed itself; recovery
+    # covers work lost around it.)
+    for gi in range(ngops):
+        if int(full_lengths[gi]) == 0:
+            pkts = _encode_gop(
+                info, gops[gi], gi * keyframe_freq, keyframe_freq,
+                gi == ngops - 1, None,
+            )
+            blob = np.frombuffer(_pack_blob(pkts), dtype=np.uint8)
+            full_lengths[gi] = len(blob)
+            if len(blob) > gathered.shape[1]:
+                pad = len(blob) - gathered.shape[1]
+                gathered = np.pad(gathered, ((0, 0), (0, pad)))
+            gathered[gi, : len(blob)] = blob
 
     enc = Encoder(info)
     pkts = enc.flush_headers()

@@ -13,10 +13,30 @@ rides jax.distributed with per-GOP byte blobs gathered to host 0.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
+import signal
 
 from theora_tpu.encode.encoder import Encoder
 from theora_tpu.info import TheoraInfo
 from theora_tpu.tpkt import Packet
+
+# Fault injection for the elastic-retry tests (SURVEY.md section 5:
+# GOP-level retry is the codec's natural elastic unit). Format:
+# "<gop_index>:<marker_path>" -- the first worker to encode that GOP
+# creates the marker and SIGKILLs itself; retries see the marker and
+# proceed, exercising the recovery path deterministically.
+_FAULT_ENV = "THEORA_TPU_FAULT_KILL_GOP"
+
+
+def _maybe_inject_fault(gop_index: int) -> None:
+    spec = os.environ.get(_FAULT_ENV)
+    if not spec:
+        return
+    tgt, marker = spec.split(":", 1)
+    if int(tgt) == gop_index and not os.path.exists(marker):
+        with open(marker, "w"):
+            pass
+        os.kill(os.getpid(), signal.SIGKILL)
 
 
 def split_gops(frames: list, keyframe_freq: int) -> list[list]:
@@ -28,6 +48,7 @@ def split_gops(frames: list, keyframe_freq: int) -> list[list]:
 
 def _encode_gop(info: TheoraInfo, gop_frames, frame_base: int,
                 keyframe_freq: int, is_last: bool, rd_strength):
+    _maybe_inject_fault(frame_base // max(keyframe_freq, 1))
     enc = Encoder(info)
     enc.keyframe_freq = keyframe_freq
     enc.curframe_num = frame_base - 1
@@ -71,21 +92,48 @@ def transcode(
     pool = (
         cf.ProcessPoolExecutor if use_processes else cf.ThreadPoolExecutor
     )
-    with pool(max_workers=max_workers) as ex:
-        futs = {
-            ex.submit(
-                _encode_gop,
-                info,
-                gop,
-                gi * keyframe_freq,
-                keyframe_freq,
-                gi == len(gops) - 1,
-                rd_strength,
-            ): gi
-            for gi, gop in enumerate(gops)
-        }
-        for fut in cf.as_completed(futs):
-            results[futs[fut]] = fut.result()
+    # Elastic retry (SURVEY.md section 5): a killed/crashed worker only
+    # loses its own GOPs; they are reassigned to a fresh pool. GOP
+    # outputs are deterministic, so retried work is byte-identical to
+    # what the dead worker would have produced.
+    pending = dict(enumerate(gops))
+    for attempt in range(3):
+        if not pending:
+            break
+        broken = False
+        with pool(max_workers=max_workers) as ex:
+            futs = {
+                ex.submit(
+                    _encode_gop,
+                    info,
+                    gop,
+                    gi * keyframe_freq,
+                    keyframe_freq,
+                    gi == len(gops) - 1,
+                    rd_strength,
+                ): gi
+                for gi, gop in pending.items()
+            }
+            for fut in cf.as_completed(futs):
+                gi = futs[fut]
+                try:
+                    results[gi] = fut.result()
+                    del pending[gi]
+                except Exception:
+                    # Worker death (BrokenProcessPool poisons every
+                    # outstanding future) or a transient error: keep the
+                    # GOP pending and rebuild the pool.
+                    broken = True
+        if pending and not broken:
+            break  # persistent per-GOP failure; don't spin
+    if pending:
+        # Last resort: encode the stragglers inline so a flaky pool can
+        # never lose output.
+        for gi, gop in sorted(pending.items()):
+            results[gi] = _encode_gop(
+                info, gop, gi * keyframe_freq, keyframe_freq,
+                gi == len(gops) - 1, rd_strength,
+            )
     out = list(header_pkts)
     pn = 3
     for pkts in results:
