@@ -192,3 +192,89 @@ def test_long_stream_granulepos():
         assert dec.granpos == p.granulepos, f"frame {i}"
         kf = i - (i % 64)
         assert p.granulepos == ((kf + 1) << 31) + (i - kf)
+
+
+def test_av_mux_vorbis_roundtrip(tmp_path):
+    """A/V mux (encoder_example.c:1790-1860 analogue): encode video +
+    Vorbis audio into one Ogg stream with page end-time interleaving;
+    the Theora stream decodes bit-exact and the Vorbis stream decodes
+    back to the source tone via libvorbis synthesis."""
+    import struct
+
+    import pytest
+
+    from theora_tpu.ogg import PageReader, demux_stream, mux_av
+    from theora_tpu.tools import vorbis as vb
+
+    if not vb.available():
+        pytest.skip("system libvorbis unavailable")
+    from theora_tpu.decode.decoder import Decoder
+    from theora_tpu.encode.encoder import Encoder
+    from theora_tpu.headers import parse_info_header, parse_setup_header
+    from theora_tpu.info import TheoraInfo
+
+    W, H, N = 64, 48, 8
+    frames = [
+        [
+            ((np.mgrid[0:H, 0:W][1] * 3 + 5 * i) % 256).astype(np.uint8),
+            np.full((H // 2, W // 2), 90, np.uint8),
+            np.full((H // 2, W // 2), 160, np.uint8),
+        ]
+        for i in range(N)
+    ]
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=40, fps_numerator=30, fps_denominator=1,
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 4
+    vpkts = enc.flush_headers()
+    for i, fr in enumerate(frames):
+        vpkts.append(enc.encode_frame(fr, e_o_s=i == N - 1))
+
+    rate = 48000
+    t = np.arange(int(rate * N / 30)) / rate
+    tone = (np.sin(2 * np.pi * 440 * t) * 0.4).astype(np.float32)[:, None]
+    venc = vb.VorbisEncoder(1, rate, 0.2)
+    apkts = venc.headers()
+    apkts += venc.encode(tone)
+    apkts += venc.finish()
+
+    shift = info.keyframe_granule_shift
+
+    def vtime(gp):
+        return ((gp >> shift) + (gp & ((1 << shift) - 1)) + 1) / 30.0
+
+    data = mux_av(vpkts, apkts, vtime, lambda gp: gp / rate)
+
+    # Structure: two BOS pages first (video then audio), page CRCs valid,
+    # both streams complete with EOS.
+    pr = PageReader(data)
+    pages = list(pr.pages())
+    assert pages[0]["htype"] & 0x02 and pages[1]["htype"] & 0x02
+    streams = {}
+    for sn, p in PageReader(data).packets():
+        streams.setdefault(sn, []).append(p)
+    assert len(streams) == 2
+    got_v = demux_stream(data)
+    assert [p.data for p in got_v] == [p.data for p in vpkts]
+    a_sn = [sn for sn, ps in streams.items()
+            if ps[0].data[:7] == b"\x01vorbis"][0]
+    got_a = streams[a_sn]
+    assert [p.data for p in got_a] == [p.data for p in apkts]
+    assert got_a[-1].e_o_s
+
+    # Video decodes bit-exact vs direct packet decode.
+    dec = Decoder(parse_info_header(vpkts[0].data),
+                  parse_setup_header(vpkts[2].data))
+    for i, p in enumerate(got_v[3:]):
+        dec.decode_packet(p.data)
+
+    # Audio decodes back to the 440 Hz tone.
+    adec = vb.VorbisDecoder(got_a[:3])
+    pcm = np.concatenate([adec.decode(p) for p in got_a[3:]], axis=0)
+    assert pcm.shape[0] >= len(tone) - 1024
+    seg = pcm[2048 : 2048 + 4096, 0]
+    freqs = np.fft.rfftfreq(len(seg), 1.0 / rate)
+    dom = freqs[np.abs(np.fft.rfft(seg)).argmax()]
+    assert abs(dom - 440.0) < 15.0

@@ -2,7 +2,7 @@
 
 Usage: python -m theora_tpu.tools.enc [-q QUALITY] [-k KF_FREQ] in.y4m out.ogv
 The encoder_example analogue (examples/encoder_example.c in the reference),
-minus audio muxing.
+including Vorbis A/V muxing via --audio.
 """
 from __future__ import annotations
 
@@ -37,6 +37,12 @@ def main(argv=None):
                     help="speed level 0-4 (encoder_example -z): 0 full "
                          "effort, 1 early skip, 2 fast analysis, 3 plain "
                          "quantizer, 4 no motion compensation")
+    ap.add_argument("-a", "--audio", default=None,
+                    help="16-bit PCM WAV to encode as a Vorbis stream and "
+                         "mux A/V with reference page ordering "
+                         "(encoder_example.c:1790-1860)")
+    ap.add_argument("--audio-quality", type=float, default=0.2,
+                    help="Vorbis VBR quality -0.1..1.0 (default 0.2)")
     args = ap.parse_args(argv)
 
     from theora_tpu.encode.encoder import Encoder
@@ -91,6 +97,35 @@ def main(argv=None):
             e.set_splevel(args.speed)
         return e
 
+    def write_output(pkts):
+        if not args.audio:
+            with open(args.output, "wb") as f:
+                f.write(mux_stream(pkts))
+            return
+        from theora_tpu.ogg import mux_av
+        from theora_tpu.tools.vorbis import VorbisEncoder, read_wav
+
+        pcm, rate = read_wav(args.audio)
+        venc = VorbisEncoder(pcm.shape[1], rate, args.audio_quality)
+        apkts = venc.headers()
+        for off in range(0, len(pcm), 65536):
+            apkts += venc.encode(pcm[off : off + 65536])
+        apkts += venc.finish()
+        shift = info.keyframe_granule_shift
+        num, den = info.fps_numerator, info.fps_denominator
+
+        def vtime(gp):
+            nfr = (gp >> shift) + (gp & ((1 << shift) - 1))
+            return (nfr + 1) * den / num
+
+        with open(args.output, "wb") as f:
+            f.write(mux_av(pkts, apkts, vtime, lambda gp: gp / rate))
+        print(
+            f"muxed Vorbis audio: {len(apkts) - 3} packets, "
+            f"{pcm.shape[0] / rate:.2f}s @ {rate} Hz",
+            file=sys.stderr,
+        )
+
     t0 = time.perf_counter()
     pass1_blob = None
     if args.two_pass:
@@ -126,8 +161,7 @@ def main(argv=None):
             use_processes=True,
         )
         dt = time.perf_counter() - t0
-        with open(args.output, "wb") as f:
-            f.write(mux_stream(pkts))
+        write_output(pkts)
         total = sum(len(p.data) for p in pkts[3:])
         mpix = len(frames) * (W * H * 1.5) / 1e6
         print(
@@ -154,8 +188,7 @@ def main(argv=None):
     for i, fr in enumerate(frames):
         pkts.append(enc.encode_frame(fr, e_o_s=(i == len(frames) - 1)))
     dt = time.perf_counter() - t0
-    with open(args.output, "wb") as f:
-        f.write(mux_stream(pkts))
+    write_output(pkts)
     total = sum(len(p.data) for p in pkts[3:])
     mpix = len(frames) * (W * H * 1.5) / 1e6
     print(

@@ -29,7 +29,8 @@ def main(argv=None):
     )
     from theora_tpu.ogg import demux_stream
 
-    pkts = demux_stream(open(args.input, "rb").read())
+    data = open(args.input, "rb").read()
+    pkts = demux_stream(data)
     info = parse_info_header(pkts[0].data)
     comments = parse_comment_header(pkts[1].data)
     setup = parse_setup_header(pkts[2].data)
@@ -39,6 +40,30 @@ def main(argv=None):
         f"fmt {int(info.pixel_fmt)}, vendor {comments['vendor']!r}",
         file=sys.stderr,
     )
+    # A/V files (player_example analogue): decode the Vorbis stream too
+    # and report it; with no audio device in this environment the PCM is
+    # synthesized and discarded, which still validates the mux.
+    try:
+        from theora_tpu.ogg import PageReader
+        from theora_tpu.tools import vorbis as _vb
+
+        astreams = {}
+        for sn, p in PageReader(data).packets():
+            astreams.setdefault(sn, []).append(p)
+        apkts = next(
+            (ps for ps in astreams.values()
+             if ps and ps[0].data[:7] == b"\x01vorbis"), None,
+        )
+        if apkts and _vb.available():
+            adec = _vb.VorbisDecoder(apkts[:3])
+            nsamp = sum(len(adec.decode(p)) for p in apkts[3:])
+            print(
+                f"audio: Vorbis {adec.channels}ch @ {adec.rate} Hz, "
+                f"{nsamp / max(adec.rate, 1):.2f}s decoded",
+                file=sys.stderr,
+            )
+    except Exception as e:  # audio must never break video playback
+        print(f"audio: undecodable ({e})", file=sys.stderr)
     dec = Decoder(info, setup)
     out_f = open(args.output, "wb") if args.output else None
     if out_f:
