@@ -181,19 +181,85 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
 )
 def _scan_encode_plane(
     init_prev, init_gold,
-    cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
+    cur_planes, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
     deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
     nv, nh, pad_y, pad_x, emit_recon=False,
 ):
-    """Single-device jitted wrapper over make_plane_scan."""
-    return make_plane_scan(nv, nh, pad_y, pad_x, emit_recon)(
+    """Single-device jitted wrapper over make_plane_scan.
+
+    cur_planes: [F, nv*8, nh*8] u8 raw planes -- the block view is
+    derived on device so each frame's pixels cross the host<->device
+    link exactly once (the luma array is the same buffer the fused ME
+    plan dispatch consumed)."""
+    import jax.numpy as jnp
+
+    F = cur_planes.shape[0]
+    cur_blocks = (
+        cur_planes.reshape(F, nv, 8, nh, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(F, nv * nh, 8, 8)
+    )
+    out = make_plane_scan(nv, nh, pad_y, pad_x, emit_recon)(
         init_prev, init_gold,
         cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
         deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
     )
+    # Per-block nonzero counts ride along so the host can size the
+    # sparse coefficient download without an extra dispatch.
+    nnz = (out[0] != 0).sum(axis=-1).astype(jnp.uint8)
+    return out + (nnz,)
 
 
-_MV_CANDS = 16  # shared candidate vectors scored per frame
+@functools.partial(__import__("jax").jit, static_argnames=("cap",))
+def _compact_qdct(qdct, cap):
+    """Size-proportional coefficient download: flat-compact the nonzero
+    entries of qdct [F, N, 64] i16 into [cap] int32 records
+    (zzi | (val & 0xffff) << 6), flat (block-major, zzi-ascending)
+    order.  cap is a static bucket >= the true count; extra slots are 0.
+    ~10x less transfer than the dense array at typical occupancy."""
+    import jax.numpy as jnp
+
+    flat = qdct.reshape(-1).astype(jnp.int32)
+    mask = flat != 0
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask, idx, cap)
+    rec = (jnp.arange(flat.shape[0], dtype=jnp.int32) & 63) | (
+        (flat & 0xFFFF) << 6
+    )
+    out = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(rec, mode="drop")
+    return out[:cap]
+
+
+def _cap_bucket(total: int) -> int:
+    """Smallest {2^k, 3*2^(k-1)} >= total (bounds both the download
+    overshoot and the number of distinct compiled compaction shapes)."""
+    total = max(int(total), 1)
+    p = 1 << (total - 1).bit_length()
+    return 3 * p // 4 if total <= 3 * p // 4 else p
+
+
+def _fetch_qdct(qdct_dev, nnz_dev):
+    """Download the scan's coefficients, sparse when it pays.
+
+    Returns (qdct [F, N, 64] i16 host array)."""
+    import jax
+
+    nnz = np.asarray(nnz_dev)
+    F, N = nnz.shape
+    total = int(nnz.astype(np.int64).sum())
+    dense_bytes = F * N * 64 * 2
+    if 4 * total + F * N >= dense_bytes // 2:
+        return np.asarray(qdct_dev)
+    cap = _cap_bucket(total)
+    packed = np.asarray(_compact_qdct(qdct_dev, cap))[:total]
+    vals = ((packed >> 6) & 0xFFFF).astype(np.uint16).view(np.int16)
+    zzi = (packed & 63).astype(np.uint8)
+    out = np.zeros((F * N, 64), np.int16)
+    bids = np.repeat(np.arange(F * N), nnz.reshape(-1))
+    out[bids, zzi] = vals
+    return out.reshape(F, N, 64)
+
+
 
 
 class TpuGopEncoder:
@@ -264,21 +330,25 @@ class TpuGopEncoder:
         )
 
     # ------------------------------------------------------------------
-    def _gop_plan(self, ys: np.ndarray):
+    def _gop_plan(self, ys):
         """Batched ME + mode decision for frames 1..F-1 of a GOP.
 
-        ys: [F, H, W] u8 luma (bitstream orientation).  Returns per-frame
+        ys: [F, H, W] u8 luma (bitstream orientation; numpy or an
+        already-uploaded device array).  Returns per-frame
         (mb_modes [nmbs], mb_mvs [nmbs, 2]) host arrays.
         """
-        import jax.numpy as jnp
+        import jax
 
         from theora_tpu.ops import me_jax
 
         F = ys.shape[0]
         if F < 2:
             return []
-        gold = np.broadcast_to(ys[0], (F - 1,) + ys.shape[1:])
-        return self._plan_frames(ys[1:], ys[:-1], gold)
+        # One fused dispatch: ME + all SADs + candidate selection +
+        # candidate SADs; cur/prev/gold derive from ys on device so the
+        # GOP's luma crosses the link exactly once.
+        outs = me_jax.plan_from_gop(jax.numpy.asarray(ys))
+        return self._decide_frames(jax.device_get(outs), F - 1)
 
     # ------------------------------------------------------------------
     def _plan_frames(self, cur, prev, gold):
@@ -289,38 +359,24 @@ class TpuGopEncoder:
         Batching across GOPs is legal for the same reason as across
         frames (original refs only).
         """
+        import jax
         import jax.numpy as jnp
 
         from theora_tpu.ops import me_jax
 
-        cur = jnp.asarray(np.ascontiguousarray(cur))
-        prev = jnp.asarray(np.ascontiguousarray(prev))
-        B = cur.shape[0]
-        mv, sad_mv, sad_nomv = me_jax.me_search(cur, prev)
-        sad_gold = me_jax.sad_nomv_vs(
-            cur, jnp.asarray(np.ascontiguousarray(gold))
+        outs = me_jax.plan(
+            jnp.asarray(np.ascontiguousarray(cur)),
+            jnp.asarray(np.ascontiguousarray(prev)),
+            jnp.asarray(np.ascontiguousarray(gold)),
         )
-        sad_intra = me_jax.sad_intra_mb(cur)
-        mv = np.asarray(mv)
-        sad_mv = np.asarray(sad_mv)
-        sad_nomv = np.asarray(sad_nomv)
-        sad_gold = np.asarray(sad_gold)
-        sad_intra = np.asarray(sad_intra)
-        # Top-K shared candidates per frame (by best-MV popularity; the
-        # decoder's LAST/LAST2 predictors are almost always in this set).
-        K = _MV_CANDS
-        cands = np.zeros((B, K, 2), np.int32)
-        for fi in range(B):
-            flat = mv[fi].reshape(-1, 2)
-            flat = flat[(flat != 0).any(axis=1)]
-            if len(flat):
-                uniq, counts = np.unique(flat, axis=0, return_counts=True)
-                order = np.lexsort((uniq[:, 1], uniq[:, 0], -counts))
-                top = uniq[order[:K]]
-                cands[fi, : len(top)] = top
-        cand_sads = np.asarray(
-            me_jax.mv_cand_sads(cur, prev, jnp.asarray(cands))
-        )
+        return self._decide_frames(jax.device_get(outs), cur.shape[0])
+
+    # ------------------------------------------------------------------
+    def _decide_frames(self, outs, B):
+        """Host mode decision over the downloaded fused-plan arrays
+        (transfer-compact dtypes widened back to int32)."""
+        (mv, sad_mv, sad_nomv, sad_gold, sad_intra, cands,
+         cand_sads) = (np.asarray(o).astype(np.int32) for o in outs)
         return [
             self._decide_frame(
                 fi, mv, sad_mv, sad_nomv, sad_gold, sad_intra,
@@ -432,7 +488,8 @@ class TpuGopEncoder:
         return refsel, frag_mv, may_skip
 
     # ------------------------------------------------------------------
-    def _plane_inputs(self, pli, planes_f, refsel, frag_mv, may_skip):
+    def _plane_inputs(self, pli, planes_f, refsel, frag_mv, may_skip,
+                      with_cur=True):
         """Scan inputs for one plane of one frame."""
         g = self.g
         info = self.info
@@ -448,13 +505,15 @@ class TpuGopEncoder:
         my = _MVMAP[qpy][dy + 31]
         my2 = _MVMAP2[qpy][dy + 31]
         use2 = ((mx2 != 0) | (my2 != 0)) & (rs != 0)
-        return dict(
-            cur=self._plane_blocks(planes_f[pli]),
+        d = dict(
             rs=rs.astype(np.int8),
             o1y=my.astype(np.int8), o1x=mx.astype(np.int8),
             o2y=(my + my2).astype(np.int8), o2x=(mx + mx2).astype(np.int8),
             u2=use2, ms=may_skip[sl],
         )
+        if with_cur:
+            d["cur"] = self._plane_blocks(planes_f[pli])
+        return d
 
     # ------------------------------------------------------------------
     def encode_gop(self, gop_frames: list, want_recon: bool = False):
@@ -464,6 +523,17 @@ class TpuGopEncoder:
         Returns (list of packet byte strings, recon) where recon is the
         final reconstructed padded planes per pli (or None).
         """
+        outs = self.dispatch_gop(gop_frames, want_recon=want_recon)
+        return self.finish_gop(outs)
+
+    # ------------------------------------------------------------------
+    def dispatch_gop(self, gop_frames: list, want_recon: bool = False):
+        """Upload + enqueue all device work for one GOP without blocking
+        on the results (the fused ME plan forces one small download for
+        the host mode decision; the heavy per-plane scans stay in
+        flight).  Returns an opaque state for finish_gop, letting the
+        caller overlap this GOP's device compute with the previous GOP's
+        host entropy coding."""
         import jax.numpy as jnp
 
         g = self.g
@@ -471,8 +541,10 @@ class TpuGopEncoder:
         planes_bs = [
             [p[::-1].astype(np.uint8) for p in fr] for fr in gop_frames
         ]
-        ys = np.stack([fr[0] for fr in planes_bs])
-        plans = self._gop_plan(ys)
+        # One upload per frame of luma: the same device buffer feeds the
+        # fused ME dispatch and the luma encode scan.
+        ys_d = jnp.asarray(np.stack([fr[0] for fr in planes_bs]))
+        plans = self._gop_plan(ys_d)
 
         nfrags = g.nfrags
         frame_frag = []
@@ -483,20 +555,22 @@ class TpuGopEncoder:
         for mb_modes, mb_mvs in plans:
             frame_frag.append(self._frag_plan(mb_modes, mb_mvs))
 
-        qdct_pl = {}
-        coded_pl = {}
-        recon_pl = {}
+        plane_out = {}
         for pli in range(3):
             pl = g.planes[pli]
             vpad, hpad = g.plane_padding(pli)
-            stacks = {k: [] for k in ("cur", "rs", "o1y", "o1x", "o2y",
+            stacks = {k: [] for k in ("rs", "o1y", "o1x", "o2y",
                                       "o2x", "u2", "ms")}
             for f in range(F):
                 rs, fmv, ms = frame_frag[f]
-                d = self._plane_inputs(pli, planes_bs[f], rs, fmv, ms)
+                d = self._plane_inputs(pli, planes_bs[f], rs, fmv, ms,
+                                       with_cur=False)
                 for k in stacks:
                     stacks[k].append(d[k])
             arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items()}
+            cur_pl = ys_d if pli == 0 else jnp.asarray(
+                np.stack([planes_bs[f][pli] for f in range(F)])
+            )
             is_intra = jnp.asarray(
                 np.array([f == 0 for f in range(F)], bool)
             )
@@ -513,9 +587,9 @@ class TpuGopEncoder:
             lam_qp = rd_lambda(
                 self.qi, int(dq[self.qi, pli, 1, 1])
             ) * self.rd_strength
-            out = _scan_encode_plane(
+            plane_out[pli] = _scan_encode_plane(
                 init, init,
-                arrs["cur"], arrs["rs"], arrs["o1y"], arrs["o1x"],
+                cur_pl, arrs["rs"], arrs["o1y"], arrs["o1x"],
                 arrs["o2y"], arrs["o2x"], arrs["u2"], arrs["ms"], is_intra,
                 jnp.asarray(dq[self.qi, pli, 0].astype(np.int32)),
                 jnp.asarray(dq[self.qi, pli, 1].astype(np.int32)),
@@ -524,7 +598,18 @@ class TpuGopEncoder:
                 pl.nvfrags, pl.nhfrags, vpad, hpad,
                 emit_recon=want_recon,
             )
-            qdct_pl[pli] = np.asarray(out[0])
+        return (F, plans, frame_frag, plane_out, want_recon)
+
+    # ------------------------------------------------------------------
+    def finish_gop(self, state):
+        """Download the dispatched scans' outputs (sparse coefficient
+        transfer) and entropy-code the GOP's packets on the host."""
+        F, plans, frame_frag, plane_out, want_recon = state
+        qdct_pl = {}
+        coded_pl = {}
+        recon_pl = {}
+        for pli, out in plane_out.items():
+            qdct_pl[pli] = _fetch_qdct(out[0], out[-1])
             coded_pl[pli] = np.asarray(out[1])
             if want_recon:
                 recon_pl[pli] = np.asarray(out[2])
@@ -567,20 +652,36 @@ class TpuGopEncoder:
     # ------------------------------------------------------------------
     def encode_clip(self, frames: list, keyframe_freq: int = 8
                     ) -> list[Packet]:
-        """Headers + data packets for a whole clip, GOP by GOP."""
+        """Headers + data packets for a whole clip, GOP by GOP.
+
+        Two-stage software pipeline (the host<->device analogue of the
+        reference's MCU pipelining, SURVEY.md §2.7 "pipeline parallel"):
+        GOP k+1's uploads, ME plan, and closed-loop scans are enqueued
+        on the device BEFORE GOP k's coefficients are downloaded and
+        entropy-coded, so host bit-packing overlaps device compute.
+        GOPs are independent (keyframe-delimited), so the overlap cannot
+        change any byte."""
         out = self.flush_headers()
         shift = self.info.keyframe_granule_shift
         pno = 3
         nf = len(frames)
-        for base in range(0, nf, keyframe_freq):
-            gop = frames[base:base + keyframe_freq]
-            datas, _ = self.encode_gop(gop)
-            for j, data in enumerate(datas):
-                fnum = base + j
-                gp = ((base + 1) << shift) + (fnum - base)
-                out.append(Packet(
-                    data, granulepos=gp, packetno=pno,
-                    e_o_s=(fnum == nf - 1),
-                ))
-                pno += 1
+        bases = list(range(0, nf, keyframe_freq))
+        pending = None  # (base, dispatched state)
+        for base in bases + [None]:
+            state = (
+                (base, self.dispatch_gop(frames[base:base + keyframe_freq]))
+                if base is not None else None
+            )
+            if pending is not None:
+                pbase, pstate = pending
+                datas, _ = self.finish_gop(pstate)
+                for j, data in enumerate(datas):
+                    fnum = pbase + j
+                    gp = ((pbase + 1) << shift) + (fnum - pbase)
+                    out.append(Packet(
+                        data, granulepos=gp, packetno=pno,
+                        e_o_s=(fnum == nf - 1),
+                    ))
+                    pno += 1
+            pending = state
         return out

@@ -10,15 +10,28 @@ backend or mesh sharding):
      evaluated as whole-plane shifted absolute differences box-summed per
      MB (one lax.scan over the 225 displacements);
   2. refine: +-2 full-pel window around the doubled coarse vector at
-     full resolution (per-MB gathers, scan over the 25 displacements);
+     full resolution;
   3. half-pel: the 8 half-pel neighbours scored with the exact two-tap
      prediction the reconstruction uses (truncating MVMAP offsets,
      decode path state.c:846-957).
+
+Stages 2-3 are gather-free: XLA lowers per-MB dynamic indexing to
+element gathers that run ~100x slower than VPU passes on TPU (measured
+3.7 s/GOP for the old formulation at 720p), so each MB's search window
+is extracted from a static-shift neighborhood tensor by masked shifts
+(the ops/mc_jax.py discipline), and all candidate positions become
+static slices of that per-MB patch.  Compute for a 7-frame 720p batch
+drops to ~60 ms.
 
 The search runs on the *original* (un-reconstructed) previous/golden
 frames, mirroring the reference's OC_FRAME_*_ORIG design
 (mcenc.c:314-316) -- this is what makes whole-GOP batching legal: ME for
 every frame depends only on source frames, never on the closed loop.
+
+`plan` fuses the whole per-GOP decision precompute -- search, zero-MV /
+golden / intra SADs, top-K shared candidate selection, and candidate
+SADs -- into ONE dispatch returning transfer-compact dtypes, so a GOP
+costs a single round trip over the host<->TPU link.
 """
 from __future__ import annotations
 
@@ -31,6 +44,7 @@ import numpy as np
 _COARSE_R = 7
 _REFINE_R = 2
 _MV_MAX = 15  # full-pel; half-pel range is +-31 (bitstream limit)
+N_CANDS = 16  # shared candidate vectors scored per frame
 
 
 def _coarse_cands() -> np.ndarray:
@@ -65,24 +79,49 @@ def _box_mb(diff, mb):
     return diff.reshape(F, H // mb, mb, W // mb, mb).sum(axis=(2, 4))
 
 
-def _gather_mb16(plane_p, oy, ox, pad):
-    """Gather one frame's 16x16 MBs at per-MB offsets from a padded
-    plane.  plane_p: [Hp, Wp]; oy/ox: [nv, nh] pixel offsets."""
-    nv, nh = oy.shape
-    mby = pad + 16 * jnp.arange(nv)[:, None] + oy
-    mbx = pad + 16 * jnp.arange(nh)[None, :] + ox
-    ay = mby[:, :, None, None] + jnp.arange(16)[None, None, :, None]
-    ax = mbx[:, :, None, None] + jnp.arange(16)[None, None, None, :]
-    return plane_p[ay, ax]
+def _mb_neighborhoods(ref, nv, nh):
+    """[F, H, W] u8 plane -> [F, nv*nh, 48, 48] u8 neighborhood tensor:
+    entry (f, b, 16+dy, 16+dx) is ref pixel at offset (dy, dx) from MB
+    b's top-left corner (edge-replicated outside the frame).  Static
+    slices of a 3x3 grid of 16-px shifts -- no gathers."""
+    F = ref.shape[0]
+    refp = jnp.pad(ref, ((0, 0), (16, 16), (16, 16)), mode="edge")
+    rows = []
+    for dy in (-16, 0, 16):
+        cols = []
+        for dx in (-16, 0, 16):
+            sl = jax.lax.dynamic_slice(
+                refp, (0, 16 + dy, 16 + dx), (F, nv * 16, nh * 16)
+            )
+            cols.append(sl.reshape(F, nv, 16, nh, 16).transpose(0, 1, 3, 2, 4))
+        rows.append(jnp.concatenate(cols, axis=4))
+    return jnp.concatenate(rows, axis=3).reshape(F, nv * nh, 48, 48)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def me_search(cur, ref):
-    """Full+half-pel search: cur/ref [F, H, W] uint8 (H, W multiples of
-    16).  Returns (mv [F, nv, nh, 2] int32 half-pel units (dx, dy),
+def _extract_patch(nb, py, px, S):
+    """Per-MB SxS patch at per-MB offset (py, px) from the neighborhood
+    tensor, via separable masked shifts (static slices only).
+
+    nb: [F, n, 48, 48] u8; py/px: [F, n] int32 in [-16, 32-S].
+    Returns [F, n, S, S] u8."""
+    F, n = py.shape
+    acc = jnp.zeros((F, n, S, 48), jnp.uint8)
+    for dy in range(-16, 32 - S + 1):
+        sl = nb[:, :, 16 + dy : 16 + dy + S, :]
+        acc = jnp.where((py == dy)[:, :, None, None], sl, acc)
+    out = jnp.zeros((F, n, S, S), jnp.uint8)
+    for dx in range(-16, 32 - S + 1):
+        sl = acc[:, :, :, 16 + dx : 16 + dx + S]
+        out = jnp.where((px == dx)[:, :, None, None], sl, out)
+    return out
+
+
+def _me_search_impl(cur, ref):
+    """See me_search.  Returns (mv [F, nv, nh, 2] int32 half-pel (dx, dy),
     sad_mv [F, nv, nh] int32, sad_nomv [F, nv, nh] int32)."""
     F, H, W = cur.shape
     nv, nh = H // 16, W // 16
+    n = nv * nh
     curi = cur.astype(jnp.int32)
     refi = ref.astype(jnp.int32)
 
@@ -112,84 +151,133 @@ def me_search(cur, ref):
     )
 
     # ---- full-pel refine around 2x coarse -----------------------------
-    PAD = 18
-    refp = jnp.pad(refi, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="edge")
-    cur_mb = curi.reshape(F, nv, 16, nh, 16).transpose(0, 1, 3, 2, 4)
-    base = 2 * c_d  # [F, nv, nh, 2] (dy, dx)
+    nb = _mb_neighborhoods(ref, nv, nh)
+    cur_mb = (
+        curi.reshape(F, nv, 16, nh, 16)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(F, n, 16, 16)
+    )
+    base = 2 * c_d  # [F, nv, nh, 2] (dy, dx), each in [-14, 14]
+    by = base[..., 0].reshape(F, n)
+    bx = base[..., 1].reshape(F, n)
 
-    gather = jax.vmap(_gather_mb16, in_axes=(0, 0, 0, None))
+    # One 20x20 patch per MB covers all 25 refine positions; their SADs
+    # are the 5x5 grid of static 16x16 slices.
+    patch = _extract_patch(nb, by - 2, bx - 2, 20).astype(jnp.int32)
+    grid = []
+    for ry in range(5):
+        for rx in range(5):
+            d = jnp.abs(patch[:, :, ry : ry + 16, rx : rx + 16] - cur_mb)
+            grid.append(d.sum(axis=(2, 3)))
 
-    def refine_step(carry, d):
-        best_sad, best_d = carry
-        oy = jnp.clip(base[..., 0] + d[0], -_MV_MAX, _MV_MAX)
-        ox = jnp.clip(base[..., 1] + d[1], -_MV_MAX, _MV_MAX)
-        blocks = gather(refp, oy, ox, PAD)
-        sad = jnp.abs(cur_mb - blocks).sum(axis=(3, 4))
-        cand = jnp.stack([oy, ox], axis=-1)
+    best_sad = jnp.full((F, n), jnp.iinfo(jnp.int32).max, jnp.int32)
+    best_y = jnp.zeros((F, n), jnp.int32)
+    best_x = jnp.zeros((F, n), jnp.int32)
+    for dy, dx in _refine_cands():
+        oy = jnp.clip(by + dy, -_MV_MAX, _MV_MAX)
+        ox = jnp.clip(bx + dx, -_MV_MAX, _MV_MAX)
+        ey = oy - (by - 2)  # in [0, 4]
+        ex = ox - (bx - 2)
+        sad = jnp.zeros((F, n), jnp.int32)
+        for ry in range(5):
+            for rx in range(5):
+                sad = jnp.where(
+                    (ey == ry) & (ex == rx), grid[ry * 5 + rx], sad
+                )
         better = sad < best_sad
         best_sad = jnp.where(better, sad, best_sad)
-        best_d = jnp.where(better[..., None], cand, best_d)
-        return (best_sad, best_d), None
-
-    init = (
-        jnp.full((F, nv, nh), jnp.iinfo(jnp.int32).max, jnp.int32),
-        jnp.zeros((F, nv, nh, 2), jnp.int32),
-    )
-    (f_sad, f_d), _ = jax.lax.scan(
-        refine_step, init, jnp.asarray(_refine_cands())
-    )
+        best_y = jnp.where(better, oy, best_y)
+        best_x = jnp.where(better, ox, best_x)
 
     # ---- half-pel refine ----------------------------------------------
     # Candidate m in half-pel units; prediction = (ref[trunc(m/2)] +
     # ref[trunc(m/2) + sign(m)*(m&1)]) >> 1 -- the exact MC kernel.
-    hp_cands = np.asarray(
-        sorted(
-            [(hy, hx) for hy in (-1, 0, 1) for hx in (-1, 0, 1)],
-            key=lambda d: (d[0] * d[0] + d[1] * d[1], d),
-        ),
-        dtype=np.int32,
+    # Both taps lie in [f-1, f+1], so one 18x18 patch at (f-1) holds
+    # every tap as a static 3x3 grid of 16x16 slices.
+    hp_cands = sorted(
+        [(hy, hx) for hy in (-1, 0, 1) for hx in (-1, 0, 1)],
+        key=lambda d: (d[0] * d[0] + d[1] * d[1], d),
     )
+    patch = _extract_patch(nb, best_y - 1, best_x - 1, 18).astype(jnp.int32)
+    taps = [
+        [patch[:, :, ry : ry + 16, rx : rx + 16] for rx in range(3)]
+        for ry in range(3)
+    ]
 
-    def hp_step(carry, d):
-        best_sad, best_m = carry
-        my = jnp.clip(2 * f_d[..., 0] + d[0], -2 * _MV_MAX - 1,
-                      2 * _MV_MAX + 1)
-        mx = jnp.clip(2 * f_d[..., 1] + d[1], -2 * _MV_MAX - 1,
-                      2 * _MV_MAX + 1)
+    best_hsad = jnp.full((F, n), jnp.iinfo(jnp.int32).max, jnp.int32)
+    best_mx = jnp.zeros((F, n), jnp.int32)
+    best_my = jnp.zeros((F, n), jnp.int32)
+    for dy, dx in hp_cands:
+        my = 2 * best_y + dy  # |f| <= 15 so |m| <= 31: never clipped
+        mx = 2 * best_x + dx
         o1y = jnp.sign(my) * (jnp.abs(my) >> 1)
         o1x = jnp.sign(mx) * (jnp.abs(mx) >> 1)
         o2y = o1y + jnp.sign(my) * (jnp.abs(my) & 1)
         o2x = o1x + jnp.sign(mx) * (jnp.abs(mx) & 1)
-        b1 = gather(refp, o1y, o1x, PAD)
-        b2 = gather(refp, o2y, o2x, PAD)
-        pred = (b1 + b2) >> 1
-        sad = jnp.abs(cur_mb - pred).sum(axis=(3, 4))
-        cand = jnp.stack([mx, my], axis=-1)  # (dx, dy) order for the API
-        better = sad < best_sad
-        best_sad = jnp.where(better, sad, best_sad)
-        best_m = jnp.where(better[..., None], cand, best_m)
-        return (best_sad, best_m), None
+        r1y = o1y - (best_y - 1)  # in [0, 2]
+        r1x = o1x - (best_x - 1)
+        r2y = o2y - (best_y - 1)
+        r2x = o2x - (best_x - 1)
+        pred2 = jnp.zeros((F, n, 16, 16), jnp.int32)
+        for ry in range(3):
+            for rx in range(3):
+                w = (
+                    ((r1y == ry) & (r1x == rx)).astype(jnp.int32)
+                    + ((r2y == ry) & (r2x == rx)).astype(jnp.int32)
+                )
+                pred2 = pred2 + w[:, :, None, None] * taps[ry][rx]
+        sad = jnp.abs(cur_mb - (pred2 >> 1)).sum(axis=(2, 3))
+        better = sad < best_hsad
+        best_hsad = jnp.where(better, sad, best_hsad)
+        best_mx = jnp.where(better, mx, best_mx)
+        best_my = jnp.where(better, my, best_my)
 
-    init = (
-        jnp.full((F, nv, nh), jnp.iinfo(jnp.int32).max, jnp.int32),
-        jnp.zeros((F, nv, nh, 2), jnp.int32),
-    )
-    (h_sad, h_m), _ = jax.lax.scan(hp_step, init, jnp.asarray(hp_cands))
-
+    h_m = jnp.stack([best_mx, best_my], axis=-1).reshape(F, nv, nh, 2)
+    h_sad = best_hsad.reshape(F, nv, nh)
     sad_nomv = _box_mb(jnp.abs(curi - refi), 16)
     return h_m, h_sad, sad_nomv
 
 
 @jax.jit
-def mv_cand_sads(cur, ref, cand):
+def me_search(cur, ref):
+    """Full+half-pel search: cur/ref [F, H, W] uint8 (H, W multiples of
+    16).  Returns (mv [F, nv, nh, 2] int32 half-pel units (dx, dy),
+    sad_mv [F, nv, nh] int32, sad_nomv [F, nv, nh] int32)."""
+    return _me_search_impl(cur, ref)
+
+
+def _top_cands_impl(mv, K=N_CANDS):
+    """Top-K shared candidate vectors per frame by best-MV popularity,
+    ties broken (count desc, dx asc, dy asc) -- exactly np.unique +
+    np.lexsort((dy, dx, -counts)).  mv: [F, nv, nh, 2] int32 (dx, dy)
+    in [-31, 31].  Returns [F, K, 2] int32, zero rows past the last
+    nonzero-count candidate (the zero vector is never a candidate)."""
+    F = mv.shape[0]
+    dx = mv[..., 0].reshape(F, -1)
+    dy = mv[..., 1].reshape(F, -1)
+    bins = (dx + 31) * 63 + (dy + 31)  # monotonic in (dx, dy) lex order
+    nz = (dx != 0) | (dy != 0)
+
+    def count1(b, m):
+        return jnp.zeros(63 * 63, jnp.int32).at[b].add(m.astype(jnp.int32))
+
+    counts = jax.vmap(count1)(bins, nz)
+    # count desc, then bin (= (dx, dy) lex) asc.
+    score = counts * 4096 + (4095 - jnp.arange(63 * 63, dtype=jnp.int32))
+    _, idx = jax.lax.top_k(score, K)
+    cnt = jnp.take_along_axis(counts, idx, axis=1)
+    cand = jnp.stack([idx // 63 - 31, idx % 63 - 31], axis=-1)
+    return jnp.where((cnt > 0)[..., None], cand, 0)
+
+
+def _cand_sads_impl(cur, ref, cand):
     """SAD of every MB against K shared half-pel candidate vectors.
 
     cur/ref: [F, H, W] u8; cand: [F, K, 2] int32 (dx, dy) half-pel.
     Returns [F, K, nv, nh] int32.  Feeds the host's LAST/LAST2-aware
     sequential mode decision (the decoder's MV predictors are shared
     across macroblock runs, so their SADs are whole-plane shifts --
-    one dynamic slice per (frame, candidate)).
-    """
+    one dynamic slice per (frame, candidate))."""
     F, H, W = cur.shape
     curi = cur.astype(jnp.int32)
     refi = ref.astype(jnp.int32)
@@ -215,16 +303,11 @@ def mv_cand_sads(cur, ref, cand):
 
 
 @jax.jit
-def sad_nomv_vs(cur, ref):
-    """Zero-MV SAD per MB: cur [F, H, W] u8, ref [H, W] or [F, H, W]."""
-    refi = ref.astype(jnp.int32)
-    if refi.ndim == 2:
-        refi = refi[None]
-    return _box_mb(jnp.abs(cur.astype(jnp.int32) - refi), 16)
+def mv_cand_sads(cur, ref, cand):
+    return _cand_sads_impl(cur, ref, cand)
 
 
-@jax.jit
-def sad_intra_mb(cur):
+def _sad_intra_impl(cur):
     """Host-policy intra proxy: per-MB sum over its four 8x8 luma blocks
     of the absolute deviation from the block mean (encoder.py mode
     decision)."""
@@ -240,3 +323,75 @@ def sad_intra_mb(cur):
     return (
         dev.reshape(F, nv, 2, nh, 2).sum(axis=(2, 4))
     )
+
+
+@jax.jit
+def sad_nomv_vs(cur, ref):
+    """Zero-MV SAD per MB: cur [F, H, W] u8, ref [H, W] or [F, H, W]."""
+    refi = ref.astype(jnp.int32)
+    if refi.ndim == 2:
+        refi = refi[None]
+    return _box_mb(jnp.abs(cur.astype(jnp.int32) - refi), 16)
+
+
+@jax.jit
+def sad_intra_mb(cur):
+    return _sad_intra_impl(cur)
+
+
+# ---------------------------------------------------------------------------
+# Fused per-GOP decision precompute: everything the host mode decision
+# needs, in one dispatch and one compact download.  SADs are 16x16 sums
+# of values <= 255, so they fit uint16 exactly (max 65280); MV components
+# fit int8 (|m| <= 31).
+# ---------------------------------------------------------------------------
+
+def _plan_impl(cur, prev, gold):
+    mv, sad_mv, sad_nomv = _me_search_impl(cur, prev)
+    sad_gold = _box_mb(
+        jnp.abs(cur.astype(jnp.int32) - gold.astype(jnp.int32)), 16
+    )
+    sad_intra = _sad_intra_impl(cur)
+    cands = _top_cands_impl(mv)
+    cand_sads = _cand_sads_impl(cur, prev, cands)
+    return (
+        mv.astype(jnp.int8),
+        sad_mv.astype(jnp.uint16),
+        sad_nomv.astype(jnp.uint16),
+        sad_gold.astype(jnp.uint16),
+        sad_intra.astype(jnp.uint16),
+        cands.astype(jnp.int8),
+        cand_sads.astype(jnp.uint16),
+    )
+
+
+@jax.jit
+def plan(cur, prev, gold):
+    """Fused ME + SADs + candidate selection for B independent frames.
+    cur/prev/gold: [B, H, W] u8.  Returns compact-dtype arrays
+    (mv i8 [B,nv,nh,2], sad_mv/sad_nomv/sad_gold/sad_intra u16 [B,nv,nh],
+    cands i8 [B,K,2], cand_sads u16 [B,K,nv,nh])."""
+    return _plan_impl(cur, prev, gold)
+
+
+@jax.jit
+def plan_from_gop(ys):
+    """Fused plan for one GOP: ys [F, H, W] u8 (frame 0 = keyframe).
+    cur/prev/gold are derived on device so the GOP's luma uploads once."""
+    cur = ys[1:]
+    prev = ys[:-1]
+    gold = jnp.broadcast_to(ys[0], cur.shape)
+    return _plan_impl(cur, prev, gold)
+
+
+@jax.jit
+def plan_from_gops(ys):
+    """Fused plan for G stacked GOPs: ys [G, F, H, W] u8.  Returns
+    arrays with leading dim G*(F-1), GOP-major (the mesh batch path)."""
+    G, F, H, W = ys.shape
+    cur = ys[:, 1:].reshape(G * (F - 1), H, W)
+    prev = ys[:, :-1].reshape(G * (F - 1), H, W)
+    gold = jnp.broadcast_to(ys[:, 0:1], (G, F - 1, H, W)).reshape(
+        G * (F - 1), H, W
+    )
+    return _plan_impl(cur, prev, gold)
