@@ -238,26 +238,31 @@ def _cap_bucket(total: int) -> int:
     return 3 * p // 4 if total <= 3 * p // 4 else p
 
 
-def _fetch_qdct(qdct_dev, nnz_dev):
+def _fetch_qdct(qdct_dev, nnz_dev, packed_dev=None, cap=0):
     """Download the scan's coefficients, sparse when it pays.
 
-    Returns (qdct [F, N, 64] i16 host array)."""
-    import jax
-
+    packed_dev/cap: an eagerly dispatched compaction at a predicted
+    capacity (from the previous GOP's count -- content is temporally
+    stable), enqueued right behind the scan so it never serializes
+    behind the NEXT GOP's work in the pipeline.  If the prediction was
+    too small a fresh compaction is dispatched.  Returns
+    (qdct [F, N, 64] i16 host array, true nonzero count)."""
     nnz = np.asarray(nnz_dev)
     F, N = nnz.shape
     total = int(nnz.astype(np.int64).sum())
     dense_bytes = F * N * 64 * 2
     if 4 * total + F * N >= dense_bytes // 2:
-        return np.asarray(qdct_dev)
-    cap = _cap_bucket(total)
-    packed = np.asarray(_compact_qdct(qdct_dev, cap))[:total]
+        return np.asarray(qdct_dev), total
+    if packed_dev is None or total > cap:
+        cap = _cap_bucket(total)
+        packed_dev = _compact_qdct(qdct_dev, cap)
+    packed = np.asarray(packed_dev)[:total]
     vals = ((packed >> 6) & 0xFFFF).astype(np.uint16).view(np.int16)
     zzi = (packed & 63).astype(np.uint8)
     out = np.zeros((F * N, 64), np.int16)
     bids = np.repeat(np.arange(F * N), nnz.reshape(-1))
     out[bids, zzi] = vals
-    return out.reshape(F, N, 64)
+    return out.reshape(F, N, 64), total
 
 
 
@@ -279,6 +284,9 @@ class TpuGopEncoder:
         self.enc.use_trellis = False
         self.g = self.enc.geometry
         self.rd_strength = rd_strength
+        # Predicted sparse-download capacities per (plane, GOP length),
+        # carried across GOPs so compaction can be enqueued eagerly.
+        self._cap_est: dict = {}
         g = self.g
         self._mb_list = np.where(g.mb_valid)[0]
         frag0 = g.mb_maps[self._mb_list, 0, 0]
@@ -587,7 +595,7 @@ class TpuGopEncoder:
             lam_qp = rd_lambda(
                 self.qi, int(dq[self.qi, pli, 1, 1])
             ) * self.rd_strength
-            plane_out[pli] = _scan_encode_plane(
+            out = _scan_encode_plane(
                 init, init,
                 cur_pl, arrs["rs"], arrs["o1y"], arrs["o1x"],
                 arrs["o2y"], arrs["o2x"], arrs["u2"], arrs["ms"], is_intra,
@@ -598,6 +606,9 @@ class TpuGopEncoder:
                 pl.nvfrags, pl.nhfrags, vpad, hpad,
                 emit_recon=want_recon,
             )
+            cap = self._cap_est.get((pli, F), 0)
+            packed = _compact_qdct(out[0], cap) if cap else None
+            plane_out[pli] = (out, packed, cap)
         return (F, plans, frame_frag, plane_out, want_recon)
 
     # ------------------------------------------------------------------
@@ -608,8 +619,9 @@ class TpuGopEncoder:
         qdct_pl = {}
         coded_pl = {}
         recon_pl = {}
-        for pli, out in plane_out.items():
-            qdct_pl[pli] = _fetch_qdct(out[0], out[-1])
+        for pli, (out, packed, cap) in plane_out.items():
+            qdct_pl[pli], total = _fetch_qdct(out[0], out[-1], packed, cap)
+            self._cap_est[(pli, F)] = _cap_bucket(max(total * 5 // 4, 1))
             coded_pl[pli] = np.asarray(out[1])
             if want_recon:
                 recon_pl[pli] = np.asarray(out[2])
