@@ -111,6 +111,30 @@ def test_play_tool_stats(tmp_path):
     assert "played" in r.stderr
 
 
+def test_play_tool_sdl_display(tmp_path):
+    """play.py's SDL window path (player_example.c analogue) renders
+    every frame under SDL's headless dummy driver."""
+    import subprocess
+    import sys
+
+    import pytest
+
+    try:
+        import pygame  # noqa: F401
+    except ImportError:
+        pytest.skip("pygame unavailable")
+    ogv = _make_ogv(tmp_path)
+    env = dict(os.environ, SDL_VIDEODRIVER="dummy",
+               SDL_AUDIODRIVER="dummy")
+    r = subprocess.run(
+        [sys.executable, "-m", "theora_tpu.tools.play", str(ogv)],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r.returncode == 0
+    assert "display unavailable" not in r.stderr
+    assert "played 4/4" in r.stderr
+
+
 def test_img2theora_tool(tmp_path):
     """img2theora encodes an image sequence to a decodable stream."""
     import subprocess
