@@ -107,39 +107,48 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
             # (ops/mc_jax.py) -- element gathers run ~100x slower on
             # TPU. Sharded runs take their fragment rows of the
             # replicated neighborhood tensor (row-granular take).
-            nb_p = mc.block_neighborhoods(prev, nv, nh, pad_y, pad_x)
-            nb_g = mc.block_neighborhoods(gold, nv, nh, pad_y, pad_x)
-            unc_all = mc.plane_to_blocks(prev, nv, nh, pad_y, pad_x)
-            if frag_axis is None:
-                nbs_p, nbs_g, unc = nb_p, nb_g, unc_all
-            else:
-                nbs_p = jnp.take(nb_p, fi, axis=0)
-                nbs_g = jnp.take(nb_g, fi, axis=0)
-                unc = jnp.take(unc_all, fi, axis=0)
-            unc = unc.astype(jnp.int32)
-            nb = jnp.where((rsf == 2)[:, None, None], nbs_g, nbs_p)
-            s1, s2 = mc.mc_select2(nb, y1, x1, y2, x2, pad_y, pad_x)
-            selv = jnp.where(u2[:, None, None], (s1 + s2) >> 1, s1)
-            pred = jnp.where((rsf == 0)[:, None, None], 128, selv)
+            # named_scope labels group profiler traces by codec stage
+            # (theora_tpu/debug.py).
+            with jax.named_scope("mc"):
+                nb_p = mc.block_neighborhoods(prev, nv, nh, pad_y, pad_x)
+                nb_g = mc.block_neighborhoods(gold, nv, nh, pad_y, pad_x)
+                unc_all = mc.plane_to_blocks(prev, nv, nh, pad_y, pad_x)
+                if frag_axis is None:
+                    nbs_p, nbs_g, unc = nb_p, nb_g, unc_all
+                else:
+                    nbs_p = jnp.take(nb_p, fi, axis=0)
+                    nbs_g = jnp.take(nb_g, fi, axis=0)
+                    unc = jnp.take(unc_all, fi, axis=0)
+                unc = unc.astype(jnp.int32)
+                nb = jnp.where((rsf == 2)[:, None, None], nbs_g, nbs_p)
+                s1, s2 = mc.mc_select2(nb, y1, x1, y2, x2, pad_y, pad_x)
+                selv = jnp.where(u2[:, None, None], (s1 + s2) >> 1, s1)
+                pred = jnp.where((rsf == 0)[:, None, None], 128, selv)
             curi = curf.astype(jnp.int32)
-            res = curi - pred
-            dct = tj.fdct8x8(res)
+            with jax.named_scope("fdct"):
+                res = curi - pred
+                dct = tj.fdct8x8(res)
             deq = jnp.where((rsf == 0)[:, None], deq_intra, deq_inter)
             lam_q = jnp.where(rsf == 0, lam_q_intra, lam_q_inter).astype(
                 jnp.float32
             )
-            qdct = tj.quantize_rd(dct, deq, lam_q)
-            dc_only = (qdct[:, 1:] == 0).all(axis=-1)
-            residual = tj.dequantize_idct(
-                qdct, deq, qdct[:, 0], deq[:, 0], dc_only
-            )
-            recon = jnp.clip(residual + pred, 0, 255)
-            ssd_rec = ((recon - curi) ** 2).sum(axis=(1, 2))
-            ssd_unc = ((unc - curi) ** 2).sum(axis=(1, 2))
-            bits = 6 * (qdct != 0).sum(axis=1) + 2
-            lamterm = (lam * bits.astype(jnp.float32)).astype(jnp.int32)
-            skip = ms & (16 * ssd_unc <= 16 * ssd_rec + lamterm) & ~ik
-            coded = ~skip
+            with jax.named_scope("quantize_rd"):
+                qdct = tj.quantize_rd(dct, deq, lam_q)
+            with jax.named_scope("idct_recon"):
+                dc_only = (qdct[:, 1:] == 0).all(axis=-1)
+                residual = tj.dequantize_idct(
+                    qdct, deq, qdct[:, 0], deq[:, 0], dc_only
+                )
+                recon = jnp.clip(residual + pred, 0, 255)
+            with jax.named_scope("skip_rd"):
+                ssd_rec = ((recon - curi) ** 2).sum(axis=(1, 2))
+                ssd_unc = ((unc - curi) ** 2).sum(axis=(1, 2))
+                bits = 6 * (qdct != 0).sum(axis=1) + 2
+                lamterm = (lam * bits.astype(jnp.float32)).astype(
+                    jnp.int32
+                )
+                skip = ms & (16 * ssd_unc <= 16 * ssd_rec + lamterm) & ~ik
+                coded = ~skip
             blocks = jnp.where(
                 coded[:, None, None], recon, unc
             ).astype(jnp.uint8)
@@ -154,11 +163,13 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
                 )
             plane = mc.blocks_to_plane(blocks_full[:n], nv, nh,
                                        pad_y, pad_x)
-            plane = loop_filter_plane_jax(
-                plane, coded_full[:n].reshape(nv, nh), bv, nv, nh,
-                pad_y, pad_x,
-            )
-            plane = fill_borders(plane, h, w, pad_y, pad_x)
+            with jax.named_scope("loopfilter"):
+                plane = loop_filter_plane_jax(
+                    plane, coded_full[:n].reshape(nv, nh), bv, nv, nh,
+                    pad_y, pad_x,
+                )
+            with jax.named_scope("borders"):
+                plane = fill_borders(plane, h, w, pad_y, pad_x)
             gold_new = jnp.where(ik, plane, gold)
             qout = jnp.where(coded[:, None], qdct, 0).astype(jnp.int16)
             ys = (qout, coded) + ((plane,) if emit_recon else ())
@@ -213,10 +224,11 @@ def _scan_encode_plane(
 @functools.partial(__import__("jax").jit, static_argnames=("cap",))
 def _compact_qdct(qdct, cap):
     """Size-proportional coefficient download: flat-compact the nonzero
-    entries of qdct [F, N, 64] i16 into [cap] int32 records
-    (zzi | (val & 0xffff) << 6), flat (block-major, zzi-ascending)
-    order.  cap is a static bucket >= the true count; extra slots are 0.
-    ~10x less transfer than the dense array at typical occupancy."""
+    entries of qdct [F, N, 64] i16 into [cap, 3] u8 records -- 22 bits
+    each (zzi | (val & 0xffff) << 6) split little-endian over 3 bytes --
+    in flat (block-major, zzi-ascending) order.  cap is a static bucket
+    >= the true count; extra slots are 0.  ~13x less transfer than the
+    dense array at typical occupancy."""
     import jax.numpy as jnp
 
     flat = qdct.reshape(-1).astype(jnp.int32)
@@ -227,42 +239,38 @@ def _compact_qdct(qdct, cap):
         (flat & 0xFFFF) << 6
     )
     out = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(rec, mode="drop")
-    return out[:cap]
+    out = out[:cap]
+    return jnp.stack(
+        [out & 0xFF, (out >> 8) & 0xFF, (out >> 16) & 0x3F], axis=-1
+    ).astype(jnp.uint8)
 
 
 def _cap_bucket(total: int) -> int:
-    """Smallest {2^k, 3*2^(k-1)} >= total (bounds both the download
-    overshoot and the number of distinct compiled compaction shapes)."""
-    total = max(int(total), 1)
+    """Smallest {5,6,7,8}*2^(k-3) >= total: quarter-octave steps bound
+    the download overshoot at <=20% while keeping the number of distinct
+    compiled compaction shapes small (4 per octave)."""
+    total = max(int(total), 4)
     p = 1 << (total - 1).bit_length()
-    return 3 * p // 4 if total <= 3 * p // 4 else p
+    for m in (5 * p // 8, 6 * p // 8, 7 * p // 8):
+        if total <= m:
+            return m
+    return p
 
 
-def _fetch_qdct(qdct_dev, nnz_dev, packed_dev=None, cap=0):
-    """Download the scan's coefficients, sparse when it pays.
-
-    packed_dev/cap: an eagerly dispatched compaction at a predicted
-    capacity (from the previous GOP's count -- content is temporally
-    stable), enqueued right behind the scan so it never serializes
-    behind the NEXT GOP's work in the pipeline.  If the prediction was
-    too small a fresh compaction is dispatched.  Returns
-    (qdct [F, N, 64] i16 host array, true nonzero count)."""
-    nnz = np.asarray(nnz_dev)
+def _expand_packed(packed, nnz):
+    """Rebuild dense qdct [F, N, 64] i16 from the 3-byte compacted
+    records (zzi | val<<6, block-major) and the per-block nonzero
+    counts."""
     F, N = nnz.shape
     total = int(nnz.astype(np.int64).sum())
-    dense_bytes = F * N * 64 * 2
-    if 4 * total + F * N >= dense_bytes // 2:
-        return np.asarray(qdct_dev), total
-    if packed_dev is None or total > cap:
-        cap = _cap_bucket(total)
-        packed_dev = _compact_qdct(qdct_dev, cap)
-    packed = np.asarray(packed_dev)[:total]
-    vals = ((packed >> 6) & 0xFFFF).astype(np.uint16).view(np.int16)
-    zzi = (packed & 63).astype(np.uint8)
+    rec = packed[:total].astype(np.int32)
+    rec = rec[:, 0] | (rec[:, 1] << 8) | (rec[:, 2] << 16)
+    vals = ((rec >> 6) & 0xFFFF).astype(np.uint16).view(np.int16)
+    zzi = (rec & 63).astype(np.uint8)
     out = np.zeros((F * N, 64), np.int16)
     bids = np.repeat(np.arange(F * N), nnz.reshape(-1))
     out[bids, zzi] = vals
-    return out.reshape(F, N, 64), total
+    return out.reshape(F, N, 64)
 
 
 
@@ -613,18 +621,50 @@ class TpuGopEncoder:
 
     # ------------------------------------------------------------------
     def finish_gop(self, state):
-        """Download the dispatched scans' outputs (sparse coefficient
-        transfer) and entropy-code the GOP's packets on the host."""
+        """Download the dispatched scans' outputs and entropy-code the
+        GOP's packets on the host.
+
+        Everything the host needs -- per-plane nonzero counts, the
+        eagerly compacted sparse coefficients, coded flags, and recon
+        when requested -- rides ONE batched jax.device_get: over the
+        high-RTT tunnel serial per-array reads cost ~3x more than the
+        same bytes in one call.  A second round trip happens only when
+        a plane's compaction capacity prediction was too small (or on
+        the first GOP of a shape, when no prediction exists)."""
+        import jax
+
         F, plans, frame_frag, plane_out, want_recon = state
+        tree = {}
+        for pli, (out, packed, cap) in plane_out.items():
+            t = [out[-1], out[1]]          # nnz, coded
+            if want_recon:
+                t.append(out[2])
+            if packed is not None:
+                t.append(packed)
+            tree[pli] = t
+        host = jax.device_get(tree)
+
         qdct_pl = {}
         coded_pl = {}
         recon_pl = {}
         for pli, (out, packed, cap) in plane_out.items():
-            qdct_pl[pli], total = _fetch_qdct(out[0], out[-1], packed, cap)
-            self._cap_est[(pli, F)] = _cap_bucket(max(total * 5 // 4, 1))
-            coded_pl[pli] = np.asarray(out[1])
+            h = host[pli]
+            nnz, coded_pl[pli] = h[0], h[1]
             if want_recon:
-                recon_pl[pli] = np.asarray(out[2])
+                recon_pl[pli] = h[2]
+            total = int(nnz.astype(np.int64).sum())
+            self._cap_est[(pli, F)] = _cap_bucket(max(total * 9 // 8, 1))
+            if packed is not None and total <= cap:
+                qdct_pl[pli] = _expand_packed(h[-1], nnz)
+            else:
+                # Prediction missing or too small: pay one more trip,
+                # dense when compaction would not be smaller.
+                N = nnz.shape[1]
+                if 3 * total + F * N >= F * N * 64:
+                    qdct_pl[pli] = np.asarray(out[0])
+                else:
+                    fresh = _compact_qdct(out[0], _cap_bucket(total))
+                    qdct_pl[pli] = _expand_packed(np.asarray(fresh), nnz)
 
         pkts = self._pack_gop(F, plans, frame_frag, qdct_pl, coded_pl)
         return pkts, (recon_pl if want_recon else None)

@@ -23,11 +23,20 @@ from theora_tpu.constants import (
     C7S1,
     ZIGZAG_TO_NAT,
 )
+from theora_tpu.debug import DEBUG as _DBG
 
 
 def _i16(x):
-    """int16 wraparound in int32 domain."""
-    return ((x + 0x8000) & 0xFFFF) - 0x8000
+    """int16 wraparound in int32 domain.
+
+    On legal streams the wrap is the identity; THEORA_TPU_DEBUG=1 arms
+    an assertion that it stayed one (theora_tpu/debug.py)."""
+    w = ((x + 0x8000) & 0xFFFF) - 0x8000
+    if _DBG:
+        from theora_tpu.debug import check_wrap
+
+        w = check_wrap(w, x, "transforms_jax._i16")
+    return w
 
 
 def _mul16(c, x):
