@@ -86,38 +86,46 @@ def _scan_decode_plane(
             jnp.int32
         )
         dcqf = deqt[0, intf.astype(jnp.int32), 0].astype(jnp.int32)
-        if use_pallas:
-            from theora_tpu.ops import pallas_kernels as pk
+        # named_scope labels group profiler traces by codec stage
+        # (theora_tpu/debug.py).
+        with jax.named_scope("dequant_idct"):
+            if use_pallas:
+                from theora_tpu.ops import pallas_kernels as pk
 
-            qzi = qzf.astype(jnp.int32)
-            deq = tj._i16(qzi * deqf)
-            deq = deq.at[:, 0].set(tj._i16(dcf.astype(jnp.int32) * dcqf))
-            nat = jnp.zeros_like(deq).at[:, tj._ZZ].set(deq)
-            full = pk.soa_to_blocks(pk.idct8x8_soa(nat.T))
-            residual = jnp.where(
-                dof[:, None, None],
-                tj.dc_fill(dcf.astype(jnp.int32), dcqf),
-                full,
-            )
-        else:
-            residual = tj.dequantize_idct(
-                qzf.astype(jnp.int32), deqf, dcf.astype(jnp.int32), dcqf,
-                dof,
-            )
+                qzi = qzf.astype(jnp.int32)
+                deq = tj._i16(qzi * deqf)
+                deq = deq.at[:, 0].set(
+                    tj._i16(dcf.astype(jnp.int32) * dcqf)
+                )
+                nat = jnp.zeros_like(deq).at[:, tj._ZZ].set(deq)
+                full = pk.soa_to_blocks(pk.idct8x8_soa(nat.T))
+                residual = jnp.where(
+                    dof[:, None, None],
+                    tj.dc_fill(dcf.astype(jnp.int32), dcqf),
+                    full,
+                )
+            else:
+                residual = tj.dequantize_idct(
+                    qzf.astype(jnp.int32), deqf, dcf.astype(jnp.int32),
+                    dcqf, dof,
+                )
         # MC as one-hot matmuls over per-fragment neighborhoods (MXU
         # path; see ops/mc_jax.py) instead of element gathers.
-        nb_p = mc.block_neighborhoods(prev_plane, nv, nh, pad_y, pad_x)
-        nb_g = mc.block_neighborhoods(gold_plane, nv, nh, pad_y, pad_x)
-        nb = jnp.where((rsf == 2)[:, None, None], nb_g, nb_p)
-        s1, s2 = mc.mc_select2(nb, y1, x1, y2, x2, pad_y, pad_x)
-        sel = jnp.where(u2[:, None, None], (s1 + s2) >> 1, s1)
-        pred = jnp.where((rsf == 0)[:, None, None], 128, sel)
+        with jax.named_scope("mc"):
+            nb_p = mc.block_neighborhoods(prev_plane, nv, nh, pad_y, pad_x)
+            nb_g = mc.block_neighborhoods(gold_plane, nv, nh, pad_y, pad_x)
+            nb = jnp.where((rsf == 2)[:, None, None], nb_g, nb_p)
+            s1, s2 = mc.mc_select2(nb, y1, x1, y2, x2, pad_y, pad_x)
+            sel = jnp.where(u2[:, None, None], (s1 + s2) >> 1, s1)
+            pred = jnp.where((rsf == 0)[:, None, None], 128, sel)
         blocks = jnp.clip(residual + pred, 0, 255).astype(jnp.uint8)
         plane = mc.blocks_to_plane(blocks, nv, nh, pad_y, pad_x)
-        plane = loop_filter_plane_jax(
-            plane, codedf, bvf, nv, nh, pad_y, pad_x
-        )
-        plane = fill_borders(plane, h, w, pad_y, pad_x)
+        with jax.named_scope("loopfilter"):
+            plane = loop_filter_plane_jax(
+                plane, codedf, bvf, nv, nh, pad_y, pad_x
+            )
+        with jax.named_scope("borders"):
+            plane = fill_borders(plane, h, w, pad_y, pad_x)
         gold_new = jnp.where(isintra, plane, gold_plane)
         # Downloads are picture-region-only; full padded planes live in
         # the carry.

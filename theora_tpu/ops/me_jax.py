@@ -347,13 +347,18 @@ def sad_intra_mb(cur):
 # ---------------------------------------------------------------------------
 
 def _plan_impl(cur, prev, gold):
-    mv, sad_mv, sad_nomv = _me_search_impl(cur, prev)
-    sad_gold = _box_mb(
-        jnp.abs(cur.astype(jnp.int32) - gold.astype(jnp.int32)), 16
-    )
-    sad_intra = _sad_intra_impl(cur)
-    cands = _top_cands_impl(mv)
-    cand_sads = _cand_sads_impl(cur, prev, cands)
+    # named_scope labels group profiler traces by ME stage
+    # (theora_tpu/debug.py).
+    with jax.named_scope("me_search"):
+        mv, sad_mv, sad_nomv = _me_search_impl(cur, prev)
+    with jax.named_scope("me_sads"):
+        sad_gold = _box_mb(
+            jnp.abs(cur.astype(jnp.int32) - gold.astype(jnp.int32)), 16
+        )
+        sad_intra = _sad_intra_impl(cur)
+    with jax.named_scope("me_cands"):
+        cands = _top_cands_impl(mv)
+        cand_sads = _cand_sads_impl(cur, prev, cands)
     return (
         mv.astype(jnp.int8),
         sad_mv.astype(jnp.uint16),
