@@ -224,11 +224,13 @@ def _scan_encode_plane(
 @functools.partial(__import__("jax").jit, static_argnames=("cap",))
 def _compact_qdct(qdct, cap):
     """Size-proportional coefficient download: flat-compact the nonzero
-    entries of qdct [F, N, 64] i16 into [cap, 3] u8 records -- 22 bits
-    each (zzi | (val & 0xffff) << 6) split little-endian over 3 bytes --
-    in flat (block-major, zzi-ascending) order.  cap is a static bucket
-    >= the true count; extra slots are 0.  ~13x less transfer than the
-    dense array at typical occupancy."""
+    entries of qdct [F, N, 64] i16 into two 1-D arrays of cap records --
+    22 bits each (zzi | (val & 0xffff) << 6) split as uint16 low halves
+    + uint8 high 6 bits -- in flat (block-major, zzi-ascending) order.
+    cap is a static bucket >= the true count; extra slots are 0.  Two
+    1-D arrays rather than one [cap, 3] stack: a 3-wide minor dim tiles
+    to the 128-lane TPU layout and the padded bytes ride the download.
+    ~13x less transfer than the dense array at typical occupancy."""
     import jax.numpy as jnp
 
     flat = qdct.reshape(-1).astype(jnp.int32)
@@ -240,9 +242,10 @@ def _compact_qdct(qdct, cap):
     )
     out = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(rec, mode="drop")
     out = out[:cap]
-    return jnp.stack(
-        [out & 0xFF, (out >> 8) & 0xFF, (out >> 16) & 0x3F], axis=-1
-    ).astype(jnp.uint8)
+    return (
+        (out & 0xFFFF).astype(jnp.uint16),
+        ((out >> 16) & 0x3F).astype(jnp.uint8),
+    )
 
 
 def _cap_bucket(total: int) -> int:
@@ -258,13 +261,13 @@ def _cap_bucket(total: int) -> int:
 
 
 def _expand_packed(packed, nnz):
-    """Rebuild dense qdct [F, N, 64] i16 from the 3-byte compacted
-    records (zzi | val<<6, block-major) and the per-block nonzero
-    counts."""
+    """Rebuild dense qdct [F, N, 64] i16 from the (uint16 low, uint8
+    high) compacted records (zzi | val<<6, block-major) and the
+    per-block nonzero counts."""
     F, N = nnz.shape
     total = int(nnz.astype(np.int64).sum())
-    rec = packed[:total].astype(np.int32)
-    rec = rec[:, 0] | (rec[:, 1] << 8) | (rec[:, 2] << 16)
+    lo, hi = packed
+    rec = lo[:total].astype(np.int32) | (hi[:total].astype(np.int32) << 16)
     vals = ((rec >> 6) & 0xFFFF).astype(np.uint16).view(np.int16)
     zzi = (rec & 63).astype(np.uint8)
     out = np.zeros((F * N, 64), np.int16)
@@ -664,7 +667,9 @@ class TpuGopEncoder:
                     qdct_pl[pli] = np.asarray(out[0])
                 else:
                     fresh = _compact_qdct(out[0], _cap_bucket(total))
-                    qdct_pl[pli] = _expand_packed(np.asarray(fresh), nnz)
+                    qdct_pl[pli] = _expand_packed(
+                        jax.device_get(fresh), nnz
+                    )
 
         pkts = self._pack_gop(F, plans, frame_frag, qdct_pl, coded_pl)
         return pkts, (recon_pl if want_recon else None)
