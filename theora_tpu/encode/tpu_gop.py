@@ -60,7 +60,7 @@ _MODE_OF = {
 
 
 def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
-                    frag_axis=None):
+                    frag_axis=None, use_trellis=False):
     """Build the closed-loop encode scan for one plane geometry.
 
     Returned fn(init_prev, init_gold, cur_blocks [F, N, 8, 8] u8,
@@ -68,6 +68,12 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
     deq_intra, deq_inter [64] i32, bv [256] i32, lam/lam_q_* f32)
     -> (qdct [F, N, 64] i16, coded [F, N] bool[, recon planes], final
     prev plane).
+
+    With use_trellis, four trailing args are appended -- nb_intra /
+    nb_inter [64, 32] f32 token bit costs and lam_t_intra / lam_t_inter
+    f32 -- and the R/D quantizer is replaced by the batched trellis
+    (ops/transforms_jax.trellis_values), the device counterpart of the
+    host Viterbi tokenizer.
 
     With frag_axis set (inside shard_map), N is this shard's fragment
     slice: the transform/quantize/skip work stays sharded and only the
@@ -89,7 +95,8 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
     def scan_fn(init_prev, init_gold,
                 cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip,
                 is_intra, deq_intra, deq_inter, bv, lam, lam_q_intra,
-                lam_q_inter):
+                lam_q_inter, nb_intra=None, nb_inter=None,
+                lam_t_intra=None, lam_t_inter=None):
         nl = cur_blocks.shape[1]
         if frag_axis is None:
             start = 0
@@ -129,11 +136,25 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
                 res = curi - pred
                 dct = tj.fdct8x8(res)
             deq = jnp.where((rsf == 0)[:, None], deq_intra, deq_inter)
-            lam_q = jnp.where(rsf == 0, lam_q_intra, lam_q_inter).astype(
-                jnp.float32
-            )
-            with jax.named_scope("quantize_rd"):
-                qdct = tj.quantize_rd(dct, deq, lam_q)
+            if use_trellis:
+                with jax.named_scope("trellis"):
+                    qdct0 = tj.quantize(dct, deq)
+                    acmin_v = jnp.where(rsf == 0, 3, 0)
+                    nb_use = jnp.where(ik, nb_intra, nb_inter)
+                    lam_t = jnp.where(ik, lam_t_intra, lam_t_inter)
+                    qdct = tj.trellis_values(
+                        dct, qdct0, deq,
+                        jnp.broadcast_to(
+                            lam_t.astype(jnp.float32), (nl,)
+                        ),
+                        nb_use, acmin_v,
+                    )
+            else:
+                lam_q = jnp.where(
+                    rsf == 0, lam_q_intra, lam_q_inter
+                ).astype(jnp.float32)
+                with jax.named_scope("quantize_rd"):
+                    qdct = tj.quantize_rd(dct, deq, lam_q)
             with jax.named_scope("idct_recon"):
                 dc_only = (qdct[:, 1:] == 0).all(axis=-1)
                 residual = tj.dequantize_idct(
@@ -188,32 +209,46 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("nv", "nh", "pad_y", "pad_x", "emit_recon"),
+    static_argnames=("nv", "nh", "pad_y", "pad_x", "emit_recon",
+                     "use_trellis"),
 )
 def _scan_encode_plane(
-    init_prev, init_gold,
     cur_planes, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
     deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
-    nv, nh, pad_y, pad_x, emit_recon=False,
+    nb_intra, nb_inter, lam_t_intra, lam_t_inter,
+    nv, nh, pad_y, pad_x, emit_recon=False, use_trellis=False,
 ):
     """Single-device jitted wrapper over make_plane_scan.
 
     cur_planes: [F, nv*8, nh*8] u8 raw planes -- the block view is
     derived on device so each frame's pixels cross the host<->device
     link exactly once (the luma array is the same buffer the fused ME
-    plan dispatch consumed)."""
+    plan dispatch consumed).  The gray initial reference planes are
+    materialized on device here (every GOP restarts from a keyframe), so
+    they never ride the upload -- and passing one buffer object for two
+    parameters is avoided, which this jax version's executable fastpath
+    mishandles when the trace also hoists large constants."""
     import jax.numpy as jnp
 
+    init_prev = jnp.full(
+        (nv * 8 + 2 * pad_y, nh * 8 + 2 * pad_x), 0x80, jnp.uint8
+    )
+    init_gold = init_prev
     F = cur_planes.shape[0]
     cur_blocks = (
         cur_planes.reshape(F, nv, 8, nh, 8)
         .transpose(0, 1, 3, 2, 4)
         .reshape(F, nv * nh, 8, 8)
     )
-    out = make_plane_scan(nv, nh, pad_y, pad_x, emit_recon)(
+    extra = (
+        (nb_intra, nb_inter, lam_t_intra, lam_t_inter)
+        if use_trellis else ()
+    )
+    out = make_plane_scan(nv, nh, pad_y, pad_x, emit_recon,
+                          use_trellis=use_trellis)(
         init_prev, init_gold,
         cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
-        deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
+        deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter, *extra,
     )
     # Per-block nonzero counts ride along so the host can size the
     # sparse coefficient download without an extra dispatch.
@@ -288,13 +323,16 @@ class TpuGopEncoder:
     """
 
     def __init__(self, info: TheoraInfo, qi: int | None = None,
-                 rd_strength: float = 3.0):
+                 rd_strength: float = 3.0, use_trellis: bool = True):
         info.validate()
         self.info = info
         self.enc = Encoder(info)
         self.enc.use_trellis = False
         self.g = self.enc.geometry
         self.rd_strength = rd_strength
+        # Batched device trellis (ops/transforms_jax.trellis_values)
+        # replacing the heuristic R/D quantizer in the plane scans.
+        self.use_trellis = bool(use_trellis)
         # Predicted sparse-download capacities per (plane, GOP length),
         # carried across GOPs so compaction can be enqueued eagerly.
         self._cap_est: dict = {}
@@ -303,6 +341,20 @@ class TpuGopEncoder:
         frag0 = g.mb_maps[self._mb_list, 0, 0]
         self._mb_row = g.frag_y[frag0] // 2
         self._mb_col = g.frag_x[frag0] // 2
+        # Trellis token bit costs [64, 32]: Huffman code length + extra
+        # bits at the initial table prediction (encoder.py _trellis_nb;
+        # the host packer still selects the frame's tables exactly).
+        from theora_tpu.constants import DCT_TOKEN_EXTRA_BITS
+        from theora_tpu.encode.encoder import _ZZI_GROUP
+
+        nbt = np.zeros((5, 32), np.float32)
+        for gi in range(5):
+            for t in range(32):
+                nbt[gi, t] = (
+                    self.enc.huff_codes[gi << 4][t][1]
+                    + DCT_TOKEN_EXTRA_BITS[t]
+                )
+        self._nb_dev = nbt[_ZZI_GROUP]
         self.set_qi(int(info.quality if qi is None else qi))
 
     # ------------------------------------------------------------------
@@ -327,6 +379,13 @@ class TpuGopEncoder:
             rd_lambda(self.qi, int(dq[self.qi, 0, 1, 1]))
             * self.rd_strength * 4.0
         )
+        from theora_tpu import tables as _tables
+
+        rdl = _tables.RD_LAMBDA.get(
+            int(self.info.pixel_fmt), _tables.RD_LAMBDA[0]
+        )
+        # DCT-domain trellis lambdas per frame type (host tier units).
+        self._lam_t = (float(rdl[0][self.qi]), float(rdl[1][self.qi]))
         flimit = self.enc.qinfo["loop_filter_limits"][self.qi]
         from theora_tpu.ops.loopfilter_np import build_bounding_values
 
@@ -593,10 +652,6 @@ class TpuGopEncoder:
             is_intra = jnp.asarray(
                 np.array([f == 0 for f in range(F)], bool)
             )
-            init = jnp.full(
-                (pl.nvfrags * 8 + 2 * vpad, pl.nhfrags * 8 + 2 * hpad),
-                0x80, jnp.uint8,
-            )
             dq = self.enc.dequant
             from theora_tpu.ops.fdct_np import rd_lambda
 
@@ -607,15 +662,16 @@ class TpuGopEncoder:
                 self.qi, int(dq[self.qi, pli, 1, 1])
             ) * self.rd_strength
             out = _scan_encode_plane(
-                init, init,
                 cur_pl, arrs["rs"], arrs["o1y"], arrs["o1x"],
                 arrs["o2y"], arrs["o2x"], arrs["u2"], arrs["ms"], is_intra,
                 jnp.asarray(dq[self.qi, pli, 0].astype(np.int32)),
                 jnp.asarray(dq[self.qi, pli, 1].astype(np.int32)),
                 jnp.asarray(self._bv), jnp.float32(self._lam),
                 jnp.float32(lam_qi), jnp.float32(lam_qp),
+                jnp.asarray(self._nb_dev), jnp.asarray(self._nb_dev),
+                jnp.float32(self._lam_t[0]), jnp.float32(self._lam_t[1]),
                 pl.nvfrags, pl.nhfrags, vpad, hpad,
-                emit_recon=want_recon,
+                emit_recon=want_recon, use_trellis=self.use_trellis,
             )
             cap = self._cap_est.get((pli, F), 0)
             packed = _compact_qdct(out[0], cap) if cap else None

@@ -240,6 +240,245 @@ def quantize_rd(dct_zz, dequant_zz, lam):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Batched trellis quantizer: the device counterpart of the host Viterbi
+# tokenizer (encode/tokenize.py trellis_plan, a re-derivation of
+# tokenize.c:457-744).  Key TPU reformulation: the reference's DP walks
+# sparse linked node chains per block; here the run transitions are DENSE
+# -- every position considers all 64 run ends at once, with masked costs
+# -- so the whole frame's blocks advance through one 63-step lax.scan of
+# elementwise [N, 64] work.  Only the chosen quantized VALUES leave the
+# DP (the host re-derives the token structure greedily from values, which
+# matches the DP's structural choices except on pathological Huffman
+# costs), so the result plugs into the closed loop and the existing
+# sparse download unchanged.  Dense run transitions may zero |q|>=2
+# coefficients (the reference's chains only pass |q|<=1) -- a superset of
+# its moves, charging the exact c^2 distortion, so plans are never worse.
+# Costs are float32 (deterministic elementwise IEEE ops -> identical
+# decisions across backends and mesh shardings at fixed shapes).
+
+# Plain Python float: a module-level jnp scalar would be a concrete
+# device array on the import-time default backend and get hoisted into
+# every consuming executable as a hidden parameter (see the numpy-only
+# note above _ZZ).
+_BIG = 1e30
+
+
+def _value_token_id(mag, neg):
+    """Token id of a lone coefficient of magnitude mag (>=1); sign picks
+    9/10 and 11/12 (tokenize.c:52-232 category layout)."""
+    t = jnp.where(mag <= 2, 9 + (mag - 1) * 2 + neg, 0)
+    t = jnp.where((mag >= 3) & (mag <= 6), 10 + mag, t)
+    t = jnp.where((mag >= 7) & (mag <= 8), 17, t)
+    t = jnp.where((mag >= 9) & (mag <= 12), 18, t)
+    t = jnp.where((mag >= 13) & (mag <= 20), 19, t)
+    t = jnp.where((mag >= 21) & (mag <= 36), 20, t)
+    t = jnp.where((mag >= 37) & (mag <= 68), 21, t)
+    return jnp.where(mag >= 69, 22, t)
+
+
+def _alt_mag(mag):
+    """Top of the next-lower value-token category: the largest magnitude
+    with a strictly cheaper token (tokenize.py _ALT_QC)."""
+    alt = jnp.where(mag <= 6, mag - 1, 0)
+    alt = jnp.where((mag >= 7) & (mag <= 8), 6, alt)
+    alt = jnp.where((mag >= 9) & (mag <= 12), 8, alt)
+    alt = jnp.where((mag >= 13) & (mag <= 20), 12, alt)
+    alt = jnp.where((mag >= 21) & (mag <= 36), 20, alt)
+    alt = jnp.where((mag >= 37) & (mag <= 68), 36, alt)
+    return jnp.where(mag >= 69, 68, alt)
+
+
+def _nb_at(nb_t, tok):
+    """nb_t [32] f32 bit costs; tok [N] int32 -> [N] f32 (one-hot matmul
+    instead of a gather -- the table is tiny and gathers are slow)."""
+    return (
+        (jnp.arange(32)[None, :] == tok[:, None]) * nb_t[None, :]
+    ).sum(axis=1)
+
+
+def trellis_values(dct_zz, qdct_rtn, dequant_zz, lam, nb_full, acmin):
+    """Jointly choose quantized values minimizing d^2 + lam*bits over the
+    block's token structure (runs, combos, EOB placement).
+
+    dct_zz:    [N, 64] int32 unquantized zig-zag coefficients.
+    qdct_rtn:  [N, 64] int32 round-to-nearest quantization (the DP's
+               candidate magnitudes, as in the reference).
+    dequant_zz:[N, 64] int32.
+    lam:       [N] f32 DCT-domain lambda (tables.RD_LAMBDA units).
+    nb_full:   [64, 32] f32 bits per (stream position, token): Huffman
+               code length + extra bits (encoder.py _trellis_nb expanded
+               over positions).
+    acmin:     [N] int32 -- positions below it code at lam=0
+               (rate-free), the reference's intra low-frequency guard.
+    Returns [N, 64] int32 chosen values (DC passed through).
+    """
+    import jax
+
+    N = dct_zz.shape[0]
+    cf = dct_zz.astype(jnp.float32)
+    df = dequant_zz.astype(jnp.float32)
+    q = qdct_rtn
+    jcols = jnp.arange(64)
+    # Zero-cost contribution per position: zeroing a coefficient costs
+    # its full c^2 IF round-to-nearest would have coded it; already-zero
+    # positions cost nothing on any path (constant, dropped).
+    z = jnp.where(q != 0, cf * cf, 0.0)
+    P = jnp.concatenate(
+        [jnp.zeros((N, 1), jnp.float32), jnp.cumsum(z, axis=1)], axis=1
+    )  # [N, 65]; D2(i, j) = P[:, j] - P[:, i]
+    aj = jnp.abs(q)
+    sj = jnp.where(q < 0, -1, 1)
+    # Combo-at-j constants (independent of the run start i):
+    e1j = cf - sj.astype(jnp.float32) * df          # code q[j] as +-1
+    m23 = jnp.where(aj > 2, 3, 2)
+    cv23 = sj * m23
+    e23j = cf - cv23.astype(jnp.float32) * df       # code q[j] as +-2/3
+
+    def col(A, i):
+        return jax.lax.dynamic_slice_in_dim(A, i, 1, axis=1)[:, 0]
+
+    def dp_step(carry, xs):
+        cost0, cost1, qc1, zzj0, end0, cv0 = carry
+        i, nb_t = xs
+        c = col(cf, i)
+        dqv = col(df, i)
+        qi_ = col(q, i)
+        # Below acmin only VALUE decisions go rate-free (the intra
+        # low-frequency guard); structural run/EOB tokens keep their
+        # rate cost, as the reference does until its lam mutation
+        # triggers (tokenize.c lam=0 sites are in the value branches).
+        lam_v = jnp.where(i < acmin, 0.0, lam)
+        lam_i = lam
+        # ---- node1: coded nonzero at i -------------------------------
+        a = jnp.minimum(jnp.abs(qi_), 580)
+        neg = (qi_ < 0).astype(jnp.int32)
+        sgn = jnp.where(qi_ < 0, -1, 1)
+        bitsA = _nb_at(nb_t, _value_token_id(jnp.maximum(a, 1), neg))
+        altm = _alt_mag(a)
+        bitsB = _nb_at(nb_t, _value_token_id(jnp.maximum(altm, 1), neg))
+        nexti = (i + 1) & 63
+        bn_next = jnp.minimum(col(cost0, nexti), col(cost1, nexti))
+        eA = (a * sgn).astype(jnp.float32) * dqv - c
+        eB = (altm * sgn).astype(jnp.float32) * dqv - c
+        cA = eA * eA + lam_v * bitsA + bn_next
+        cB = eB * eB + lam_v * bitsB + bn_next
+        useB = (altm >= 1) & (cB < cA)
+        c1 = jnp.where(useB, cB, cA)
+        v1 = jnp.where(useB, altm * sgn, a * sgn)
+        has1 = a >= 1
+        c1 = jnp.where(has1, c1, _BIG)
+        v1 = jnp.where(has1, v1, 0)
+        # ---- node0: zero run starting at i, all 64 ends at once ------
+        maskj = (jcols > i)[None, :]
+        P_i = col(P, i)
+        D2 = P[:, :64] - P_i[:, None]
+        r = jcols - i
+        lamc = lam_i[:, None]
+        # (a) pure run, zero written at j-1, node1 value at j
+        zb = jnp.where(r <= 8, nb_t[7], nb_t[8])
+        costa = jnp.where(maskj, D2 + lamc * zb[None, :] + cost1, _BIG)
+        bn_nextj = jnp.roll(jnp.minimum(cost0, cost1), -1, axis=1)
+        # At i==1 keep one slot of run headroom: a zero DC extends the
+        # block's leading run by one at emission (tokenize.py
+        # emit_trellis; the reference's dc_reserve).
+        dc_allow = jnp.where(i == 1, 0, 1)
+        # (b1) run + value +-1 combo
+        cb1 = _BIG + jnp.zeros((64,), jnp.float32)
+        for rr, ti in ((1, 23), (2, 24), (3, 25), (4, 26), (5, 27)):
+            cb1 = jnp.where(r == rr, nb_t[ti], cb1)
+        cb1 = jnp.where((r >= 6) & (r <= 9), nb_t[28], cb1)
+        cb1 = jnp.where(r >= 10, nb_t[29], cb1)
+        v1m = maskj & (aj >= 1) & (aj <= 2) & (
+            r[None, :] <= 16 + dc_allow
+        )
+        cost_b1 = jnp.where(
+            v1m, e1j * e1j + D2 + lamc * cb1[None, :] + bn_nextj, _BIG
+        )
+        # (b2) run + value +-2/3 combo
+        cb23 = jnp.where(r == 1, nb_t[30], nb_t[31])
+        v2m = maskj & (aj >= 2) & (aj <= 4) & (
+            r[None, :] <= 2 + dc_allow
+        )
+        cost_b23 = jnp.where(
+            v2m, e23j * e23j + D2 + lamc * cb23[None, :] + bn_nextj, _BIG
+        )
+        # (c) EOB: the run covers everything left in the block
+        cost_c = (P[:, 64] - P_i) + lam_i * nb_t[0]
+        m_b = jnp.minimum(cost_b1, cost_b23)
+        m_j = jnp.minimum(costa, m_b)
+        jbest = jnp.argmin(m_j, axis=1)
+        cbest = jnp.min(m_j, axis=1)
+        oh = jcols[None, :] == jbest[:, None]
+        typ_j = jnp.where(
+            costa <= m_b, 1, jnp.where(cost_b1 <= cost_b23, 2, 3)
+        )
+        typ_at = (jnp.where(oh, typ_j, 0)).sum(axis=1)
+        cv_j = jnp.where(typ_j == 3, cv23, sj)
+        cv_at = (jnp.where(oh, cv_j, 0)).sum(axis=1)
+        use_eob = cost_c <= cbest
+        c0 = jnp.where(use_eob, cost_c, cbest)
+        e0 = jnp.where(use_eob, 0, typ_at)
+        # ---- write column i ------------------------------------------
+        def upd(A, v):
+            return jax.lax.dynamic_update_slice_in_dim(
+                A, v[:, None].astype(A.dtype), i, axis=1
+            )
+
+        return (
+            upd(cost0, c0), upd(cost1, c1), upd(qc1, v1),
+            upd(zzj0, jbest), upd(end0, e0), upd(cv0, cv_at),
+        ), None
+
+    idx = jnp.arange(63, 0, -1)
+    carry0 = (
+        jnp.full((N, 64), _BIG).at[:, 0].set(0.0),   # col 0 = end sentinel
+        jnp.full((N, 64), _BIG),
+        jnp.zeros((N, 64), jnp.int32),
+        jnp.zeros((N, 64), jnp.int32),
+        jnp.zeros((N, 64), jnp.int32),
+        jnp.zeros((N, 64), jnp.int32),
+    )
+    (cost0, cost1, qc1, zzj0, end0, cv0), _ = jax.lax.scan(
+        dp_step, carry0, (idx, nb_full[idx])
+    )
+
+    # ---- backtrack: walk each block's winning path, writing values ----
+    best1 = cost1 < cost0                            # col 0: False
+    out0 = jnp.zeros((N, 64), jnp.int32)
+    pos0 = jnp.ones((N,), jnp.int32)
+    node0_ = best1[:, 1].astype(jnp.int32)
+
+    def bt_step(_, st):
+        out, pos, node = st
+        oh = jcols[None, :] == pos[:, None]
+        active = pos > 0
+
+        def rd(A):
+            return (jnp.where(oh, A, 0)).sum(axis=1)
+
+        v1r, jr, er, cvr = rd(qc1), rd(zzj0), rd(end0), rd(cv0)
+        is1 = node == 1
+        ohj = jcols[None, :] == jr[:, None]
+        v_at_j = (jnp.where(ohj, qc1, 0)).sum(axis=1)
+        wpos = jnp.where(is1, pos, jr)
+        wval = jnp.where(is1, v1r, jnp.where(er == 1, v_at_j, cvr))
+        do_write = active & (is1 | (er != 0))
+        ohw = (jcols[None, :] == wpos[:, None]) & do_write[:, None]
+        out = jnp.where(ohw, wval[:, None], out)
+        nxt = (jnp.where(is1, pos, jr) + 1) & 63
+        done = (~is1) & (er == 0)
+        npos = jnp.where(active & ~done, nxt, 0)
+        nnode = (
+            (jnp.where(jcols[None, :] == npos[:, None], best1, False))
+            .sum(axis=1).astype(jnp.int32)
+        )
+        return out, npos, nnode
+
+    out, _, _ = jax.lax.fori_loop(0, 64, bt_step, (out0, pos0, node0_))
+    return out.at[:, 0].set(q[:, 0])
+
+
 def dequantize_idct(coeffs_zz, dequant_zz, dc, dc_quant, dc_only):
     """Full reconstruction of residual blocks on TPU.
 

@@ -85,7 +85,7 @@ class MeshGopEncoder:
 
     # ------------------------------------------------------------------
     def _sharded_scan(self, pli):
-        key = pli
+        key = (pli, self.base.use_trellis)
         fn = self._scan_cache.get(key)
         if fn is not None:
             return fn
@@ -94,15 +94,20 @@ class MeshGopEncoder:
         g = self.g
         pl = g.planes[pli]
         vpad, hpad = g.plane_padding(pli)
+        use_trellis = self.base.use_trellis
         scan = make_plane_scan(
-            pl.nvfrags, pl.nhfrags, vpad, hpad, frag_axis="frag"
+            pl.nvfrags, pl.nhfrags, vpad, hpad, frag_axis="frag",
+            use_trellis=use_trellis,
         )
 
         def local(init_prev, init_gold, cur, rs, o1y, o1x, o2y, o2x, u2,
-                  ms, ik, deqi, deqp, bv, lam, lqi, lqp):
+                  ms, ik, deqi, deqp, bv, lam, lqi, lqp, nbi, nbp, lti,
+                  ltp):
+            extra = (nbi, nbp, lti, ltp) if use_trellis else ()
+
             def one_gop(ip, ig, c, r, a, b_, cc, dd, u, m, k):
                 return scan(ip, ig, c, r, a, b_, cc, dd, u, m, k,
-                            deqi, deqp, bv, lam, lqi, lqp)
+                            deqi, deqp, bv, lam, lqi, lqp, *extra)
 
             return jax.vmap(one_gop)(
                 init_prev, init_gold, cur, rs, o1y, o1x, o2y, o2x, u2,
@@ -119,6 +124,7 @@ class MeshGopEncoder:
                 gfp, gfp, gfp, gfp, gfp, gfp, gfp,
                 P("gop", None),
                 P(), P(), P(), P(), P(), P(),
+                P(), P(), P(), P(),
             ),
             out_specs=(
                 P("gop", None, "frag", None),
@@ -229,6 +235,8 @@ class MeshGopEncoder:
                 jnp.asarray(dq[base.qi, pli, 1].astype(np.int32)),
                 jnp.asarray(base._bv), jnp.float32(base._lam),
                 jnp.float32(lam_qi), jnp.float32(lam_qp),
+                jnp.asarray(base._nb_dev), jnp.asarray(base._nb_dev),
+                jnp.float32(base._lam_t[0]), jnp.float32(base._lam_t[1]),
             )
             qdct_pl[pli] = np.asarray(qdct)[:, :, :n]
             coded_pl[pli] = np.asarray(coded)[:, :, :n]
