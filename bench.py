@@ -146,16 +146,16 @@ def bench_device_e2e(frames):
 
 def bench_device_pipeline_compute(frames):
     """Device-resident pipeline compute: fused ME plan + the three
-    closed-loop plane scans with inputs already on device -- the number
-    that governs throughput on a production-attached TPU, where PCIe/ICI
-    moves the pixels ~3 orders of magnitude faster than this
-    environment's development tunnel.  Conservative: scan time is
-    measured dispatch-to-ready, which still includes any not-yet-flushed
-    metadata uploads."""
+    closed-loop plane scans (with the batched trellis) with ALL inputs
+    already on device -- the number that governs throughput on a
+    production-attached TPU, where PCIe/ICI moves the pixels ~3 orders
+    of magnitude faster than this environment's development tunnel.
+    Measured over reps pipelined dispatches fenced by one 1-element
+    readback (block_until_ready is unreliable here, see ROUND_NOTES)."""
     import jax
     import jax.numpy as jnp
 
-    from theora_tpu.encode.tpu_gop import TpuGopEncoder
+    from theora_tpu.encode.tpu_gop import TpuGopEncoder, _scan_encode_plane
     from theora_tpu.info import TheoraInfo
     from theora_tpu.ops import me_jax
 
@@ -165,31 +165,69 @@ def bench_device_pipeline_compute(frames):
         quality=QUALITY, keyframe_granule_shift=6,
     )
     enc = TpuGopEncoder(info, qi=QUALITY)
-    fr = [[f[0], f[1], f[2]] for f in frames[:KF_FREQ]]
-    enc.encode_gop(fr)
-    enc.encode_gop(fr)  # second pass warms the compaction cap shapes
+    g = enc.g
+    F = KF_FREQ
+    dq = enc.enc.dequant
+    from theora_tpu.ops.fdct_np import rd_lambda
 
-    def sync():
-        np.asarray(jnp.zeros((1,), jnp.uint8))
+    # Device-resident inputs per plane (synthetic motion metadata; the
+    # scans' cost is shape-dependent, not data-dependent).
+    plane_args = []
+    for pli in range(3):
+        pl = g.planes[pli]
+        vpad, hpad = g.plane_padding(pli)
+        n = pl.nfrags
+        hh, ww = pl.nvfrags * 8, pl.nhfrags * 8
+        cur = jnp.asarray(np.stack([
+            np.asarray(frames[f][0] if pli == 0 else frames[f][pli])[
+                ::-1
+            ][:hh, :ww].astype(np.uint8)
+            for f in range(F)
+        ]))
+        z8 = jnp.zeros((F, n), jnp.int8)
+        ones = jnp.ones((F, n), jnp.int8)
+        rs = jnp.where(jnp.arange(F)[:, None] == 0, 0, ones)
+        u2 = jnp.zeros((F, n), bool)
+        ms = jnp.asarray(
+            np.broadcast_to(np.arange(F)[:, None] != 0, (F, n)).copy()
+        )
+        ik = jnp.asarray(np.arange(F) == 0)
+        lam_qi = rd_lambda(enc.qi, int(dq[enc.qi, pli, 0, 1])) * 3.0
+        lam_qp = rd_lambda(enc.qi, int(dq[enc.qi, pli, 1, 1])) * 3.0
+        plane_args.append((
+            cur, rs, z8, z8, z8, z8, u2, ms, ik,
+            jnp.asarray(dq[enc.qi, pli, 0].astype(np.int32)),
+            jnp.asarray(dq[enc.qi, pli, 1].astype(np.int32)),
+            jnp.asarray(enc._bv), jnp.float32(enc._lam),
+            jnp.float32(lam_qi), jnp.float32(lam_qp),
+            jnp.asarray(enc._nb_dev), jnp.asarray(enc._nb_dev),
+            jnp.float32(enc._lam_t[0]), jnp.float32(enc._lam_t[1]),
+            pl.nvfrags, pl.nhfrags, vpad, hpad,
+        ))
+    ys_d = plane_args[0][0]
 
-    planes_bs = [[p[::-1].astype(np.uint8) for p in f] for f in fr]
-    ys_d = jnp.asarray(np.stack([f[0] for f in planes_bs]))
-    sync()
-    reps = 4
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    def one_pass():
         outs = me_jax.plan_from_gop(ys_d)
-    import jax as _j
+        scans = [
+            _scan_encode_plane(*args, use_trellis=enc.use_trellis)
+            for args in plane_args
+        ]
+        return outs, scans
 
-    _j.device_get([o[:1] for o in outs])
-    t_me = (time.perf_counter() - t0) / reps
+    def fence(outs, scans):
+        jax.device_get(
+            [o[:1] for o in outs] + [s[0][:1, :1, :1] for s in scans]
+        )
 
-    st = enc.dispatch_gop(fr)
+    fence(*one_pass())  # compile + warm
+    reps = 6
     t0 = time.perf_counter()
-    _j.device_get([st[3][pli][0][1][:1, :1] for pli in range(3)])
-    t_scan = time.perf_counter() - t0
-    mpix = KF_FREQ * (W * H + 2 * (W // 2) * (H // 2)) / 1e6
-    return mpix / (t_me + t_scan)
+    for _ in range(reps - 1):
+        one_pass()
+    fence(*one_pass())
+    dt = (time.perf_counter() - t0) / reps
+    mpix = F * (W * H + 2 * (W // 2) * (H // 2)) / 1e6
+    return mpix / dt
 
 
 def bench_host_encode(frames):

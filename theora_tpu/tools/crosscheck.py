@@ -8,7 +8,12 @@ adaptive quant; every stream must decode in the reference decoder
 Reverse direction (--reverse): the REFERENCE encoder across random
 configs; our decoder must match the reference decoder bit-for-bit.
 
-Usage: python -m theora_tpu.tools.crosscheck [--reverse] [trials] [seed]
+Device direction (--device): the DEVICE-TIER encoder (TpuGopEncoder,
+with and without the batched trellis) across random configs; same
+double-decode byte-identity requirement.
+
+Usage: python -m theora_tpu.tools.crosscheck [--reverse|--device]
+       [trials] [seed]
 """
 from __future__ import annotations
 
@@ -159,22 +164,77 @@ def run_reverse_trial(rng, trial, tmp="/tmp/crosscheck_r"):
     return desc, None
 
 
+def run_device_trial(rng, trial, tmp="/tmp/crosscheck_d"):
+    """Device-tier encoder -> both decoders must agree byte-for-byte."""
+    from theora_tpu.encode.tpu_gop import TpuGopEncoder
+
+    fw = int(rng.choice([32, 48, 64, 80, 96]))
+    fh = int(rng.choice([32, 48, 64, 80]))
+    fmt = int(rng.choice([0, 2, 3]))
+    qi = int(rng.randint(0, 64))
+    kf = int(rng.choice([1, 2, 4, 8]))
+    nfr = int(rng.randint(2, 7))
+    trellis = bool(rng.randint(0, 2))
+    desc = (f"DEV {fw}x{fh} fmt{fmt} qi{qi} kf{kf} "
+            f"{'trellis' if trellis else 'rdquant'}")
+    info = TheoraInfo(
+        frame_width=fw, frame_height=fh, pic_width=fw, pic_height=fh,
+        fps_numerator=30, fps_denominator=1, quality=qi,
+        keyframe_granule_shift=6, pixel_fmt=fmt,
+    )
+    enc = TpuGopEncoder(info, qi=qi, use_trellis=trellis)
+    pkts = enc.encode_clip(
+        synth(rng, fw, fh, nfr, fmt, trial % 3), keyframe_freq=kf
+    )
+    write_tpkt(tmp + ".tpkt", pkts)
+    pp = int(rng.choice([0, 0, 0, 2, 7]))
+    cmd = [REF_DEC, tmp + ".tpkt", tmp + ".yuv"]
+    if pp:
+        cmd.append(str(pp))
+        desc += f" pp{pp}"
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=60)
+    if "decoded" not in (r.stdout + r.stderr):
+        return desc, "reference decoder rejected the stream"
+    dec = Decoder(parse_info_header(pkts[0].data),
+                  parse_setup_header(pkts[2].data))
+    if pp:
+        dec.set_pplevel(pp)
+    mine = []
+    for p in pkts[3:]:
+        dec.decode_packet(p.data)
+        mine.append(
+            np.concatenate([x.reshape(-1) for x in dec.ycbcr_out()])
+        )
+    ref = np.fromfile(tmp + ".yuv", np.uint8)
+    mine_all = np.concatenate(mine)
+    if len(ref) != len(mine_all):
+        return desc, f"length {len(ref)} vs {len(mine_all)}"
+    if not np.array_equal(ref, mine_all):
+        return desc, f"bytes differ at {int(np.argmax(ref != mine_all))}"
+    return desc, None
+
+
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     reverse = "--reverse" in argv
+    device = "--device" in argv
     if reverse:
         argv.remove("--reverse")
+    if device:
+        argv.remove("--device")
     trials = int(argv[0]) if argv else 40
     seed = int(argv[1]) if len(argv) > 1 else 42
     rng = np.random.RandomState(seed)
     fails = 0
-    fn = run_reverse_trial if reverse else run_trial
+    fn = (run_reverse_trial if reverse
+          else run_device_trial if device else run_trial)
     for t in range(trials):
         desc, err = fn(rng, t)
         if err:
             fails += 1
             print(f"FAIL {desc}: {err}")
-    which = ("reference encodes" if reverse else "our encodes")
+    which = ("reference encodes" if reverse
+             else "device-tier encodes" if device else "our encodes")
     print(f"{trials - fails}/{trials} trials bit-identical "
           f"(reference decoder vs ours, on {which})")
     return 1 if fails else 0
