@@ -338,8 +338,18 @@ def trellis_values(dct_zz, qdct_rtn, dequant_zz, lam, nb_full, acmin):
     def col(A, i):
         return jax.lax.dynamic_slice_in_dim(A, i, 1, axis=1)[:, 0]
 
+    # Decision word per position (one int32 instead of four arrays --
+    # less scan-carry traffic and a 1-reduction backtrack):
+    #   bits  0..10  node1 value + 1024
+    #   bit   11     node1 successor node (best1 at i+1)
+    #   bits 12..13  node0 ending: 0 EOB, 1 run+value, 2 combo +-1,
+    #                3 combo +-2/3
+    #   bits 14..19  node0 run end position zzj
+    #   bits 20..30  node0 combo value + 1024
+    #   (node0's successor bit is recomputed cheaply at backtrack time
+    #    from the packed word at zzj)
     def dp_step(carry, xs):
-        cost0, cost1, qc1, zzj0, end0, cv0 = carry
+        cost0, cost1, dec = carry
         i, nb_t = xs
         c = col(cf, i)
         dqv = col(df, i)
@@ -358,7 +368,10 @@ def trellis_values(dct_zz, qdct_rtn, dequant_zz, lam, nb_full, acmin):
         altm = _alt_mag(a)
         bitsB = _nb_at(nb_t, _value_token_id(jnp.maximum(altm, 1), neg))
         nexti = (i + 1) & 63
-        bn_next = jnp.minimum(col(cost0, nexti), col(cost1, nexti))
+        c0n = col(cost0, nexti)
+        c1n = col(cost1, nexti)
+        bn_next = jnp.minimum(c0n, c1n)
+        next1 = (c1n < c0n).astype(jnp.int32)
         eA = (a * sgn).astype(jnp.float32) * dqv - c
         eB = (altm * sgn).astype(jnp.float32) * dqv - c
         cA = eA * eA + lam_v * bitsA + bn_next
@@ -419,63 +432,66 @@ def trellis_values(dct_zz, qdct_rtn, dequant_zz, lam, nb_full, acmin):
         use_eob = cost_c <= cbest
         c0 = jnp.where(use_eob, cost_c, cbest)
         e0 = jnp.where(use_eob, 0, typ_at)
+        word = (
+            (v1 + 1024)
+            | (next1 << 11)
+            | (e0 << 12)
+            | (jnp.where(use_eob, 0, jbest) << 14)
+            | ((cv_at + 1024) << 20)
+        )
         # ---- write column i ------------------------------------------
         def upd(A, v):
             return jax.lax.dynamic_update_slice_in_dim(
                 A, v[:, None].astype(A.dtype), i, axis=1
             )
 
-        return (
-            upd(cost0, c0), upd(cost1, c1), upd(qc1, v1),
-            upd(zzj0, jbest), upd(end0, e0), upd(cv0, cv_at),
-        ), None
+        return (upd(cost0, c0), upd(cost1, c1), upd(dec, word)), None
 
     idx = jnp.arange(63, 0, -1)
     carry0 = (
         jnp.full((N, 64), _BIG).at[:, 0].set(0.0),   # col 0 = end sentinel
         jnp.full((N, 64), _BIG),
         jnp.zeros((N, 64), jnp.int32),
-        jnp.zeros((N, 64), jnp.int32),
-        jnp.zeros((N, 64), jnp.int32),
-        jnp.zeros((N, 64), jnp.int32),
     )
-    (cost0, cost1, qc1, zzj0, end0, cv0), _ = jax.lax.scan(
-        dp_step, carry0, (idx, nb_full[idx])
+    (cost0, cost1, dec), _ = jax.lax.scan(
+        dp_step, carry0, (idx, nb_full[idx]), unroll=4
     )
 
     # ---- backtrack: walk each block's winning path, writing values ----
-    best1 = cost1 < cost0                            # col 0: False
     out0 = jnp.zeros((N, 64), jnp.int32)
     pos0 = jnp.ones((N,), jnp.int32)
-    node0_ = best1[:, 1].astype(jnp.int32)
+    node0_ = (cost1[:, 1] < cost0[:, 1]).astype(jnp.int32)
 
     def bt_step(_, st):
         out, pos, node = st
         oh = jcols[None, :] == pos[:, None]
         active = pos > 0
-
-        def rd(A):
-            return (jnp.where(oh, A, 0)).sum(axis=1)
-
-        v1r, jr, er, cvr = rd(qc1), rd(zzj0), rd(end0), rd(cv0)
+        w = (jnp.where(oh, dec, 0)).sum(axis=1)
+        v1r = (w & 0x7FF) - 1024
+        er = (w >> 12) & 3
+        jr = (w >> 14) & 63
+        cvr = ((w >> 20) & 0x7FF) - 1024
         is1 = node == 1
         ohj = jcols[None, :] == jr[:, None]
-        v_at_j = (jnp.where(ohj, qc1, 0)).sum(axis=1)
+        wj = (jnp.where(ohj, dec, 0)).sum(axis=1)
+        v_at_j = (wj & 0x7FF) - 1024
+        # The successor of any node0 ending at jr is node1-at-jr's
+        # successor: best1 at jr+1, stored as bit 11 of the word at jr.
         wpos = jnp.where(is1, pos, jr)
         wval = jnp.where(is1, v1r, jnp.where(er == 1, v_at_j, cvr))
         do_write = active & (is1 | (er != 0))
         ohw = (jcols[None, :] == wpos[:, None]) & do_write[:, None]
         out = jnp.where(ohw, wval[:, None], out)
-        nxt = (jnp.where(is1, pos, jr) + 1) & 63
+        nxt = (wpos + 1) & 63
         done = (~is1) & (er == 0)
         npos = jnp.where(active & ~done, nxt, 0)
-        nnode = (
-            (jnp.where(jcols[None, :] == npos[:, None], best1, False))
-            .sum(axis=1).astype(jnp.int32)
-        )
+        nnode = jnp.where(is1, (w >> 11) & 1, (wj >> 11) & 1)
+        nnode = jnp.where(npos > 0, nnode, 0)
         return out, npos, nnode
 
-    out, _, _ = jax.lax.fori_loop(0, 64, bt_step, (out0, pos0, node0_))
+    out, _, _ = jax.lax.fori_loop(
+        0, 64, bt_step, (out0, pos0, node0_), unroll=4
+    )
     return out.at[:, 0].set(q[:, 0])
 
 
