@@ -174,6 +174,27 @@ def test_mesh_rate_window_guard():
         )
 
 
+def test_device_speed_levels():
+    """set_splevel mirrors the host semantics: 2+ drops the trellis,
+    4 prices MV modes out; every level still decodes bit-exactly."""
+    frames = _moving_frames(64, 48, 0, 6, 3)
+    info = TheoraInfo(
+        frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+        quality=40,
+    )
+    outs = {}
+    for lvl in (0, 2, 4):
+        enc = TpuGopEncoder(info, qi=40)
+        enc.set_splevel(lvl)
+        assert enc.use_trellis == (lvl < 2)
+        pkts = enc.encode_clip(frames, keyframe_freq=6)
+        for _ in _decode_all(enc, [p.data for p in pkts[3:]]):
+            pass  # raises on any invalid stream
+        outs[lvl] = sum(len(p.data) for p in pkts[3:])
+    # no-MC cannot beat full search on moving content
+    assert outs[4] >= outs[2]
+
+
 def test_encode_clip_granulepos():
     frames = _moving_frames(32, 32, 0, 7, 9)
     info = TheoraInfo(

@@ -333,6 +333,8 @@ class TpuGopEncoder:
         # Batched device trellis (ops/transforms_jax.trellis_values)
         # replacing the heuristic R/D quantizer in the plane scans.
         self.use_trellis = bool(use_trellis)
+        self.sp_level = 0
+        self._no_mc = False
         # Predicted sparse-download capacities per (plane, GOP length),
         # carried across GOPs so compaction can be enqueued eagerly.
         self._cap_est: dict = {}
@@ -393,6 +395,18 @@ class TpuGopEncoder:
             build_bounding_values(flimit).astype(np.int32)
             if flimit else np.zeros(256, np.int32)
         )
+
+    # ------------------------------------------------------------------
+    def set_splevel(self, lvl: int) -> None:
+        """Speed levels mirroring the host tier's semantics
+        (encint.h:216-227): 0-1 full quality (batched trellis), 2-3
+        fast analysis (heuristic R/D quantizer -- the trellis is the
+        device tier's main quantization cost, see BASELINE.md), 4 no-MC
+        (MV modes priced out of the decision)."""
+        lvl = int(np.clip(lvl, 0, 4))
+        self.sp_level = lvl
+        self.use_trellis = lvl < 2
+        self._no_mc = lvl >= 4
 
     # ------------------------------------------------------------------
     def flush_headers(self) -> list[Packet]:
@@ -499,6 +513,8 @@ class TpuGopEncoder:
             costs.append(
                 (int(sad_gold[fi, r, c]) + 80 * b, MODE_GOLDEN_NOMV, None)
             )
+            if self._no_mc:
+                best = (0, 0)
             if best != (0, 0):
                 costs.append((int(sad_mv[fi, r, c]) + MVB,
                               MODE_INTER_MV, best))
