@@ -320,6 +320,7 @@ def trellis_values(dct_zz, qdct_rtn, dequant_zz, lam, nb_full, acmin):
     df = dequant_zz.astype(jnp.float32)
     q = qdct_rtn
     jcols = jnp.arange(64)
+    idx = jnp.arange(63, 0, -1)        # DP visits positions 63..1
     # Zero-cost contribution per position: zeroing a coefficient costs
     # its full c^2 IF round-to-nearest would have coded it; already-zero
     # positions cost nothing on any path (constant, dropped).
@@ -329,17 +330,73 @@ def trellis_values(dct_zz, qdct_rtn, dequant_zz, lam, nb_full, acmin):
     )  # [N, 65]; D2(i, j) = P[:, j] - P[:, i]
     aj = jnp.abs(q)
     sj = jnp.where(q < 0, -1, 1)
-    # Combo-at-j constants (independent of the run start i):
-    e1j = cf - sj.astype(jnp.float32) * df          # code q[j] as +-1
     m23 = jnp.where(aj > 2, 3, 2)
     cv23 = sj * m23
-    e23j = cf - cv23.astype(jnp.float32) * df       # code q[j] as +-2/3
 
-    def col(A, i):
-        return jax.lax.dynamic_slice_in_dim(A, i, 1, axis=1)[:, 0]
+    # ---- position-static precomputes (everything the 63-step scan
+    # would otherwise redo: token ids, bit lookups, error products) ----
+    # node1 candidates at every position: the round-to-nearest value and
+    # one step down the token-category ladder.  Below acmin only VALUE
+    # decisions go rate-free (the intra low-frequency guard); structural
+    # run/EOB tokens keep their rate cost, as the reference does until
+    # its lam mutation triggers (tokenize.c lam=0 sites are in the value
+    # branches).
+    lamv = jnp.where(jcols[None, :] < acmin[:, None], 0.0, lam[:, None])
+    a_cl = jnp.minimum(aj, 580)
+    neg = (q < 0).astype(jnp.int32)
+    tokA = _value_token_id(jnp.maximum(a_cl, 1), neg)
+    altm = _alt_mag(a_cl)
+    tokB = _value_token_id(jnp.maximum(altm, 1), neg)
 
-    # Decision word per position (one int32 instead of four arrays --
-    # less scan-carry traffic and a 1-reduction backtrack):
+    def nb_lookup(tok):
+        # [N, 64] token ids -> bits via one-hot against nb_full [64, 32]
+        return (
+            (tok[:, :, None] == jnp.arange(32)[None, None, :])
+            * nb_full[None, :, :]
+        ).sum(axis=2)
+
+    eA = (a_cl * sj).astype(jnp.float32) * df - cf
+    eB = (altm * sj).astype(jnp.float32) * df - cf
+    cA_s = eA * eA + lamv * nb_lookup(tokA)
+    cB_s = eB * eB + lamv * nb_lookup(tokB)
+    useB = (altm >= 1) & (cB_s < cA_s)
+    c1_s = jnp.where(aj >= 1, jnp.where(useB, cB_s, cA_s), _BIG)
+    v1_s = jnp.where(aj >= 1, jnp.where(useB, altm * sj, a_cl * sj), 0)
+    # Combo-at-j error bases with value-range validity folded in.
+    e1j = cf - sj.astype(jnp.float32) * df
+    e23j = cf - cv23.astype(jnp.float32) * df
+    pre1 = jnp.where((aj >= 1) & (aj <= 2), e1j * e1j, _BIG)
+    pre23 = jnp.where((aj >= 2) & (aj <= 4), e23j * e23j, _BIG)
+    # EOB cost per start position (nb_full[.., 0] varies only through
+    # the stream-position group; use each start's own row like nb(i, 0)).
+    costc_s = (P[:, 64:] - P[:, :64]) + lam[:, None] * nb_full[:, 0][None]
+    # Per-step [64] rows: structural token bits and validity by run
+    # length r = j - i, with the i==1 dc_reserve (one slot of headroom
+    # so a zero DC can extend the block's leading run at emission).
+    r_si = jcols[None, :] - idx[:, None]               # [63, 64]
+    maskj_si = r_si > 0
+    zb_si = jnp.where(r_si <= 8, nb_full[idx, 7:8], nb_full[idx, 8:9])
+    amask_si = jnp.where(maskj_si, 0.0, _BIG)
+    cb1_si = jnp.where(r_si <= 5, nb_full[idx][:, 22:23], 0.0)
+    for rr, ti in ((1, 23), (2, 24), (3, 25), (4, 26), (5, 27)):
+        cb1_si = jnp.where(r_si == rr, nb_full[idx, ti][:, None], cb1_si)
+    cb1_si = jnp.where(
+        (r_si >= 6) & (r_si <= 9), nb_full[idx, 28][:, None], cb1_si
+    )
+    cb1_si = jnp.where(r_si >= 10, nb_full[idx, 29][:, None], cb1_si)
+    dc_allow = jnp.where(idx == 1, 0, 1)[:, None]
+    b1mask_si = jnp.where(
+        maskj_si & (r_si <= 16 + dc_allow), 0.0, _BIG
+    )
+    cb23_si = jnp.where(
+        r_si == 1, nb_full[idx, 30][:, None], nb_full[idx, 31][:, None]
+    )
+    b23mask_si = jnp.where(
+        maskj_si & (r_si <= 2 + dc_allow), 0.0, _BIG
+    )
+
+    # Decision word per position (one int32, emitted as a scan output --
+    # minimal carry traffic and a 1-reduction backtrack):
     #   bits  0..10  node1 value + 1024
     #   bit   11     node1 successor node (best1 at i+1)
     #   bits 12..13  node0 ending: 0 EOB, 1 run+value, 2 combo +-1,
@@ -349,75 +406,29 @@ def trellis_values(dct_zz, qdct_rtn, dequant_zz, lam, nb_full, acmin):
     #   (node0's successor bit is recomputed cheaply at backtrack time
     #    from the packed word at zzj)
     def dp_step(carry, xs):
-        cost0, cost1, dec = carry
-        i, nb_t = xs
-        c = col(cf, i)
-        dqv = col(df, i)
-        qi_ = col(q, i)
-        # Below acmin only VALUE decisions go rate-free (the intra
-        # low-frequency guard); structural run/EOB tokens keep their
-        # rate cost, as the reference does until its lam mutation
-        # triggers (tokenize.c lam=0 sites are in the value branches).
-        lam_v = jnp.where(i < acmin, 0.0, lam)
-        lam_i = lam
+        # c0p/c1p: the previous step's column (position i+1) -- the scan
+        # runs i descending, so no dynamic carry reads are needed.
+        cost0, cost1, c0p, c1p = carry
+        (i, c1col, v1col, P_i, costc, zb_row, amask_row, cb1_row,
+         b1mask_row, cb23_row, b23mask_row) = xs
+        bn_next = jnp.minimum(c0p, c1p)
+        next1 = (c1p < c0p).astype(jnp.int32)
         # ---- node1: coded nonzero at i -------------------------------
-        a = jnp.minimum(jnp.abs(qi_), 580)
-        neg = (qi_ < 0).astype(jnp.int32)
-        sgn = jnp.where(qi_ < 0, -1, 1)
-        bitsA = _nb_at(nb_t, _value_token_id(jnp.maximum(a, 1), neg))
-        altm = _alt_mag(a)
-        bitsB = _nb_at(nb_t, _value_token_id(jnp.maximum(altm, 1), neg))
-        nexti = (i + 1) & 63
-        c0n = col(cost0, nexti)
-        c1n = col(cost1, nexti)
-        bn_next = jnp.minimum(c0n, c1n)
-        next1 = (c1n < c0n).astype(jnp.int32)
-        eA = (a * sgn).astype(jnp.float32) * dqv - c
-        eB = (altm * sgn).astype(jnp.float32) * dqv - c
-        cA = eA * eA + lam_v * bitsA + bn_next
-        cB = eB * eB + lam_v * bitsB + bn_next
-        useB = (altm >= 1) & (cB < cA)
-        c1 = jnp.where(useB, cB, cA)
-        v1 = jnp.where(useB, altm * sgn, a * sgn)
-        has1 = a >= 1
-        c1 = jnp.where(has1, c1, _BIG)
-        v1 = jnp.where(has1, v1, 0)
+        c1 = c1col + bn_next
         # ---- node0: zero run starting at i, all 64 ends at once ------
-        maskj = (jcols > i)[None, :]
-        P_i = col(P, i)
         D2 = P[:, :64] - P_i[:, None]
-        r = jcols - i
-        lamc = lam_i[:, None]
-        # (a) pure run, zero written at j-1, node1 value at j
-        zb = jnp.where(r <= 8, nb_t[7], nb_t[8])
-        costa = jnp.where(maskj, D2 + lamc * zb[None, :] + cost1, _BIG)
-        bn_nextj = jnp.roll(jnp.minimum(cost0, cost1), -1, axis=1)
-        # At i==1 keep one slot of run headroom: a zero DC extends the
-        # block's leading run by one at emission (tokenize.py
-        # emit_trellis; the reference's dc_reserve).
-        dc_allow = jnp.where(i == 1, 0, 1)
-        # (b1) run + value +-1 combo
-        cb1 = _BIG + jnp.zeros((64,), jnp.float32)
-        for rr, ti in ((1, 23), (2, 24), (3, 25), (4, 26), (5, 27)):
-            cb1 = jnp.where(r == rr, nb_t[ti], cb1)
-        cb1 = jnp.where((r >= 6) & (r <= 9), nb_t[28], cb1)
-        cb1 = jnp.where(r >= 10, nb_t[29], cb1)
-        v1m = maskj & (aj >= 1) & (aj <= 2) & (
-            r[None, :] <= 16 + dc_allow
+        lamc = lam[:, None]
+        costa = D2 + (lamc * zb_row[None, :] + amask_row[None, :]) + cost1
+        bn = jnp.minimum(cost0, cost1)
+        bn_nextj = jnp.concatenate([bn[:, 1:], bn[:, :1]], axis=1)
+        cost_b1 = (
+            pre1 + D2 + (lamc * cb1_row[None, :] + b1mask_row[None, :])
+            + bn_nextj
         )
-        cost_b1 = jnp.where(
-            v1m, e1j * e1j + D2 + lamc * cb1[None, :] + bn_nextj, _BIG
+        cost_b23 = (
+            pre23 + D2 + (lamc * cb23_row[None, :] + b23mask_row[None, :])
+            + bn_nextj
         )
-        # (b2) run + value +-2/3 combo
-        cb23 = jnp.where(r == 1, nb_t[30], nb_t[31])
-        v2m = maskj & (aj >= 2) & (aj <= 4) & (
-            r[None, :] <= 2 + dc_allow
-        )
-        cost_b23 = jnp.where(
-            v2m, e23j * e23j + D2 + lamc * cb23[None, :] + bn_nextj, _BIG
-        )
-        # (c) EOB: the run covers everything left in the block
-        cost_c = (P[:, 64] - P_i) + lam_i * nb_t[0]
         m_b = jnp.minimum(cost_b1, cost_b23)
         m_j = jnp.minimum(costa, m_b)
         jbest = jnp.argmin(m_j, axis=1)
@@ -429,11 +440,11 @@ def trellis_values(dct_zz, qdct_rtn, dequant_zz, lam, nb_full, acmin):
         typ_at = (jnp.where(oh, typ_j, 0)).sum(axis=1)
         cv_j = jnp.where(typ_j == 3, cv23, sj)
         cv_at = (jnp.where(oh, cv_j, 0)).sum(axis=1)
-        use_eob = cost_c <= cbest
-        c0 = jnp.where(use_eob, cost_c, cbest)
+        use_eob = costc <= cbest
+        c0 = jnp.where(use_eob, costc, cbest)
         e0 = jnp.where(use_eob, 0, typ_at)
         word = (
-            (v1 + 1024)
+            (v1col + 1024)
             | (next1 << 11)
             | (e0 << 12)
             | (jnp.where(use_eob, 0, jbest) << 14)
@@ -445,16 +456,23 @@ def trellis_values(dct_zz, qdct_rtn, dequant_zz, lam, nb_full, acmin):
                 A, v[:, None].astype(A.dtype), i, axis=1
             )
 
-        return (upd(cost0, c0), upd(cost1, c1), upd(dec, word)), None
+        return (upd(cost0, c0), upd(cost1, c1), c0, c1), word
 
-    idx = jnp.arange(63, 0, -1)
     carry0 = (
         jnp.full((N, 64), _BIG).at[:, 0].set(0.0),   # col 0 = end sentinel
         jnp.full((N, 64), _BIG),
-        jnp.zeros((N, 64), jnp.int32),
+        jnp.zeros((N,), jnp.float32),                # cost at the wrapped
+        jnp.full((N,), _BIG),                        # successor of 63 = 0
     )
-    (cost0, cost1, dec), _ = jax.lax.scan(
-        dp_step, carry0, (idx, nb_full[idx]), unroll=4
+    xs = (
+        idx, c1_s.T[idx], v1_s.T[idx], P.T[idx], costc_s.T[idx],
+        zb_si, amask_si, cb1_si, b1mask_si, cb23_si, b23mask_si,
+    )
+    (cost0, cost1, _, _), words = jax.lax.scan(
+        dp_step, carry0, xs, unroll=4
+    )
+    dec = (
+        jnp.zeros((N, 64), jnp.int32).at[:, idx].set(words.T)
     )
 
     # ---- backtrack: walk each block's winning path, writing values ----

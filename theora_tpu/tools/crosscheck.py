@@ -171,14 +171,19 @@ def run_device_trial(rng, trial, tmp="/tmp/crosscheck_d"):
     fw = int(rng.choice([32, 48, 64, 80, 96]))
     fh = int(rng.choice([32, 48, 64, 80]))
     fmt = int(rng.choice([0, 2, 3]))
+    pw = fw - int(rng.randint(0, min(16, fw - 15)))
+    ph = fh - int(rng.randint(0, min(16, fh - 15)))
+    px = int(rng.randint(0, fw - pw + 1))
+    py = int(rng.randint(0, fh - ph + 1))
     qi = int(rng.randint(0, 64))
     kf = int(rng.choice([1, 2, 4, 8]))
     nfr = int(rng.randint(2, 7))
     trellis = bool(rng.randint(0, 2))
-    desc = (f"DEV {fw}x{fh} fmt{fmt} qi{qi} kf{kf} "
-            f"{'trellis' if trellis else 'rdquant'}")
+    desc = (f"DEV {fw}x{fh} pic {pw}x{ph}+{px}+{py} fmt{fmt} qi{qi} "
+            f"kf{kf} {'trellis' if trellis else 'rdquant'}")
     info = TheoraInfo(
-        frame_width=fw, frame_height=fh, pic_width=fw, pic_height=fh,
+        frame_width=fw, frame_height=fh, pic_width=pw, pic_height=ph,
+        pic_x=px, pic_y=py,
         fps_numerator=30, fps_denominator=1, quality=qi,
         keyframe_granule_shift=6, pixel_fmt=fmt,
     )
