@@ -174,6 +174,30 @@ def test_mesh_rate_window_guard():
         )
 
 
+def test_single_device_cbr_matches_mesh():
+    """encode_clip with target_bitrate uses the same window controller
+    the mesh path psums over devices: byte-identical to a 1-device mesh
+    encode, and the qi actually moves under pressure."""
+    import jax
+
+    from theora_tpu.parallel.gop import encode_clip_mesh, make_mesh
+
+    frames = _moving_frames(64, 48, 0, 12, 13)
+    info = TheoraInfo(
+        frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+        quality=40, fps_numerator=30, fps_denominator=1,
+    )
+    kw = dict(keyframe_freq=4, qi=40, target_bitrate=60_000,
+              rate_window=1)
+    enc = TpuGopEncoder(info, qi=40)
+    pk = enc.encode_clip(frames, keyframe_freq=4, target_bitrate=60_000,
+                         rate_window=1)
+    assert enc.qi != 40  # noisy content at 60 kbps forces a qi move
+    mesh = make_mesh(1, frag_axis=1, devices=jax.devices()[:1])
+    pk_mesh = encode_clip_mesh(frames, info, mesh, **kw)
+    assert [p.data for p in pk] == [p.data for p in pk_mesh]
+
+
 def test_device_speed_levels():
     """set_splevel mirrors the host semantics: 2+ drops the trellis,
     4 prices MV modes out; every level still decodes bit-exactly."""

@@ -779,7 +779,8 @@ class TpuGopEncoder:
         return pkts
 
     # ------------------------------------------------------------------
-    def encode_clip(self, frames: list, keyframe_freq: int = 8
+    def encode_clip(self, frames: list, keyframe_freq: int = 8,
+                    target_bitrate: int = 0, rate_window: int = 8,
                     ) -> list[Packet]:
         """Headers + data packets for a whole clip, GOP by GOP.
 
@@ -789,12 +790,46 @@ class TpuGopEncoder:
         on the device BEFORE GOP k's coefficients are downloaded and
         entropy-coded, so host bit-packing overlaps device compute.
         GOPs are independent (keyframe-delimited), so the overlap cannot
-        change any byte."""
+        change any byte.
+
+        With target_bitrate > 0, the fixed-window controller adjusts qi
+        between GOPs from real packed bit counts -- the same policy the
+        mesh path psums over devices (parallel/gop.py), so output is
+        byte-identical to encode_clip_mesh on a 1-device mesh.  The qi
+        feedback makes GOPs order-dependent, so CBR encodes run without
+        the dispatch/finish overlap."""
         out = self.flush_headers()
         shift = self.info.keyframe_granule_shift
         pno = 3
         nf = len(frames)
         bases = list(range(0, nf, keyframe_freq))
+        rc = (
+            WindowRateController(self, target_bitrate, rate_window)
+            if target_bitrate > 0 else None
+        )
+
+        def emit(pbase, datas):
+            nonlocal pno
+            for j, data in enumerate(datas):
+                fnum = pbase + j
+                gp = ((pbase + 1) << shift) + (fnum - pbase)
+                out.append(Packet(
+                    data, granulepos=gp, packetno=pno,
+                    e_o_s=(fnum == nf - 1),
+                ))
+                pno += 1
+
+        if rc is not None:
+            for gi, base in enumerate(bases):
+                datas, _ = self.finish_gop(
+                    self.dispatch_gop(frames[base:base + keyframe_freq])
+                )
+                emit(base, datas)
+                rc.add(8 * sum(len(d) for d in datas), len(datas))
+                if (gi + 1) % rate_window == 0:
+                    rc.update()
+            rc.update()
+            return out
         pending = None  # (base, dispatched state)
         for base in bases + [None]:
             state = (
@@ -804,13 +839,47 @@ class TpuGopEncoder:
             if pending is not None:
                 pbase, pstate = pending
                 datas, _ = self.finish_gop(pstate)
-                for j, data in enumerate(datas):
-                    fnum = pbase + j
-                    gp = ((pbase + 1) << shift) + (fnum - pbase)
-                    out.append(Packet(
-                        data, granulepos=gp, packetno=pno,
-                        e_o_s=(fnum == nf - 1),
-                    ))
-                    pno += 1
+                emit(pbase, datas)
             pending = state
         return out
+
+
+class WindowRateController:
+    """Fixed-window CBR for the device tier: between GOP windows, steer
+    qi from REAL packed bit counts (the decoder-visible truth, not an
+    estimate).  Deliberately simple and mesh-invariant: updates happen
+    only at fixed GOP indices and the reservoir sums are associative
+    integers, so the mesh path can psum the counts over devices and land
+    on the same qi trajectory (parallel/gop.py)."""
+
+    def __init__(self, enc, target_bitrate: int, rate_window: int):
+        self.enc = enc
+        self.target_bitrate = int(target_bitrate)
+        info = enc.info
+        self.fps = max(
+            info.fps_numerator / max(info.fps_denominator, 1), 1e-6
+        )
+        self.rate_window = int(rate_window)
+        self.fullness = 0.0
+        self.win_bits = 0
+        self.win_frames = 0
+
+    def add(self, bits: int, nframes: int) -> None:
+        self.win_bits += int(bits)
+        self.win_frames += int(nframes)
+
+    def update(self) -> None:
+        self.apply(self.win_bits, self.win_frames)
+        self.win_bits = 0
+        self.win_frames = 0
+
+    def apply(self, total_bits: int, nframes: int) -> None:
+        """Apply one window's totals (the mesh path passes psum-reduced
+        counts here)."""
+        if nframes == 0:
+            return
+        target = self.target_bitrate * nframes / self.fps
+        self.fullness += target - total_bits
+        step = int(round(-self.fullness / max(target / 2, 1.0)))
+        if step:
+            self.enc.set_qi(self.enc.qi + int(np.clip(step, -4, 4)))

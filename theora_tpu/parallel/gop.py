@@ -29,7 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from theora_tpu.encode.tpu_gop import TpuGopEncoder, make_plane_scan
+from theora_tpu.encode.tpu_gop import (
+    TpuGopEncoder,
+    WindowRateController,
+    make_plane_scan,
+)
 from theora_tpu.info import TheoraInfo
 from theora_tpu.tpkt import Packet
 
@@ -284,26 +288,22 @@ def encode_clip_mesh(
     gop_list = [
         frames[i : i + keyframe_freq] for i in range(0, nf, keyframe_freq)
     ]
-    fullness = 0.0
-    fps = max(info.fps_numerator / max(info.fps_denominator, 1), 1e-6)
+    rc = WindowRateController(enc.base, target_bitrate, rate_window)
     pno = 3
     win_bits: list[int] = []
     win_frames = 0
 
     def rate_update():
-        nonlocal fullness, win_frames
+        nonlocal win_frames
         if not win_bits:
             return
         # REAL packed bits, psum-reduced over the mesh (pad the window
-        # to the gop axis; zeros don't change the sum).
+        # to the gop axis; zeros don't change the sum), applied through
+        # the shared window controller (encode/tpu_gop.py) so single-
+        # device encode_clip CBR is byte-identical by construction.
         arr = np.zeros(-(-len(win_bits) // G) * G, np.int32)
         arr[: len(win_bits)] = win_bits
-        total = rate_psum(mesh, arr)
-        target = target_bitrate * win_frames / fps
-        fullness += target - total
-        step = int(round(-fullness / max(target / 2, 1.0)))
-        if step:
-            enc.base.set_qi(enc.base.qi + int(np.clip(step, -4, 4)))
+        rc.apply(rate_psum(mesh, arr), win_frames)
         win_bits.clear()
         win_frames = 0
 
