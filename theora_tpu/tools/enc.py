@@ -37,6 +37,11 @@ def main(argv=None):
                     help="speed level 0-4 (encoder_example -z): 0 full "
                          "effort, 1 early skip, 2 fast analysis, 3 plain "
                          "quantizer, 4 no motion compensation")
+    ap.add_argument("--device", action="store_true",
+                    help="encode on the TPU device tier (TpuGopEncoder: "
+                         "ME, mode decision, batched trellis and the "
+                         "closed loop on device, host entropy coding; "
+                         "CBR via the fixed-window controller)")
     ap.add_argument("-a", "--audio", default=None,
                     help="16-bit PCM WAV to encode as a Vorbis stream and "
                          "mux A/V with reference page ordering "
@@ -127,6 +132,28 @@ def main(argv=None):
         )
 
     t0 = time.perf_counter()
+    if args.device:
+        if args.two_pass:
+            ap.error("--two-pass is host-tier only")
+        from theora_tpu.encode.tpu_gop import TpuGopEncoder
+
+        denc = TpuGopEncoder(info, qi=args.quality)
+        if args.speed:
+            denc.set_splevel(args.speed)
+        pkts = denc.encode_clip(
+            frames, keyframe_freq=args.keyframe_freq,
+            target_bitrate=args.bitrate,
+        )
+        dt = time.perf_counter() - t0
+        write_output(pkts)
+        total = sum(len(p.data) for p in pkts[3:])
+        mpix = len(frames) * (W * H * 1.5) / 1e6
+        print(
+            f"{len(frames)} frames, {total} bytes, {dt:.2f}s"
+            f" ({mpix/dt:.2f} Mpix/s, device tier)",
+            file=sys.stderr,
+        )
+        return
     pass1_blob = None
     if args.two_pass:
         if not args.bitrate:
