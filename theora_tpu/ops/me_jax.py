@@ -126,8 +126,11 @@ def _me_search_impl(cur, ref):
     refi = ref.astype(jnp.int32)
 
     # ---- coarse, half resolution --------------------------------------
-    cur2 = _sumpool2(cur)
-    ref2 = _sumpool2(ref)
+    # int16 pyramid: 2x2 sums are <= 1020 so differences fit i16, and
+    # halving the per-step stream cuts the HBM traffic this scan is
+    # bound by (box sums accumulate in i32).
+    cur2 = _sumpool2(cur).astype(jnp.int16)
+    ref2 = _sumpool2(ref).astype(jnp.int16)
     R2 = _COARSE_R + 1
     ref2p = jnp.pad(ref2, ((0, 0), (R2, R2), (R2, R2)), mode="edge")
 
@@ -136,7 +139,12 @@ def _me_search_impl(cur, ref):
         shifted = jax.lax.dynamic_slice(
             ref2p, (0, R2 + d[0], R2 + d[1]), cur2.shape
         )
-        sad = _box_mb(jnp.abs(cur2 - shifted), 8)
+        F_, H_, W_ = cur2.shape
+        sad = (
+            jnp.abs(cur2 - shifted)
+            .reshape(F_, H_ // 8, 8, W_ // 8, 8)
+            .sum(axis=(2, 4), dtype=jnp.int32)
+        )
         better = sad < best_sad
         best_sad = jnp.where(better, sad, best_sad)
         best_d = jnp.where(better[..., None], d[None, None, None, :], best_d)
