@@ -251,7 +251,60 @@ def bench_host_encode(frames):
     return NFRAMES * (W * H + 2 * (W // 2) * (H // 2)) / 1e6 / dt
 
 
+def _probe_device(timeout_s=180):
+    """True iff the accelerator actually computes (not just enumerates).
+
+    Run in a SUBPROCESS with a hard timeout: when the dev tunnel dies it
+    hangs inside device_get with the GIL released, which no in-process
+    alarm can interrupt -- a bench that hangs at round end is worse than
+    a host-tier fallback number.
+    """
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = jnp.arange(128, dtype=jnp.int32);"
+        "assert int(np.asarray((x * x).sum())) == 690880;"
+        "print('ok')"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=timeout_s, text=True,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_sub(name, timeout_s):
+    """Run one device bench in a subprocess (same hang rationale as the
+    probe); returns the measured float or None."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sub", name],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    for line in r.stdout.splitlines()[::-1]:
+        try:
+            return float(json.loads(line)["value"])
+        except Exception:
+            continue
+    return None
+
+
 def main():
+    if len(sys.argv) == 3 and sys.argv[1] == "--sub":
+        frames = gen_frames()
+        fn = {
+            "e2e": bench_device_e2e,
+            "pipeline": bench_device_pipeline_compute,
+            "core": bench_tpu,
+        }[sys.argv[2]]
+        print(json.dumps({"value": fn(frames)}))
+        return
     frames = gen_frames()
     try:
         ref_mpixs = bench_reference(frames)
@@ -262,21 +315,19 @@ def main():
         "720p end-to-end device GOP encode Mpix/s (ME+modes+RD quant+"
         "closed loop on chip, host entropy; incl. tunnel transfers)"
     )
-    try:
-        value = bench_device_e2e(frames)
-        try:
-            extra["pipeline_compute_mpixs"] = round(
-                bench_device_pipeline_compute(frames), 1
-            )
-        except Exception:
-            pass
-        try:
-            extra["compute_core_mpixs"] = round(bench_tpu(frames), 1)
-        except Exception:
-            pass
-    except Exception:
-        # TPU unreachable: report the host tier so the driver still gets
-        # a measurement.
+    value = None
+    if _probe_device():
+        value = _run_sub("e2e", 1800)
+        if value is not None:
+            v = _run_sub("pipeline", 900)
+            if v is not None:
+                extra["pipeline_compute_mpixs"] = round(v, 1)
+            v = _run_sub("core", 600)
+            if v is not None:
+                extra["compute_core_mpixs"] = round(v, 1)
+    if value is None:
+        # TPU unreachable or hung: report the host tier so the driver
+        # still gets a measurement.
         metric = "720p keyframe encode Mpix/s (host tier; TPU unreachable)"
         value = bench_host_encode(frames)
     vs = value / ref_mpixs if ref_mpixs == ref_mpixs else 0.0

@@ -20,4 +20,31 @@ Reference behavior documented against xiph/theora (libtheora 1.2) under
 
 __version__ = "0.1.0"
 
+
+def _honor_jax_platforms_env():
+    """Make an explicit JAX_PLATFORMS env var stick.
+
+    Some environments register an experimental TPU plugin from
+    sitecustomize at interpreter start and force jax_platforms via
+    jax.config, which silently overrides the JAX_PLATFORMS environment
+    variable.  Tests and CI set JAX_PLATFORMS=cpu for hermetic runs and
+    spawn tools as subprocesses; without this fixup those subprocesses
+    dial TPU hardware (and hang when it is unreachable).  Only acts when
+    the env var is explicitly set, so production imports stay untouched.
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+    except ImportError:
+        return
+    if jax.config.jax_platforms != want:
+        jax.config.update("jax_platforms", want)
+
+
+_honor_jax_platforms_env()
+
 from theora_tpu.info import TheoraInfo, PixelFormat, ColorSpace  # noqa: F401
