@@ -156,18 +156,25 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
                 with jax.named_scope("quantize_rd"):
                     qdct = tj.quantize_rd(dct, deq, lam_q)
             with jax.named_scope("idct_recon"):
-                dc_only = (qdct[:, 1:] == 0).all(axis=-1)
+                # Counts and SSDs reduce in float32: every term is an
+                # integer below 2^24 (counts <= 64, squared diffs
+                # <= 255^2, their 64-sums <= 4.2M), so the accumulation
+                # is exact and every decision below is unchanged -- but
+                # the minor-axis int32 reduces these replace were the
+                # scan's hottest ops (3+ ms/frame in the 720p trace).
+                nzf = (qdct != 0).astype(jnp.float32)
+                cnt = nzf.sum(axis=1)
+                dc_only = cnt - nzf[:, 0] == 0.0
                 residual = tj.dequantize_idct(
                     qdct, deq, qdct[:, 0], deq[:, 0], dc_only
                 )
                 recon = jnp.clip(residual + pred, 0, 255)
             with jax.named_scope("skip_rd"):
-                ssd_rec = ((recon - curi) ** 2).sum(axis=(1, 2))
-                ssd_unc = ((unc - curi) ** 2).sum(axis=(1, 2))
-                bits = 6 * (qdct != 0).sum(axis=1) + 2
-                lamterm = (lam * bits.astype(jnp.float32)).astype(
-                    jnp.int32
-                )
+                dr = (recon - curi).astype(jnp.float32)
+                du = (unc - curi).astype(jnp.float32)
+                ssd_rec = (dr * dr).sum(axis=(1, 2)).astype(jnp.int32)
+                ssd_unc = (du * du).sum(axis=(1, 2)).astype(jnp.int32)
+                lamterm = (lam * (6.0 * cnt + 2.0)).astype(jnp.int32)
                 skip = ms & (16 * ssd_unc <= 16 * ssd_rec + lamterm) & ~ik
                 coded = ~skip
             blocks = jnp.where(
@@ -193,7 +200,11 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
                 plane = fill_borders(plane, h, w, pad_y, pad_x)
             gold_new = jnp.where(ik, plane, gold)
             qout = jnp.where(coded[:, None], qdct, 0).astype(jnp.int16)
-            ys = (qout, coded) + ((plane,) if emit_recon else ())
+            # Per-block nonzero counts (reused from the skip stage) ride
+            # the scan outputs so the host can size the sparse download
+            # without re-reducing [F, N, 64] afterwards.
+            nnz = jnp.where(coded, cnt, 0.0).astype(jnp.uint8)
+            ys = (qout, coded, nnz) + ((plane,) if emit_recon else ())
             return (plane, gold_new), ys
 
         (prev_f, _), ys = jax.lax.scan(
@@ -250,10 +261,15 @@ def _scan_encode_plane(
         cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
         deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter, *extra,
     )
-    # Per-block nonzero counts ride along so the host can size the
-    # sparse coefficient download without an extra dispatch.
-    nnz = (out[0] != 0).sum(axis=-1).astype(jnp.uint8)
-    return out + (nnz,)
+    # Per-block nonzero counts are emitted by the scan itself (the skip
+    # stage already reduces them) so the host can size the sparse
+    # coefficient download without an extra [F, N, 64] pass; reorder to
+    # keep this wrapper's historical (.., prev_f, nnz) output layout.
+    if emit_recon:
+        qout, coded, nnz, recon, prev_f = out
+        return (qout, coded, recon, prev_f, nnz)
+    qout, coded, nnz, prev_f = out
+    return (qout, coded, prev_f, nnz)
 
 
 @functools.partial(__import__("jax").jit, static_argnames=("cap",))

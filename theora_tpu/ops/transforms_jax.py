@@ -471,45 +471,63 @@ def trellis_values(dct_zz, qdct_rtn, dequant_zz, lam, nb_full, acmin):
     (cost0, cost1, _, _), words = jax.lax.scan(
         dp_step, carry0, xs, unroll=4
     )
-    dec = (
-        jnp.zeros((N, 64), jnp.int32).at[:, idx].set(words.T)
-    )
 
-    # ---- backtrack: walk each block's winning path, writing values ----
-    out0 = jnp.zeros((N, 64), jnp.int32)
-    pos0 = jnp.ones((N,), jnp.int32)
-    node0_ = (cost1[:, 1] < cost0[:, 1]).astype(jnp.int32)
+    # ---- backtrack: position-ordered event sweep ----------------------
+    # Every winning path visits strictly increasing positions (node1
+    # advances pos -> pos+1; a node0 run from i ends at some j > i), so
+    # instead of chasing per-block pointers with one-hot [N, 64] reads
+    # and writes (the scan's single hottest stage in the 720p trace),
+    # sweep positions 1..63 once: each block carries its next event
+    # (position, node kind, pending combo value) in [N] vectors, and the
+    # step at position p consumes only that position's decision words --
+    # a static row of the forward scan's output.  Emits out's row p as a
+    # scan output, so no [N, 64] tensor is touched per step at all.
+    node0_ = cost1[:, 1] < cost0[:, 1]
 
-    def bt_step(_, st):
-        out, pos, node = st
-        oh = jcols[None, :] == pos[:, None]
-        active = pos > 0
-        w = (jnp.where(oh, dec, 0)).sum(axis=1)
-        v1r = (w & 0x7FF) - 1024
+    def bt_step(carry, xs):
+        ep, nd, runend, pend, take = carry
+        p, w = xs
+        v1 = (w & 0x7FF) - 1024
+        nxt1 = (w >> 11) & 1
         er = (w >> 12) & 3
         jr = (w >> 14) & 63
-        cvr = ((w >> 20) & 0x7FF) - 1024
-        is1 = node == 1
-        ohj = jcols[None, :] == jr[:, None]
-        wj = (jnp.where(ohj, dec, 0)).sum(axis=1)
-        v_at_j = (wj & 0x7FF) - 1024
-        # The successor of any node0 ending at jr is node1-at-jr's
-        # successor: best1 at jr+1, stored as bit 11 of the word at jr.
-        wpos = jnp.where(is1, pos, jr)
-        wval = jnp.where(is1, v1r, jnp.where(er == 1, v_at_j, cvr))
-        do_write = active & (is1 | (er != 0))
-        ohw = (jcols[None, :] == wpos[:, None]) & do_write[:, None]
-        out = jnp.where(ohw, wval[:, None], out)
-        nxt = (wpos + 1) & 63
-        done = (~is1) & (er == 0)
-        npos = jnp.where(active & ~done, nxt, 0)
-        nnode = jnp.where(is1, (w >> 11) & 1, (wj >> 11) & 1)
-        nnode = jnp.where(npos > 0, nnode, 0)
-        return out, npos, nnode
+        cv = ((w >> 20) & 0x7FF) - 1024
+        at = ep == p
+        isn = at & ~runend          # node event at p
+        isr = at & runend           # a pending zero-run ends at p
+        n1 = isn & (nd == 1)        # coded value at p
+        n0 = isn & (nd == 0)
+        run = n0 & (er != 0)        # start a run ending at jr
+        # er == 0 at a node0 event is EOB: the block goes inactive.
+        # Values written at p: node1's value, or the run's terminal
+        # value -- the combo value carried from the run's start, or
+        # (er == 1 there) the value field of THIS position's word.
+        row = jnp.where(
+            n1, v1, jnp.where(isr, jnp.where(take, v1, pend), 0)
+        )
+        adv = n1 | isr              # next event is the node at p + 1
+        ep = jnp.where(adv, p + 1, jnp.where(run, jr, 0 * ep))
+        ep = jnp.where(at, ep, carry[0])
+        nd = jnp.where(adv, nxt1, nd)
+        runend = jnp.where(at, run, runend)
+        pend = jnp.where(run, cv, pend)
+        take = jnp.where(run, er == 1, take)
+        return (ep, nd, runend, pend, take), row
 
-    out, _, _ = jax.lax.fori_loop(
-        0, 64, bt_step, (out0, pos0, node0_), unroll=4
+    N_ = dct_zz.shape[0]
+    carry_bt = (
+        jnp.ones((N_,), jnp.int32),
+        node0_.astype(jnp.int32),
+        jnp.zeros((N_,), bool),
+        jnp.zeros((N_,), jnp.int32),
+        jnp.zeros((N_,), bool),
     )
+    # words row k holds position idx[k] = 63-k; reverse=True sweeps
+    # positions ascending while keeping ys rows aligned with words rows.
+    _, rows = jax.lax.scan(
+        bt_step, carry_bt, (idx, words), reverse=True, unroll=4
+    )
+    out = jnp.zeros((N_, 64), jnp.int32).at[:, idx].set(rows.T)
     return out.at[:, 0].set(q[:, 0])
 
 

@@ -133,6 +133,7 @@ class MeshGopEncoder:
             out_specs=(
                 P("gop", None, "frag", None),
                 P("gop", None, "frag"),
+                P("gop", None, "frag"),
                 P("gop", None, None),
             ),
             check_vma=False,
@@ -230,7 +231,7 @@ class MeshGopEncoder:
                 base.qi, int(dq[base.qi, pli, 1, 1])
             ) * base.rd_strength
             fn = self._sharded_scan(pli)
-            qdct, coded, _final = fn(
+            qdct, coded, _nnz, _final = fn(
                 init, init,
                 arrs["cur"], arrs["rs"], arrs["o1y"], arrs["o1x"],
                 arrs["o2y"], arrs["o2x"], arrs["u2"], arrs["ms"],
