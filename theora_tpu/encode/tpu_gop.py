@@ -117,19 +117,26 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
             # named_scope labels group profiler traces by codec stage
             # (theora_tpu/debug.py).
             with jax.named_scope("mc"):
+                # The device mode set reaches the golden frame only via
+                # GOLDEN_NOMV (zero MV, no half-pel), so the golden
+                # prediction is just the co-located interior block --
+                # no shifted neighborhood tensor, no [n, wy, wx] select.
                 nb_p = mc.block_neighborhoods(prev, nv, nh, pad_y, pad_x)
-                nb_g = mc.block_neighborhoods(gold, nv, nh, pad_y, pad_x)
                 unc_all = mc.plane_to_blocks(prev, nv, nh, pad_y, pad_x)
+                gold_all = mc.plane_to_blocks(gold, nv, nh, pad_y, pad_x)
                 if frag_axis is None:
-                    nbs_p, nbs_g, unc = nb_p, nb_g, unc_all
+                    nbs_p, unc, gold_blk = nb_p, unc_all, gold_all
                 else:
                     nbs_p = jnp.take(nb_p, fi, axis=0)
-                    nbs_g = jnp.take(nb_g, fi, axis=0)
                     unc = jnp.take(unc_all, fi, axis=0)
+                    gold_blk = jnp.take(gold_all, fi, axis=0)
                 unc = unc.astype(jnp.int32)
-                nb = jnp.where((rsf == 2)[:, None, None], nbs_g, nbs_p)
-                s1, s2 = mc.mc_select2(nb, y1, x1, y2, x2, pad_y, pad_x)
+                s1, s2 = mc.mc_select2(nbs_p, y1, x1, y2, x2, pad_y, pad_x)
                 selv = jnp.where(u2[:, None, None], (s1 + s2) >> 1, s1)
+                selv = jnp.where(
+                    (rsf == 2)[:, None, None], gold_blk.astype(jnp.int32),
+                    selv,
+                )
                 pred = jnp.where((rsf == 0)[:, None, None], 128, selv)
             curi = curf.astype(jnp.int32)
             with jax.named_scope("fdct"):
