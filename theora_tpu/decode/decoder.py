@@ -219,27 +219,14 @@ class Decoder:
         if level < 2:
             self._pp_planes = None
             return
-        from theora_tpu.native import get_lib
-        import ctypes
+        from theora_tpu.ops import postproc_np
+        from theora_tpu.native import pp_postprocess_plane
 
-        lib = get_lib()
-        if lib is None:
-            self._pp_planes = None
-            return
-        if not hasattr(lib, "_pp_setup"):
-            lib.th_pp_deblock_plane.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_void_p]
-            lib.th_pp_dering_plane.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
-            lib._pp_setup = True
+        native_pp = pp_postprocess_plane()  # None without the .so
         self._pp_planes = [None, None, None]
         self_frame = self.buffers[self.ref_idx[FRAME_SELF]]
-        dc_scale = np.ascontiguousarray(self._pp_dc_scale, dtype=np.int32)
-        sharp = np.ascontiguousarray(self._pp_sharp_mod, dtype=np.int32)
+        dc_scale = np.asarray(self._pp_dc_scale, dtype=np.int32)
+        sharp = np.asarray(self._pp_sharp_mod, dtype=np.int32)
         qis_arr = np.asarray(self.qis + [0, 0], dtype=np.uint8)
         nplanes = 3 if level >= 5 else 1
         for pli in range(nplanes):
@@ -250,26 +237,15 @@ class Decoder:
             src = np.ascontiguousarray(
                 self_frame.planes[pli][vpad : vpad + h, hpad : hpad + w]
             )
-            dst = np.zeros_like(src)
-            dqs = np.ascontiguousarray(self._pp_dc_qis[sl], dtype=np.uint8)
-            variances = np.zeros(pl.nfrags, dtype=np.int32)
-            lib.th_pp_deblock_plane(
-                dst.ctypes.data, w, src.ctypes.data, w, w, h,
-                pl.nhfrags, pl.nvfrags, dqs.ctypes.data,
-                dc_scale.ctypes.data, variances.ctypes.data,
-            )
+            dqs = self._pp_dc_qis[sl].reshape(pl.nvfrags, pl.nhfrags)
             dering_min = 3 if pli == 0 else 6
-            if level >= dering_min:
-                strong = level >= (4 if pli == 0 else 7)
-                qpf = np.ascontiguousarray(
-                    qis_arr[frag_qii[sl]], dtype=np.uint8
-                )
-                lib.th_pp_dering_plane(
-                    dst.ctypes.data, w, w, h, pl.nhfrags, pl.nvfrags,
-                    qpf.ctypes.data, dc_scale.ctypes.data, sharp.ctypes.data,
-                    variances.ctypes.data, 1 if strong else 0, pli,
-                )
-            self._pp_planes[pli] = dst
+            strong = level >= (4 if pli == 0 else 7)
+            qpf = qis_arr[frag_qii[sl]].reshape(pl.nvfrags, pl.nhfrags)
+            fn = native_pp or postproc_np.postprocess_plane
+            self._pp_planes[pli] = fn(
+                src, dqs, qpf, dc_scale, sharp,
+                dering=level >= dering_min, strong=strong, pli=pli,
+            )
 
     # ------------------------------------------------------------------
     def decode_packet(self, packet: bytes) -> int:

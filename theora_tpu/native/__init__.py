@@ -270,6 +270,50 @@ def _setup_filters(lib):
     ]
 
 
+def pp_postprocess_plane():
+    """Native out-of-loop postprocessor (deblock + dering): returns a
+    callable with the signature of ops.postproc_np.postprocess_plane,
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_pp_setup", False):
+        lib.th_pp_deblock_plane.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.th_pp_dering_plane.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib._pp_setup = True
+
+    def run(src, dc_qis, qi_per_frag, dc_scale_table, sharp_table,
+            dering, strong, pli):
+        h, w = src.shape
+        nv, nh = h >> 3, w >> 3
+        src = np.ascontiguousarray(src)
+        dst = np.empty_like(src)
+        variances = np.empty(nv * nh, dtype=np.int32)
+        dqs = np.ascontiguousarray(dc_qis, dtype=np.uint8)
+        scale = np.ascontiguousarray(dc_scale_table, dtype=np.int32)
+        lib.th_pp_deblock_plane(
+            dst.ctypes.data, w, src.ctypes.data, w, w, h, nh, nv,
+            dqs.ctypes.data, scale.ctypes.data, variances.ctypes.data)
+        if dering:
+            qpf = np.ascontiguousarray(qi_per_frag, dtype=np.uint8)
+            sharp = np.ascontiguousarray(sharp_table, dtype=np.int32)
+            lib.th_pp_dering_plane(
+                dst.ctypes.data, w, w, h, nh, nv, qpf.ctypes.data,
+                scale.ctypes.data, sharp.ctypes.data, variances.ctypes.data,
+                1 if strong else 0, pli)
+        return dst
+
+    return run
+
+
 def dc_predict_native(mode, coded, refi, dc, pred_last):
     """mode 0: decode (dc updated in place); mode 1: encode (returns
     residuals). pred_last: length-3 list, updated in place."""

@@ -769,267 +769,207 @@ void th_loop_filter_plane(uint8_t* plane, int W, int pad_y, int pad_x,
 }  // extern "C"
 
 // ===================================================================
-// Out-of-loop postprocessor: deblocking + deringing (decode.c:1610-1957).
+// Out-of-loop postprocessor (deblock + dering) — scalar transcription
+// of the array design in ops/postproc_np.py (see its docstring for the
+// derivation): deblocking runs as two independent phases (all
+// horizontal boundaries src->dst, then vertical boundaries swept left
+// to right in place) with the boundary smoother expressed as a 7-tap
+// [1,1,1,2,1,1,1] convolution over a replicate-padded 10-sample
+// window; deringing pulls each block's 10x10 neighbourhood through
+// clamped indices (plane-edge replication for free), derives the four
+// per-pixel neighbour weights as arrays up front, and applies the
+// in-place IIR smoother in raster order.  Capability twin of the
+// reference's optional postprocessor (decode.c:1610-1957); bit-exact
+// against ops/postproc_np.py (tests/test_postproc.py) and the
+// reference output (tests/test_decode.py).
+namespace {
+
+// [1,1,1,2,1,1,1] smoothing of a replicate-padded 10-sample boundary
+// window; emits the middle 8 samples.
+inline void pp_tap7(const int32_t w[10], int32_t out[8]) {
+  int32_t p[14];
+  p[0] = p[1] = w[0];
+  for (int i = 0; i < 10; i++) p[i + 2] = w[i];
+  p[12] = p[13] = w[9];
+  for (int j = 0; j < 8; j++) {
+    out[j] = (p[j] + p[j + 1] + p[j + 2] + 2 * p[j + 3] + p[j + 4] +
+              p[j + 5] + p[j + 6] + 4) >> 3;
+  }
+}
+
+// Boundary activity: sum of the outer-side and inner-side absolute
+// neighbour differences of the window.
+inline void pp_edge_stats(const int32_t w[10], int32_t* outer,
+                          int32_t* inner) {
+  int32_t a = 0, b = 0;
+  for (int i = 0; i < 4; i++) {
+    a += abs(w[i + 1] - w[i]);
+    b += abs(w[i + 6] - w[i + 5]);
+  }
+  *outer = a;
+  *inner = b;
+}
+
+inline int32_t pp_clamp255(int32_t v) {
+  return v < 0 ? 0 : (v > 255 ? 255 : v);
+}
+
+}  // namespace
+
 extern "C" {
 
-static void pp_filter_hedge(uint8_t* dst, int dst_ystride, const uint8_t* src,
-                            int src_ystride, int qstep, int flimit,
-                            int32_t* var0, int32_t* var1) {
-  for (int bx = 0; bx < 8; bx++) {
-    const uint8_t* csrc = src + bx;
-    uint8_t* cdst = dst + bx;
-    int r[10];
-    for (int by = 0; by < 10; by++) {
-      r[by] = *csrc;
-      csrc += src_ystride;
-    }
-    int sum0 = 0, sum1 = 0;
-    for (int by = 0; by < 4; by++) {
-      sum0 += abs(r[by + 1] - r[by]);
-      sum1 += abs(r[by + 5] - r[by + 6]);
-    }
-    *var0 += sum0 < 255 ? sum0 : 255;
-    *var1 += sum1 < 255 ? sum1 : 255;
-    if (sum0 < flimit && sum1 < flimit && r[5] - r[4] < qstep &&
-        r[4] - r[5] < qstep) {
-      *cdst = (uint8_t)((r[0] * 3 + r[1] * 2 + r[2] + r[3] + r[4] + 4) >> 3);
-      cdst += dst_ystride;
-      *cdst = (uint8_t)((r[0] * 2 + r[1] + r[2] * 2 + r[3] + r[4] + r[5] + 4) >> 3);
-      cdst += dst_ystride;
-      for (int by = 0; by < 4; by++) {
-        *cdst = (uint8_t)((r[by] + r[by + 1] + r[by + 2] + r[by + 3] * 2 +
-                           r[by + 4] + r[by + 5] + r[by + 6] + 4) >> 3);
-        cdst += dst_ystride;
-      }
-      *cdst = (uint8_t)((r[4] + r[5] + r[6] + r[7] * 2 + r[8] + r[9] * 2 + 4) >> 3);
-      cdst += dst_ystride;
-      *cdst = (uint8_t)((r[5] + r[6] + r[7] + r[8] * 2 + r[9] * 3 + 4) >> 3);
-    } else {
-      for (int by = 1; by <= 8; by++) {
-        *cdst = (uint8_t)r[by];
-        cdst += dst_ystride;
-      }
-    }
-  }
-}
-
-static void pp_filter_vedge(uint8_t* dst, int dst_ystride, int qstep,
-                            int flimit, int32_t* variances) {
-  uint8_t* cdst = dst;
-  for (int by = 0; by < 8; by++) {
-    const uint8_t* rsrc = cdst - 1;
-    uint8_t* rdst = cdst;
-    int r[10];
-    for (int bx = 0; bx < 10; bx++) r[bx] = *rsrc++;
-    int sum0 = 0, sum1 = 0;
-    for (int bx = 0; bx < 4; bx++) {
-      sum0 += abs(r[bx + 1] - r[bx]);
-      sum1 += abs(r[bx + 5] - r[bx + 6]);
-    }
-    variances[0] += sum0 < 255 ? sum0 : 255;
-    variances[1] += sum1 < 255 ? sum1 : 255;
-    if (sum0 < flimit && sum1 < flimit && r[5] - r[4] < qstep &&
-        r[4] - r[5] < qstep) {
-      *rdst++ = (uint8_t)((r[0] * 3 + r[1] * 2 + r[2] + r[3] + r[4] + 4) >> 3);
-      *rdst++ = (uint8_t)((r[0] * 2 + r[1] + r[2] * 2 + r[3] + r[4] + r[5] + 4) >> 3);
-      for (int bx = 0; bx < 4; bx++) {
-        *rdst++ = (uint8_t)((r[bx] + r[bx + 1] + r[bx + 2] + r[bx + 3] * 2 +
-                             r[bx + 4] + r[bx + 5] + r[bx + 6] + 4) >> 3);
-      }
-      *rdst++ = (uint8_t)((r[4] + r[5] + r[6] + r[7] * 2 + r[8] + r[9] * 2 + 4) >> 3);
-      *rdst = (uint8_t)((r[5] + r[6] + r[7] + r[8] * 2 + r[9] * 3 + 4) >> 3);
-    }
-    cdst += dst_ystride;
-  }
-}
-
-// Whole-plane deblock (oc_dec_deblock_frag_rows with fragy0=0,
-// fragy_end=nv). dst/src: [H, stride] top-left origin; dc_qis: [nv*nh];
-// pp_dc_scale: [64]; variances out: [nv*nh].
-void th_pp_deblock_plane(uint8_t* dst, int dst_ystride, const uint8_t* src,
-                         int src_ystride, int width, int height, int nh,
+// Deblock one plane: dst and src are [h, stride] with h = 8*nv and
+// visible width 8*nh; variances is the [nv*nh] activity accumulator
+// consumed by the dering stage.
+void th_pp_deblock_plane(uint8_t* dst, int dst_stride, const uint8_t* src,
+                         int src_stride, int width, int height, int nh,
                          int nv, const uint8_t* dc_qis,
                          const int32_t* pp_dc_scale, int32_t* variances) {
   memset(variances, 0, sizeof(int32_t) * nh * nv);
-  const int32_t* vrow = variances;
-  const uint8_t* dq = dc_qis;
-  int y = 0;
-  uint8_t* d = dst;
-  const uint8_t* s = src;
-  for (; y < 4; y++) {
-    memcpy(d, s, width);
-    d += dst_ystride;
-    s += src_ystride;
-  }
-  int32_t* variance = variances;
-  int y_end = (nv - 1) << 3;
-  for (; y < y_end; y += 8) {
-    int qstep = pp_dc_scale[*dq];
-    int flimit = (qstep * 3) >> 2;
-    pp_filter_hedge(d, dst_ystride, s - src_ystride, src_ystride, qstep,
-                    flimit, variance, variance + nh);
-    variance++;
-    dq++;
-    for (int x = 8; x < width; x += 8) {
-      qstep = pp_dc_scale[*dq];
-      flimit = (qstep * 3) >> 2;
-      pp_filter_hedge(d + x, dst_ystride, s + x - src_ystride, src_ystride,
-                      qstep, flimit, variance, variance + nh);
-      pp_filter_vedge(d + x - (dst_ystride * 4) - 4, dst_ystride, qstep,
-                      flimit, variance - 1);
-      variance++;
-      dq++;
-    }
-    d += dst_ystride * 8;
-    s += src_ystride * 8;
-  }
-  for (; y < height; y++) {
-    memcpy(d, s, width);
-    d += dst_ystride;
-    s += src_ystride;
-  }
-  // Last row of vertical edges.
-  dq++;
-  for (int x = 8; x < width; x += 8) {
-    int qstep = pp_dc_scale[*dq++];
-    int flimit = (qstep * 3) >> 2;
-    pp_filter_vedge(d + x - (dst_ystride * 8) - 4, dst_ystride, qstep, flimit,
-                    variance++);
-  }
-  (void)vrow;
-}
-
-static void pp_dering_block(uint8_t* idata, int ystride, int b, int dc_scale,
-                            int sharp_mod, int strong) {
-  static const int MOD_MAX[2] = {24, 32};
-  static const int MOD_SHIFT[2] = {1, 0};
-  int vmod[72], hmod[72];
-  int mod_hi = 3 * dc_scale;
-  if (mod_hi > MOD_MAX[strong]) mod_hi = MOD_MAX[strong];
-  uint8_t* dst = idata;
-  const uint8_t* src = dst;
-  const uint8_t* psrc = src - (ystride & -!(b & 4));
-  for (int by = 0; by < 9; by++) {
-    for (int bx = 0; bx < 8; bx++) {
-      int mod = 32 + dc_scale - (abs(src[bx] - psrc[bx]) << MOD_SHIFT[strong]);
-      vmod[(by << 3) + bx] =
-          mod < -64 ? sharp_mod : (mod < 0 ? 0 : (mod > mod_hi ? mod_hi : mod));
-    }
-    psrc = src;
-    src += ystride & -(!(b & 8) | (by < 7));
-  }
-  const uint8_t* nsrc = dst;
-  psrc = dst - !(b & 1);
-  for (int bx = 0; bx < 9; bx++) {
-    src = nsrc;
-    for (int by = 0; by < 8; by++) {
-      int mod = 32 + dc_scale - (abs(*src - *psrc) << MOD_SHIFT[strong]);
-      hmod[(bx << 3) + by] =
-          mod < -64 ? sharp_mod : (mod < 0 ? 0 : (mod > mod_hi ? mod_hi : mod));
-      psrc += ystride;
-      src += ystride;
-    }
-    psrc = nsrc;
-    nsrc += !(b & 2) | (bx < 7);
-  }
-  src = dst;
-  psrc = src - (ystride & -!(b & 4));
-  nsrc = src + ystride;
-  for (int by = 0; by < 8; by++) {
-    int a, bb, w;
-    a = 128;
-    bb = 64;
-    w = hmod[by];
-    a -= w;
-    bb += w * *(src - !(b & 1));
-    w = vmod[by << 3];
-    a -= w;
-    bb += w * psrc[0];
-    w = vmod[(by + 1) << 3];
-    a -= w;
-    bb += w * nsrc[0];
-    w = hmod[(1 << 3) + by];
-    a -= w;
-    bb += w * src[1];
-    int v = (a * src[0] + bb) >> 7;
-    dst[0] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
-    for (int bx = 1; bx < 7; bx++) {
-      a = 128;
-      bb = 64;
-      w = hmod[(bx << 3) + by];
-      a -= w;
-      bb += w * src[bx - 1];
-      w = vmod[(by << 3) + bx];
-      a -= w;
-      bb += w * psrc[bx];
-      w = vmod[((by + 1) << 3) + bx];
-      a -= w;
-      bb += w * nsrc[bx];
-      w = hmod[((bx + 1) << 3) + by];
-      a -= w;
-      bb += w * src[bx + 1];
-      v = (a * src[bx] + bb) >> 7;
-      dst[bx] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
-    }
-    a = 128;
-    bb = 64;
-    w = hmod[(7 << 3) + by];
-    a -= w;
-    bb += w * src[6];
-    w = vmod[(by << 3) + 7];
-    a -= w;
-    bb += w * psrc[7];
-    w = vmod[((by + 1) << 3) + 7];
-    a -= w;
-    bb += w * nsrc[7];
-    w = hmod[(8 << 3) + by];
-    a -= w;
-    bb += w * src[7 + !(b & 2)];
-    v = (a * src[7] + bb) >> 7;
-    dst[7] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
-    dst += ystride;
-    psrc = src;
-    src = nsrc;
-    nsrc += ystride & -(!(b & 8) | (by < 6));
-  }
-}
-
-// Whole-plane dering (oc_dec_dering_frag_rows, fragy0=0, fragy_end=nv).
-// qi_per_frag: [nv*nh] frame qi per fragment (qis[frag.qii]).
-void th_pp_dering_plane(uint8_t* idata, int ystride, int width, int height,
-                        int nh, int nv, const uint8_t* qi_per_frag,
-                        const int32_t* pp_dc_scale, const int32_t* pp_sharp_mod,
-                        const int32_t* variances, int strong_level, int pli) {
-  const int T1 = 384, T2 = 4 * T1, T3 = 5 * T1, T4 = 10 * T1;
-  int sthresh = pli ? T4 : T3;
-  const int32_t* variance = variances;
-  const uint8_t* qp = qi_per_frag;
-  uint8_t* row = idata;
-  for (int y = 0; y < (nv << 3); y += 8) {
-    for (int x = 0; x < width; x += 8) {
-      int qi = *qp;
-      int var = *variance;
-      int b = (x <= 0) | ((x + 8 >= width) << 1) | ((y <= 0) << 2) |
-              ((y + 8 >= height) << 3);
-      if (strong_level && var > sthresh) {
-        pp_dering_block(row + x, ystride, b, pp_dc_scale[qi], pp_sharp_mod[qi], 1);
-        if (pli ||
-            (!(b & 1) && variance[-1] > T4) ||
-            (!(b & 2) && variance[1] > T4) ||
-            (!(b & 4) && variance[-nh] > T4) ||
-            (!(b & 8) && variance[nh] > T4)) {
-          pp_dering_block(row + x, ystride, b, pp_dc_scale[qi], pp_sharp_mod[qi], 1);
-          pp_dering_block(row + x, ystride, b, pp_dc_scale[qi], pp_sharp_mod[qi], 1);
+  for (int y = 0; y < height; y++)
+    memcpy(dst + (size_t)y * dst_stride, src + (size_t)y * src_stride, width);
+  // Phase H: every horizontal block boundary, reading the unfiltered
+  // source, writing dst.  Boundaries are mutually independent.
+  for (int k = 0; k + 1 < nv; k++) {
+    const int yb = (k << 3) + 8;  // boundary row
+    for (int bx = 0; bx < nh; bx++) {
+      const int32_t qstep = pp_dc_scale[dc_qis[k * nh + bx]];
+      const int32_t flimit = (qstep * 3) >> 2;
+      int32_t vout = 0, vinn = 0;
+      for (int c = bx << 3; c < (bx << 3) + 8; c++) {
+        int32_t win[10], sm[8], outer, inner;
+        const uint8_t* col = src + (size_t)(yb - 5) * src_stride + c;
+        for (int i = 0; i < 10; i++) win[i] = col[(size_t)i * src_stride];
+        pp_edge_stats(win, &outer, &inner);
+        vout += outer < 255 ? outer : 255;
+        vinn += inner < 255 ? inner : 255;
+        if (outer < flimit && inner < flimit &&
+            abs(win[5] - win[4]) < qstep) {
+          pp_tap7(win, sm);
+          uint8_t* dcol = dst + (size_t)(yb - 4) * dst_stride + c;
+          for (int i = 0; i < 8; i++)
+            dcol[(size_t)i * dst_stride] = (uint8_t)sm[i];
         }
-      } else if (var > T2) {
-        pp_dering_block(row + x, ystride, b, pp_dc_scale[qi], pp_sharp_mod[qi], 1);
-      } else if (var > T1) {
-        pp_dering_block(row + x, ystride, b, pp_dc_scale[qi], pp_sharp_mod[qi], 0);
       }
-      qp++;
-      variance++;
+      variances[k * nh + bx] += vout;       // block above the boundary
+      variances[(k + 1) * nh + bx] += vinn; // block below
     }
-    row += ystride * 8;
+  }
+  // Phase V: vertical boundaries in place on dst, left to right (a
+  // boundary reads one column its left neighbour may have written).
+  for (int bx = 1; bx < nh; bx++) {
+    const int xb = bx << 3;
+    for (int s = 0; s < nv; s++) {
+      const int32_t qstep = pp_dc_scale[dc_qis[s * nh + bx]];
+      const int32_t flimit = (qstep * 3) >> 2;
+      int32_t vout = 0, vinn = 0;
+      for (int r = s << 3; r < (s << 3) + 8; r++) {
+        int32_t win[10], sm[8], outer, inner;
+        uint8_t* row = dst + (size_t)r * dst_stride;
+        for (int i = 0; i < 10; i++) win[i] = row[xb - 5 + i];
+        pp_edge_stats(win, &outer, &inner);
+        vout += outer < 255 ? outer : 255;
+        vinn += inner < 255 ? inner : 255;
+        if (outer < flimit && inner < flimit &&
+            abs(win[5] - win[4]) < qstep) {
+          pp_tap7(win, sm);
+          for (int i = 0; i < 8; i++) row[xb - 4 + i] = (uint8_t)sm[i];
+        }
+      }
+      variances[s * nh + bx - 1] += vout;  // block left of the boundary
+      variances[s * nh + bx] += vinn;      // block right
+    }
+  }
+}
+
+// Dering one plane in place.  qi_per_frag: [nv*nh] frame qi per block;
+// variances: from th_pp_deblock_plane; strong_level: the pp level
+// requested strong dering for this plane.
+void th_pp_dering_plane(uint8_t* plane, int stride, int width, int height,
+                        int nh, int nv, const uint8_t* qi_per_frag,
+                        const int32_t* pp_dc_scale,
+                        const int32_t* pp_sharp_mod,
+                        const int32_t* variances, int strong_level,
+                        int pli) {
+  const int32_t T1 = 384, T2 = 4 * T1, T3 = 5 * T1, T4 = 10 * T1;
+  const int32_t sthresh = pli ? T4 : T3;
+  for (int by = 0; by < nv; by++) {
+    for (int bx = 0; bx < nh; bx++) {
+      const int32_t var = variances[by * nh + bx];
+      int npass = 0, strong = 0;
+      if (strong_level && var > sthresh) {
+        strong = 1;
+        npass = 1;
+        if (pli || (bx > 0 && variances[by * nh + bx - 1] > T4) ||
+            (bx + 1 < nh && variances[by * nh + bx + 1] > T4) ||
+            (by > 0 && variances[(by - 1) * nh + bx] > T4) ||
+            (by + 1 < nv && variances[(by + 1) * nh + bx] > T4))
+          npass = 3;
+      } else if (var > T2) {
+        strong = 1;
+        npass = 1;
+      } else if (var > T1) {
+        npass = 1;
+      }
+      if (!npass) continue;
+      const int32_t dc = pp_dc_scale[qi_per_frag[by * nh + bx]];
+      const int32_t sharp = pp_sharp_mod[qi_per_frag[by * nh + bx]];
+      const int32_t mod_max = strong ? 32 : 24;
+      const int32_t mod_hi = 3 * dc < mod_max ? 3 * dc : mod_max;
+      const int shift = strong ? 0 : 1;
+      // 10x10 neighbourhood through clamped indices (= plane-edge
+      // replication); interior borders are live neighbour pixels.
+      int32_t g[10][10];
+      const int y0 = by << 3, x0 = bx << 3;
+      for (int i = 0; i < 10; i++) {
+        int py = y0 + i - 1;
+        py = py < 0 ? 0 : (py >= height ? height - 1 : py);
+        const uint8_t* row = plane + (size_t)py * stride;
+        for (int j = 0; j < 10; j++) {
+          int px = x0 + j - 1;
+          px = px < 0 ? 0 : (px >= width ? width - 1 : px);
+          g[i][j] = row[px];
+        }
+      }
+      for (int p = 0; p < npass; p++) {
+        // Neighbour-edge weights from this pass's starting pixels.
+        int32_t vw[9][8], hw[8][9], cur[10][10];
+        for (int i = 0; i < 9; i++)
+          for (int j = 0; j < 8; j++) {
+            int32_t m = 32 + dc - (abs(g[i + 1][j + 1] - g[i][j + 1]) << shift);
+            vw[i][j] = m < -64 ? sharp : (m < 0 ? 0 : (m > mod_hi ? mod_hi : m));
+          }
+        for (int i = 0; i < 8; i++)
+          for (int j = 0; j < 9; j++) {
+            int32_t m = 32 + dc - (abs(g[i + 1][j + 1] - g[i + 1][j]) << shift);
+            hw[i][j] = m < -64 ? sharp : (m < 0 ? 0 : (m > mod_hi ? mod_hi : m));
+          }
+        memcpy(cur, g, sizeof(cur));
+        // In-place raster IIR: north/west taps read filtered pixels,
+        // centre/south/east read the pass-start copy.
+        for (int y = 0; y < 8; y++) {
+          for (int x = 0; x < 8; x++) {
+            const int32_t wn = vw[y][x], ws = vw[y + 1][x];
+            const int32_t ww = hw[y][x], we = hw[y][x + 1];
+            const int32_t acc =
+                (128 - wn - ws - ww - we) * cur[y + 1][x + 1] + 64 +
+                wn * g[y][x + 1] + ww * g[y + 1][x] +
+                ws * cur[y + 2][x + 1] + we * cur[y + 1][x + 2];
+            g[y + 1][x + 1] = pp_clamp255(acc >> 7);
+          }
+        }
+        // Refresh replicated borders of plane-edge blocks so the next
+        // pass sees its own updated pixels there.
+        if (by == 0) for (int j = 0; j < 10; j++) g[0][j] = g[1][j];
+        if (by == nv - 1) for (int j = 0; j < 10; j++) g[9][j] = g[8][j];
+        if (bx == 0) for (int i = 0; i < 10; i++) g[i][0] = g[i][1];
+        if (bx == nh - 1) for (int i = 0; i < 10; i++) g[i][9] = g[i][8];
+      }
+      for (int y = 0; y < 8; y++) {
+        uint8_t* row = plane + (size_t)(y0 + y) * stride + x0;
+        for (int x = 0; x < 8; x++) row[x] = (uint8_t)g[y + 1][x + 1];
+      }
+    }
   }
 }
 
