@@ -310,3 +310,90 @@ def test_twopass_ctl_roundtrip():
         ok = enc2.packetout(i == len(frames) - 1)
         total += len(ok.data)
     assert total > 0
+
+
+def test_set_compat_config(ref_tools, tmp_path):
+    """TH_ENCCTL_SET_COMPAT_CONFIG: adopt the quant params + Huffman
+    codes from a reference-encoder setup header (encode.c:1512-1537,
+    huffenc.c:919); the resulting stream must carry the adopted config
+    and decode bit-identically in the reference decoder."""
+    import subprocess
+
+    from theora_tpu.decode.decoder import Decoder
+    from theora_tpu.headers import (parse_info_header, parse_setup_header)
+    from theora_tpu.tpkt import Packet, write_tpkt
+
+    # A reference-produced setup header with non-default-looking params.
+    src_pkts = read_tpkt(os.path.join(TESTDATA, "cif_k4_q40.tpkt"))
+    setup_bytes = src_pkts[2].data
+
+    W, H = 64, 48
+    raw = np.fromfile(os.path.join(TESTDATA, "clip64x48.i420"), np.uint8)
+    fsz = W * H * 3 // 2
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H, quality=40
+    )
+    enc = compat.th_encode_alloc(info)
+    assert enc.ctl(compat.TH_ENCCTL_SET_COMPAT_CONFIG, setup_bytes) == 0
+    headers = []
+    while True:
+        p = enc.flushheader()
+        if p is None:
+            break
+        headers.append(p)
+    # The flushed setup header must round-trip to the adopted config.
+    adopted = parse_setup_header(setup_bytes)
+    ours = parse_setup_header(headers[2].data)
+    assert ours.qinfo == adopted.qinfo
+    assert [b.codes for b in ours.codebooks] == [
+        b.codes for b in adopted.codebooks
+    ]
+    pkts = list(headers)
+    for i in range(3):
+        f = raw[i * fsz : (i + 1) * fsz]
+        frame = [
+            f[: W * H].reshape(H, W),
+            f[W * H : W * H + fsz // 6].reshape(H // 2, W // 2),
+            f[W * H + fsz // 6 :].reshape(H // 2, W // 2),
+        ]
+        enc.ycbcr_in(frame)
+        pkts.append(enc.packetout(i == 2))
+    tp = tmp_path / "compatcfg.tpkt"
+    write_tpkt(str(tp), pkts)
+    out = tmp_path / "compatcfg.yuv"
+    res = subprocess.run(
+        [ref_tools[1], str(tp), str(out)], capture_output=True, timeout=60
+    )
+    assert res.returncode == 0, res.stderr
+    ref = np.fromfile(str(out), dtype=np.uint8).reshape(-1, fsz)
+    dec = Decoder(parse_info_header(pkts[0].data),
+                  parse_setup_header(pkts[2].data))
+    for i, p in enumerate(pkts[3:]):
+        dec.decode_packet(p.data)
+        mine = np.concatenate([pl.reshape(-1) for pl in dec.ycbcr_out()])
+        assert np.array_equal(mine, ref[i]), f"frame {i}"
+    # Still TH_EINVAL after headers are flushed.
+    assert enc.ctl(compat.TH_ENCCTL_SET_COMPAT_CONFIG,
+                   setup_bytes) == compat.TH_EINVAL
+
+
+def test_vp3_compat_operating_restrictions():
+    """VP3 compat is refused (value echoed back as 0) for non-4:2:0,
+    cropped, or >4095-super-block streams (encode.c:1405-1417)."""
+    ok = TheoraInfo(frame_width=64, frame_height=48, pic_width=64,
+                    pic_height=48, quality=40)
+    assert compat.th_encode_alloc(ok).ctl(
+        compat.TH_ENCCTL_SET_VP3_COMPATIBLE, 1) is True
+    crop = TheoraInfo(frame_width=80, frame_height=64, pic_width=75,
+                      pic_height=60, quality=40)
+    assert compat.th_encode_alloc(crop).ctl(
+        compat.TH_ENCCTL_SET_VP3_COMPATIBLE, 1) is False
+    fmt = TheoraInfo(frame_width=64, frame_height=48, pic_width=64,
+                     pic_height=48, quality=40, pixel_fmt=2)
+    assert compat.th_encode_alloc(fmt).ctl(
+        compat.TH_ENCCTL_SET_VP3_COMPATIBLE, 1) is False
+    # 2048x2048 luma alone is 4096 super blocks.
+    big = TheoraInfo(frame_width=2048, frame_height=2048, pic_width=2048,
+                     pic_height=2048, quality=40)
+    assert compat.th_encode_alloc(big).ctl(
+        compat.TH_ENCCTL_SET_VP3_COMPATIBLE, 1) is False

@@ -156,6 +156,27 @@ class th_enc_ctx:
                 return TH_EINVAL
             self._enc = Encoder(e.info, qinfo=buf, huff_codes=e.huff_codes)
             return 0
+        if req == TH_ENCCTL_SET_COMPAT_CONFIG:
+            # Adopt another encoder's setup header wholesale: quant
+            # params + Huffman codes (encode.c:1512-1537, the setup
+            # unpack via oc_quant_params_unpack + oc_huff_codes_unpack
+            # huffenc.c:919).
+            if self._headers_done:
+                return TH_EINVAL
+            from theora_tpu.headers import parse_setup_header
+
+            try:
+                setup = parse_setup_header(bytes(buf))
+            except Exception:
+                return TH_EBADHEADER
+            huff = []
+            for book in setup.codebooks:
+                per = [(0, 0)] * 32
+                for token, pattern, nbits in book.codes:
+                    per[token] = (pattern, nbits)
+                huff.append(per)
+            self._enc = Encoder(e.info, qinfo=setup.qinfo, huff_codes=huff)
+            return 0
         if req == TH_ENCCTL_2PASS_OUT:
             # Reference protocol (rate.c:878-936, encoder_example.c
             # :1190-1226): first call before any frame returns the
@@ -215,6 +236,17 @@ class th_enc_ctx:
             from theora_tpu import tables
 
             want = bool(buf)
+            # VP3 operating restrictions (encode.c:1405-1417): 4:2:0
+            # only, no cropped picture region, and <=4095 super blocks
+            # (VP3's RLE coding can overflow beyond that).  Like the
+            # reference, report the downgraded value instead of erroring.
+            if want and (
+                e.info.pixel_fmt != 0
+                or e.info.pic_width < e.info.frame_width
+                or e.info.pic_height < e.info.frame_height
+                or e.geometry.nsbs > 4095
+            ):
+                want = False
             if want:
                 self._enc = Encoder(
                     e.info,
