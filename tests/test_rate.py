@@ -357,3 +357,37 @@ def test_distributed_recovers_dropped_gop():
     assert len(healthy) == len(lossy) > 3
     for a, b in zip(healthy, lossy):
         assert a.data == b.data and a.granulepos == b.granulepos
+
+
+@pytest.mark.parametrize("target", [150000, 300000])
+def test_twopass_cbr_deviation(target):
+    """With exact future knowledge, 2-pass CBR must land within 5% of
+    target on the CIF clip (the pass-2 model-offset feedback; the
+    reference leaves up to 15% unspent here, rate.c:506-625)."""
+    W, H, frames = _frames()
+    frames = frames[:32]
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        target_bitrate=target, quality=0, fps_numerator=30,
+    )
+    enc1 = Encoder(info)
+    enc1.keyframe_freq = 8
+    enc1.rc = RateControl(info, enc1.dequant, 8)
+    enc1.rc.start_pass1()
+    body = b""
+    for i, fr in enumerate(frames):
+        enc1.encode_frame(fr, e_o_s=(i == len(frames) - 1))
+        body += enc1.rc.pass1_frame_data()
+    blob = enc1.rc.pass1_summary() + body
+    for buf_delay in (None, 16):
+        enc = Encoder(info)
+        enc.keyframe_freq = 8
+        enc.rc = RateControl(info, enc.dequant, 8)
+        pkts = enc.flush_headers()
+        enc.rc.start_pass2(blob, buf_delay=buf_delay)
+        for i, fr in enumerate(frames):
+            pkts.append(enc.encode_frame(fr, e_o_s=(i == len(frames) - 1)))
+        bits = sum(len(p.data) * 8 for p in pkts[3:])
+        goal = target * len(frames) / 30.0
+        dev = (bits - goal) / goal
+        assert abs(dev) <= 0.05, (target, buf_delay, dev)

@@ -196,6 +196,26 @@ class RateControl:
         self.nencoded = 0
         self._frames_since_kf = 0
         self.log_qtarget = self.log_qavg[0][max(self.qi_min, 40)]
+        # Pass-2 model correction: pass-1 scales were measured at the
+        # pass-1 qi, and the rate = scale * q^-exp model carries a
+        # systematic offset at a different operating qi.  One-pass mode
+        # self-corrects because its scale follower tracks *realized*
+        # scales; two-pass would otherwise keep the offset for the whole
+        # clip (the reference does, under-spending up to ~15%).  We
+        # learn the log-domain offset online per frame type from
+        # realized-vs-pass-1 scale and add it to the window estimates.
+        self._tp_bias = [0.0, 0.0]
+        self._tp_bias_n = [0, 0]
+        self._tp_raw_cur_scale = None
+
+    def _tp_bias_for(self, qti: int) -> float:
+        """Learned pass-2 model offset for a frame type, borrowing the
+        other type's estimate before any sample of our own exists."""
+        if self._tp_bias_n[qti] > 0:
+            return self._tp_bias[qti]
+        if self._tp_bias_n[1 - qti] > 0:
+            return self._tp_bias[1 - qti]
+        return 0.0
 
     # ------------------------------------------------------------------
     def resize_buffer(self, buf_delay: int, started: bool = True) -> None:
@@ -430,6 +450,14 @@ class RateControl:
             )
             self.frame_metrics.append(self._cur_metrics)
         elif self.twopass == 2 and not trial:
+            if bits > 0 and self._tp_raw_cur_scale is not None:
+                # Model-offset sample: realized scale vs the pass-1
+                # scale the prediction was based on (see _reset).
+                sample = log_scale - self._tp_raw_cur_scale
+                n = min(self._tp_bias_n[qti], 15)
+                self._tp_bias[qti] = (self._tp_bias[qti] * n + sample) \
+                    / (n + 1)
+                self._tp_bias_n[qti] += 1
             self._tp_advance_window(dup_count)
         dropped = False
         if bits > 0:
@@ -665,6 +693,7 @@ class RateControl:
             # Encoding past the last pass-1 record: degenerate 1-frame
             # window using the follower's current estimate.
             self._tp_log_cur_scale = log_cur_scale
+            self._tp_raw_cur_scale = None
             nf = [0, 0]
             nf[qti] = 1
             return nf, 1, 0, None
@@ -724,5 +753,15 @@ class RateControl:
                 + 2.0 ** self.scalefilter[1].y0 * nextra
             nframes[1] += nextra
             self.log_scale[1] = math.log2(max(scale / nframes[1], 1e-12))
+        # Apply the learned model offset (see _reset); keep the raw
+        # pass-1 scale of the current frame so update() can measure the
+        # next offset sample against it.
+        for t in (0, 1):
+            self.log_scale[t] += self._tp_bias_for(t)
+        if cur.frame_type == qti:
+            self._tp_raw_cur_scale = log_cur_scale
+            log_cur_scale += self._tp_bias_for(qti)
+        else:
+            self._tp_raw_cur_scale = None
         self._tp_log_cur_scale = log_cur_scale
         return nframes, buf_delay, buf_pad, None
