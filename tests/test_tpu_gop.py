@@ -236,3 +236,34 @@ def test_encode_clip_granulepos():
     assert gps[4] == (5 << shift)
     assert gps[3] == (1 << shift) + 3
     assert pkts[-1].e_o_s
+
+
+@pytest.mark.parametrize("stream", ["clip64x48_k8_q20", "cif_cbr"])
+def test_transcode_device_byte_identity(stream):
+    """Device-resident transcode (decode scan -> encode scan, pixels
+    never leaving the device) must produce byte-identical packets to
+    host-decoding the stream and encoding the frames with
+    TpuGopEncoder.encode_clip.  cif_cbr includes dup (0-byte) packets,
+    exercising the emit-index expansion."""
+    from theora_tpu.encode.tpu_gop import transcode_device
+    from theora_tpu.tpkt import read_tpkt
+
+    pkts = read_tpkt(os.path.join(TESTDATA, f"{stream}.tpkt"))
+    info = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
+    data = [p.data for p in pkts[3:]][:12]
+
+    # Host reference: scalar decode, then the device encoder on frames.
+    dec = Decoder(info, setup)
+    frames = []
+    for d in data:
+        dec.decode_packet(d)
+        frames.append([p.copy() for p in dec.ycbcr_out()])
+    enc = TpuGopEncoder(info, qi=40)
+    want = enc.encode_clip(frames, keyframe_freq=6)
+
+    got = transcode_device(info, setup, data, keyframe_freq=6, qi=40)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a.data == b.data
+        assert a.granulepos == b.granulepos

@@ -165,6 +165,31 @@ class TpuBatchDecoder(Decoder):
         The batch must start at a decodable point (keyframe or existing
         reference state); dup packets repeat the previous output.
         Chained calls keep the reference state on device."""
+        g = self.geometry
+        st = self.dispatch_batch(packets)
+        if st is None:
+            return [self.ycbcr_out() for _ in packets]
+        out_planes = {pli: np.asarray(p) for pli, p in st["dev"].items()}
+        outs = []
+        for li in st["emit"]:
+            frame_out = []
+            for pli in range(3):
+                h, w = g.plane_shape(pli)
+                p = out_planes[pli][li][:h, :w]
+                frame_out.append(p[::-1].copy())
+            outs.append(frame_out)
+        return outs
+
+    def dispatch_batch(self, packets: list[bytes]):
+        """Parse the batch on host and enqueue the device decode scans
+        WITHOUT downloading pixels.  Returns None when the batch holds
+        no live frames (all dups), else a state dict with
+        dev: {pli: [F_live, h, w] device uint8 planes, bitstream
+        orientation, UMV padding cropped} and emit: per-packet index
+        into the live axis (dups repeat their predecessor).  The
+        device-resident transcode path feeds dev straight into
+        TpuGopEncoder.dispatch_gop(device_planes=...) so decoded pixels
+        never cross the host link."""
         import jax
         import jax.numpy as jnp
 
@@ -216,7 +241,7 @@ class TpuBatchDecoder(Decoder):
             )
         live = [f for f in per_frame if f is not None]
         if not live:
-            return [self.ycbcr_out() for _ in packets]
+            return None
 
         # Stack per-plane inputs over live frames and scan on device.
         out_planes = {}
@@ -325,7 +350,7 @@ class TpuBatchDecoder(Decoder):
                 jnp.asarray(arrs["ik"]),
                 pl.nvfrags, pl.nhfrags, vpad, hpad, use_pallas,
             )
-            out_planes[pli] = np.asarray(planes)
+            out_planes[pli] = planes
             new_dev_refs[pli] = (prev_out, gold_out)
         self._dev_refs = new_dev_refs
 
@@ -351,20 +376,15 @@ class TpuBatchDecoder(Decoder):
                 self.ref_idx[FRAME_GOLD] = gold_i
         self._out_frame = self.buffers[refi]
 
-        # Assemble display-orientation outputs (dup packets repeat);
-        # device already cropped the UMV padding.
-        outs = []
+        # Per-packet emit index into the live axis (dup packets repeat;
+        # device already cropped the UMV padding).
+        emit = []
         li = -1
         for fr in per_frame:
             if fr is not None:
                 li += 1
-            frame_out = []
-            for pli in range(3):
-                h, w = g.plane_shape(pli)
-                p = out_planes[pli][max(li, 0)][:h, :w]
-                frame_out.append(p[::-1].copy())
-            outs.append(frame_out)
-        return outs
+            emit.append(max(li, 0))
+        return {"dev": out_planes, "emit": emit}
 
     def sync_refs_to_host(self) -> None:
         """Materialize the device-resident reference planes into the

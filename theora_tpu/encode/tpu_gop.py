@@ -644,23 +644,34 @@ class TpuGopEncoder:
         return self.finish_gop(outs)
 
     # ------------------------------------------------------------------
-    def dispatch_gop(self, gop_frames: list, want_recon: bool = False):
+    def dispatch_gop(self, gop_frames: list | None = None,
+                     want_recon: bool = False, device_planes=None):
         """Upload + enqueue all device work for one GOP without blocking
         on the results (the fused ME plan forces one small download for
         the host mode decision; the heavy per-plane scans stay in
         flight).  Returns an opaque state for finish_gop, letting the
         caller overlap this GOP's device compute with the previous GOP's
-        host entropy coding."""
+        host entropy coding.
+
+        device_planes: optional {pli: [F, h, w] uint8 device arrays,
+        bitstream orientation} replacing gop_frames entirely -- the
+        device-resident transcode input (TpuBatchDecoder.dispatch_batch
+        output); no pixel crosses the host link."""
         import jax.numpy as jnp
 
         g = self.g
-        F = len(gop_frames)
-        planes_bs = [
-            [p[::-1].astype(np.uint8) for p in fr] for fr in gop_frames
-        ]
-        # One upload per frame of luma: the same device buffer feeds the
-        # fused ME dispatch and the luma encode scan.
-        ys_d = jnp.asarray(np.stack([fr[0] for fr in planes_bs]))
+        if device_planes is not None:
+            ys_d = device_planes[0]
+            F = int(ys_d.shape[0])
+            planes_bs = None
+        else:
+            F = len(gop_frames)
+            planes_bs = [
+                [p[::-1].astype(np.uint8) for p in fr] for fr in gop_frames
+            ]
+            # One upload per frame of luma: the same device buffer feeds
+            # the fused ME dispatch and the luma encode scan.
+            ys_d = jnp.asarray(np.stack([fr[0] for fr in planes_bs]))
         plans = self._gop_plan(ys_d)
 
         nfrags = g.nfrags
@@ -680,14 +691,19 @@ class TpuGopEncoder:
                                       "o2x", "u2", "ms")}
             for f in range(F):
                 rs, fmv, ms = frame_frag[f]
-                d = self._plane_inputs(pli, planes_bs[f], rs, fmv, ms,
+                d = self._plane_inputs(pli, None, rs, fmv, ms,
                                        with_cur=False)
                 for k in stacks:
                     stacks[k].append(d[k])
             arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items()}
-            cur_pl = ys_d if pli == 0 else jnp.asarray(
-                np.stack([planes_bs[f][pli] for f in range(F)])
-            )
+            if pli == 0:
+                cur_pl = ys_d
+            elif device_planes is not None:
+                cur_pl = device_planes[pli]
+            else:
+                cur_pl = jnp.asarray(
+                    np.stack([planes_bs[f][pli] for f in range(F)])
+                )
             is_intra = jnp.asarray(
                 np.array([f == 0 for f in range(F)], bool)
             )
@@ -865,6 +881,104 @@ class TpuGopEncoder:
                 emit(pbase, datas)
             pending = state
         return out
+
+
+def transcode_device(info, setup, data_packets, keyframe_freq: int = 8,
+                     qi: int = 40, target_bitrate: int = 0,
+                     rate_window: int = 8, enc_kwargs: dict | None = None):
+    """Device-resident transcode: TpuBatchDecoder -> TpuGopEncoder with
+    the decoded YCbCr planes never leaving the device.
+
+    The reference can only couple a decoder to an encoder through raw
+    frames in host memory (examples/encoder_example.c decode->encode
+    style loops); here the decode scan's output planes feed the encode
+    scans as device arrays, so per GOP only the *coefficients* cross the
+    link (sparse up for decode, sparse down for encode) -- the ~55 MB of
+    YUV per 16 720p frames that bound the separate pipelines never
+    moves.
+
+    data_packets: the input stream's data packet bytes (headers already
+    parsed into info/setup).  Output keyframes are placed every
+    keyframe_freq frames regardless of input GOP structure (decode
+    batches may start anywhere once reference state exists).  Returns
+    the full output packet list (headers + data).  Output is
+    byte-identical to host-decoding the stream and feeding the frames to
+    TpuGopEncoder.encode_clip with the same settings.
+
+    With target_bitrate > 0 the fixed-window CBR controller steers qi
+    between GOP windows (sequential, like encode_clip); otherwise GOP
+    k+1's decode+encode device work overlaps GOP k's host entropy
+    coding.
+    """
+    import jax.numpy as jnp
+
+    from theora_tpu.decode.tpu_batch import TpuBatchDecoder
+
+    dec = TpuBatchDecoder(info, setup)
+    enc = TpuGopEncoder(info, qi=qi, **(enc_kwargs or {}))
+    out = enc.flush_headers()
+    shift = info.keyframe_granule_shift
+    pno = 3
+    nf = len(data_packets)
+    bases = list(range(0, nf, keyframe_freq))
+    rc = (
+        WindowRateController(enc, target_bitrate, rate_window)
+        if target_bitrate > 0 else None
+    )
+
+    def emit(pbase, datas):
+        nonlocal pno
+        for j, data in enumerate(datas):
+            fnum = pbase + j
+            gp = ((pbase + 1) << shift) + (fnum - pbase)
+            out.append(Packet(
+                data, granulepos=gp, packetno=pno,
+                e_o_s=(fnum == nf - 1),
+            ))
+            pno += 1
+
+    prev_last = None  # last decoded frame's planes (all-dup chunks)
+
+    def dispatch_chunk(base):
+        nonlocal prev_last
+        chunk = data_packets[base:base + keyframe_freq]
+        st = dec.dispatch_batch(chunk)
+        if st is None:
+            if prev_last is None:
+                raise ValueError("stream must start with a live frame")
+            dev = {
+                pli: jnp.broadcast_to(
+                    p, (len(chunk),) + p.shape
+                ).astype(jnp.uint8)
+                for pli, p in prev_last.items()
+            }
+        else:
+            emit_idx = st["emit"]
+            dev = st["dev"]
+            if emit_idx != list(range(len(chunk))):
+                idx = jnp.asarray(np.asarray(emit_idx, np.int32))
+                dev = {pli: p[idx] for pli, p in dev.items()}
+        prev_last = {pli: p[-1] for pli, p in dev.items()}
+        return enc.dispatch_gop(device_planes=[dev[0], dev[1], dev[2]])
+
+    if rc is not None:
+        for gi, base in enumerate(bases):
+            datas, _ = enc.finish_gop(dispatch_chunk(base))
+            emit(base, datas)
+            rc.add(8 * sum(len(d) for d in datas), len(datas))
+            if (gi + 1) % rate_window == 0:
+                rc.update()
+        rc.update()
+        return out
+    pending = None
+    for base in bases + [None]:
+        state = (base, dispatch_chunk(base)) if base is not None else None
+        if pending is not None:
+            pbase, pstate = pending
+            datas, _ = enc.finish_gop(pstate)
+            emit(pbase, datas)
+        pending = state
+    return out
 
 
 class WindowRateController:
