@@ -21,6 +21,7 @@ from theora_tpu.headers import (
     parse_setup_header,
 )
 from theora_tpu.info import TheoraInfo
+from theora_tpu.tpkt import Packet
 
 
 def _load_clip(name, w, h, n):
@@ -267,3 +268,88 @@ def test_transcode_device_byte_identity(stream):
     for a, b in zip(got, want):
         assert a.data == b.data
         assert a.granulepos == b.granulepos
+
+
+def test_4mv_and_golden_mv_modes():
+    """The device tier's full 8-mode alphabet: content built so 4MV and
+    GOLDEN_MV win some macroblocks; the plan must actually choose them,
+    the closed-loop recon must equal the decoder bit-for-bit, and the
+    stream must decode identically in the reference decoder."""
+    from theora_tpu.constants import MODE_GOLDEN_MV, MODE_INTER_MV_FOUR
+    from theora_tpu.tpkt import write_tpkt
+
+    if not ensure_ref_oracle():
+        pytest.skip("reference oracle unavailable")
+    rng = np.random.RandomState(3)
+    W, H = 96, 64
+    y0 = rng.randint(0, 256, (H, W)).astype(np.uint8)
+    u0 = rng.randint(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    v0 = rng.randint(0, 256, (H // 2, W // 2)).astype(np.uint8)
+
+    def frame(y):
+        return [y, u0, v0]
+
+    frames = [frame(y0)]
+    # Frame 1: the band boundary sits mid-MB (y=24), so the MBs of
+    # grid row 1 have their top blocks moving right and bottom blocks
+    # moving left -- per-block vectors (4MV) fit, one MB vector cannot.
+    y1 = y0.copy()
+    y1[:24] = np.roll(y0[:24], 4, axis=1)
+    y1[24:] = np.roll(y0[24:], -4, axis=1)
+    frames.append(frame(y1))
+    # Frame 2: unrelated noise (prev becomes useless).
+    frames.append(frame(rng.randint(0, 256, (H, W)).astype(np.uint8)))
+    # Frame 3: a clean global shift of the KEYFRAME -- golden + MV wins
+    # over the noise in prev.
+    frames.append(frame(np.roll(y0, (2, 5), (0, 1))))
+
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=48,
+    )
+    enc = TpuGopEncoder(info, qi=48)
+    state = enc.dispatch_gop(frames, want_recon=True)
+    plans = state[1]
+    modes_used = set()
+    for mm, mv, bm in plans:
+        modes_used.update(int(m) for m in mm[mm >= 0])
+    assert MODE_INTER_MV_FOUR in modes_used, modes_used
+    assert MODE_GOLDEN_MV in modes_used, modes_used
+    datas, recon = enc.finish_gop(state)
+    # Closed loop == decoder, bit for bit.
+    g = enc.g
+    for f, dec in enumerate(_decode_all(enc, datas)):
+        for pli in range(3):
+            vpad, hpad = g.plane_padding(pli)
+            hh, ww = g.plane_shape(pli)
+            got = dec._out_frame.planes[pli][
+                vpad : vpad + hh, hpad : hpad + ww
+            ]
+            want = recon[pli][f][vpad : vpad + hh, hpad : hpad + ww]
+            assert np.array_equal(got, want), (f, pli)
+    # Reference decoder agrees byte for byte.
+    hp = enc.flush_headers()
+    shift = info.keyframe_granule_shift
+    pkts = list(hp)
+    for j, d in enumerate(datas):
+        pkts.append(Packet(d, granulepos=(1 << shift) + j, packetno=3 + j,
+                           e_o_s=(j == len(datas) - 1)))
+    tpkt = "/tmp/test_tpu_4mv.tpkt"
+    yuv = "/tmp/test_tpu_4mv.yuv"
+    write_tpkt(tpkt, pkts)
+    subprocess.run(
+        [os.path.join(REPO_ROOT, "refbuild", "build", "ref_dec"),
+         tpkt, yuv],
+        check=True, capture_output=True,
+    )
+    ref = open(yuv, "rb").read()
+    dinfo = parse_info_header(hp[0].data)
+    parse_comment_header(hp[1].data)
+    setup = parse_setup_header(hp[2].data)
+    dec = Decoder(dinfo, setup)
+    ours = bytearray()
+    for d in datas:
+        dec.decode_packet(d)
+        for pl in dec.ycbcr_out():
+            ours += pl.tobytes()
+    assert bytes(ours) == ref

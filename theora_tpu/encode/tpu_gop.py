@@ -18,13 +18,16 @@ frame is one tensor program.  ME legality comes from the reference's own
 *_ORIG design (mcenc.c:314-316): search references are source frames,
 never reconstructions, so whole-GOP ME has no sequential dependency.
 
-Mode set: INTER_NOMV / INTER_MV / INTER_MV_LAST / INTER_MV_LAST2 /
-GOLDEN_NOMV / INTRA.  The LAST modes (the host tier's biggest win) need
-the decoder's sequential MV-predictor state; the split here keeps the
-expensive part batched: the device scores every MB against the frame's
-top-K shared candidate vectors in one dispatch (me_jax.mv_cand_sads),
-then a trivial host pass walks MBs in transmission order consulting
-those precomputed SADs -- arithmetic only, no pixels touched on host.
+Mode set: the full 8-mode alphabet -- INTER_NOMV / INTER_MV /
+INTER_MV_LAST / INTER_MV_LAST2 / INTER_MV_FOUR / GOLDEN_NOMV /
+GOLDEN_MV / INTRA (analyze.c:2288-2711).  The LAST modes (and 4MV's
+last-block update of the decoder's MV predictor) need sequential
+state; the split here keeps the expensive part batched: the device
+scores every MB against the frame's top-K shared candidate vectors,
+the golden-frame search, and the per-block 4MV refine in one dispatch
+(me_jax.plan_from_gop), then a trivial host pass walks MBs in
+transmission order consulting those precomputed SADs -- arithmetic
+only, no pixels touched on host.
 """
 from __future__ import annotations
 
@@ -38,8 +41,10 @@ from theora_tpu.constants import (
     FRAME_PREV,
     FRAME_SELF,
     MODE_INTRA,
+    MODE_GOLDEN_MV,
     MODE_GOLDEN_NOMV,
     MODE_INTER_MV,
+    MODE_INTER_MV_FOUR,
     MODE_INTER_MV_LAST,
     MODE_INTER_MV_LAST2,
     MODE_INTER_NOMV,
@@ -117,26 +122,24 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
             # named_scope labels group profiler traces by codec stage
             # (theora_tpu/debug.py).
             with jax.named_scope("mc"):
-                # The device mode set reaches the golden frame only via
-                # GOLDEN_NOMV (zero MV, no half-pel), so the golden
-                # prediction is just the co-located interior block --
-                # no shifted neighborhood tensor, no [n, wy, wx] select.
+                # Per-fragment reference select on the neighborhood
+                # tensors, then one half-pel MC select -- the decode
+                # scan's pattern (decode/tpu_batch.py), so GOLDEN_MV
+                # uses the same offset arrays as the prev modes
+                # (GOLDEN_NOMV falls out as the zero-offset case).
                 nb_p = mc.block_neighborhoods(prev, nv, nh, pad_y, pad_x)
+                nb_g = mc.block_neighborhoods(gold, nv, nh, pad_y, pad_x)
                 unc_all = mc.plane_to_blocks(prev, nv, nh, pad_y, pad_x)
-                gold_all = mc.plane_to_blocks(gold, nv, nh, pad_y, pad_x)
                 if frag_axis is None:
-                    nbs_p, unc, gold_blk = nb_p, unc_all, gold_all
+                    nbs_p, nbs_g, unc = nb_p, nb_g, unc_all
                 else:
                     nbs_p = jnp.take(nb_p, fi, axis=0)
+                    nbs_g = jnp.take(nb_g, fi, axis=0)
                     unc = jnp.take(unc_all, fi, axis=0)
-                    gold_blk = jnp.take(gold_all, fi, axis=0)
                 unc = unc.astype(jnp.int32)
-                s1, s2 = mc.mc_select2(nbs_p, y1, x1, y2, x2, pad_y, pad_x)
+                nbs = jnp.where((rsf == 2)[:, None, None], nbs_g, nbs_p)
+                s1, s2 = mc.mc_select2(nbs, y1, x1, y2, x2, pad_y, pad_x)
                 selv = jnp.where(u2[:, None, None], (s1 + s2) >> 1, s1)
-                selv = jnp.where(
-                    (rsf == 2)[:, None, None], gold_blk.astype(jnp.int32),
-                    selv,
-                )
                 pred = jnp.where((rsf == 0)[:, None, None], 128, selv)
             curi = curf.astype(jnp.int32)
             with jax.named_scope("fdct"):
@@ -366,6 +369,13 @@ class TpuGopEncoder:
         frag0 = g.mb_maps[self._mb_list, 0, 0]
         self._mb_row = g.frag_y[frag0] // 2
         self._mb_col = g.frag_x[frag0] // 2
+        # Per-MB luma block grid coordinates (mb_maps bi order) and
+        # whether the MB has all 4 luma blocks (4MV eligibility),
+        # precomputed for the per-frame mode-decision walk.
+        nh8 = g.planes[0].nhfrags
+        lf = g.mb_maps[self._mb_list, 0]  # [nmb, 4] plane-local luma ids
+        self._mb_birc = np.stack([lf // nh8, lf % nh8], axis=-1)
+        self._mb_all4 = (lf >= 0).all(axis=1)
         # Trellis token bit costs [64, 32]: Huffman code length + extra
         # bits at the initial table prediction (encoder.py _trellis_nb;
         # the host packer still selects the frame's tables exactly).
@@ -445,27 +455,6 @@ class TpuGopEncoder:
         )
 
     # ------------------------------------------------------------------
-    def _gop_plan(self, ys):
-        """Batched ME + mode decision for frames 1..F-1 of a GOP.
-
-        ys: [F, H, W] u8 luma (bitstream orientation; numpy or an
-        already-uploaded device array).  Returns per-frame
-        (mb_modes [nmbs], mb_mvs [nmbs, 2]) host arrays.
-        """
-        import jax
-
-        from theora_tpu.ops import me_jax
-
-        F = ys.shape[0]
-        if F < 2:
-            return []
-        # One fused dispatch: ME + all SADs + candidate selection +
-        # candidate SADs; cur/prev/gold derive from ys on device so the
-        # GOP's luma crosses the link exactly once.
-        outs = me_jax.plan_from_gop(jax.numpy.asarray(ys))
-        return self._decide_frames(jax.device_get(outs), F - 1)
-
-    # ------------------------------------------------------------------
     def _plan_frames(self, cur, prev, gold):
         """ME + mode decision for a batch of B independent frames.
 
@@ -491,22 +480,27 @@ class TpuGopEncoder:
         """Host mode decision over the downloaded fused-plan arrays
         (transfer-compact dtypes widened back to int32)."""
         (mv, sad_mv, sad_nomv, sad_gold, sad_intra, cands,
-         cand_sads) = (np.asarray(o).astype(np.int32) for o in outs)
+         cand_sads, gmv, sad_gmv, bmv, bsad) = (
+            np.asarray(o).astype(np.int32) for o in outs
+        )
         return [
             self._decide_frame(
                 fi, mv, sad_mv, sad_nomv, sad_gold, sad_intra,
-                cands, cand_sads,
+                cands, cand_sads, gmv, sad_gmv, bmv, bsad,
             )
             for fi in range(B)
         ]
 
     # ------------------------------------------------------------------
     def _decide_frame(self, fi, mv, sad_mv, sad_nomv, sad_gold, sad_intra,
-                      cands, cand_sads):
+                      cands, cand_sads, gmv, sad_gmv, bmv, bsad):
         """Sequential LAST/LAST2-aware mode decision for one frame --
         the host tier's policy (encoder.py) over device-precomputed
-        SADs.  Walks MBs in transmission (mbi) order maintaining the
-        decoder's last/prior MV state (decode.c:806-900)."""
+        SADs, now over the full 8-mode alphabet (analyze.c:2288-2711):
+        NOMV/MV/LAST/LAST2/4MV/GOLDEN_NOMV/GOLDEN_MV/INTRA.  Walks MBs
+        in transmission (mbi) order maintaining the decoder's last/prior
+        MV state (decode.c:806-900); 4MV advances last to the final luma
+        block's vector, GOLDEN_MV leaves the state untouched."""
         g = self.g
         b = self._bias_scale
         MVB = self._mv_bits_sad
@@ -517,11 +511,15 @@ class TpuGopEncoder:
         }
         mb_modes = np.where(g.mb_valid, 0, -1).astype(np.int32)
         mb_mvs = np.zeros((g.nmbs, 2), dtype=np.int32)
+        mb_bmvs = np.zeros((g.nmbs, 4, 2), dtype=np.int32)
         last = (0, 0)
         prior = (0, 0)
         for i, mbi in enumerate(self._mb_list):
             r, c = self._mb_row[i], self._mb_col[i]
             best = (int(mv[fi, r, c, 0]), int(mv[fi, r, c, 1]))
+            gbest = (int(gmv[fi, r, c, 0]), int(gmv[fi, r, c, 1]))
+            # Luma block grid rows/cols for this MB, in mb_maps bi order.
+            bi_rc = self._mb_birc[i]
 
             def sad_at(v):
                 if v == best:
@@ -538,9 +536,20 @@ class TpuGopEncoder:
             )
             if self._no_mc:
                 best = (0, 0)
+                gbest = (0, 0)
             if best != (0, 0):
                 costs.append((int(sad_mv[fi, r, c]) + MVB,
                               MODE_INTER_MV, best))
+            if gbest != (0, 0):
+                costs.append(
+                    (int(sad_gmv[fi, r, c]) + MVB + 80 * b,
+                     MODE_GOLDEN_MV, gbest)
+                )
+            if not self._no_mc and self._mb_all4[i]:
+                s4 = int(bsad[fi, bi_rc[:, 0], bi_rc[:, 1]].sum())
+                costs.append(
+                    (s4 + 640 * b + 4 * MVB, MODE_INTER_MV_FOUR, None)
+                )
             if last != (0, 0):
                 s = sad_at(last)
                 if s is not None:
@@ -560,12 +569,22 @@ class TpuGopEncoder:
             elif mode == MODE_INTER_MV_LAST2:
                 mb_mvs[mbi] = vec
                 prior, last = last, prior
-        return mb_modes, mb_mvs
+            elif mode == MODE_GOLDEN_MV:
+                mb_mvs[mbi] = vec
+            elif mode == MODE_INTER_MV_FOUR:
+                mb_bmvs[mbi] = bmv[fi, bi_rc[:, 0], bi_rc[:, 1]]
+                # All 4 luma blocks stay coded (skip rule), so the
+                # decoder's last advances to block bi=3's vector.
+                prior = last
+                last = (int(mb_bmvs[mbi, 3, 0]), int(mb_bmvs[mbi, 3, 1]))
+        return mb_modes, mb_mvs, mb_bmvs
 
     # ------------------------------------------------------------------
-    def _frag_plan(self, mb_modes, mb_mvs):
-        """Per-fragment refsel/mv/may_skip from the MB plan."""
+    def _frag_plan(self, mb_modes, mb_mvs, mb_bmvs=None):
+        """Per-fragment refsel/mv/may_skip from the MB plan.
+        mb_bmvs: [nmbs, 4, 2] per-luma-block vectors for 4MV MBs."""
         g = self.g
+        info = self.info
         nfrags = g.nfrags
         refsel = np.zeros(nfrags, dtype=np.int8)
         frag_mv = np.zeros((nfrags, 2), dtype=np.int32)
@@ -575,10 +594,13 @@ class TpuGopEncoder:
         rs_of[MODE_INTER_MV] = 1
         rs_of[MODE_INTER_MV_LAST] = 1
         rs_of[MODE_INTER_MV_LAST2] = 1
+        rs_of[MODE_INTER_MV_FOUR] = 1
         rs_of[MODE_GOLDEN_NOMV] = 2
+        rs_of[MODE_GOLDEN_MV] = 2
         rs_of[MODE_INTRA] = 0
         mv_modes = np.zeros(64, bool)
-        for m in (MODE_INTER_MV, MODE_INTER_MV_LAST, MODE_INTER_MV_LAST2):
+        for m in (MODE_INTER_MV, MODE_INTER_MV_LAST, MODE_INTER_MV_LAST2,
+                  MODE_GOLDEN_MV):
             mv_modes[m] = True
         maps = g.mb_maps[self._mb_list]          # [nmb, 3, 4]
         modes = mb_modes[self._mb_list]
@@ -591,6 +613,45 @@ class TpuGopEncoder:
         frag_mv[flat[ok]] = np.where(
             mv_modes[rep_modes[ok]][:, None], rep_mvs[ok], 0
         )
+        # 4MV: per-block luma vectors, chroma from their per-format
+        # average (the decoder's derivation, state.c:33-97).
+        if mb_bmvs is not None and (modes == MODE_INTER_MV_FOUR).any():
+            pf = int(info.pixel_fmt)
+
+            def div_round(v, shift, rval):
+                return (int(v) + (-1 if v < 0 else 0) + rval) >> shift
+
+            for i in np.where(modes == MODE_INTER_MV_FOUR)[0]:
+                mbi = self._mb_list[i]
+                lb = mb_bmvs[mbi]
+                for bi in range(4):
+                    fragi = g.mb_maps[mbi, 0, bi]
+                    if fragi >= 0:
+                        frag_mv[fragi] = lb[bi]
+                cb = [(0, 0)] * 4
+                if pf == 0:
+                    dx = int(lb[:, 0].sum())
+                    dy = int(lb[:, 1].sum())
+                    cb[0] = (div_round(dx, 2, 2), div_round(dy, 2, 2))
+                elif pf == 2:
+                    for k, (a, bb) in enumerate(((0, 1), (2, 3))):
+                        cb[k * 2] = (
+                            div_round(int(lb[a, 0] + lb[bb, 0]), 1, 1),
+                            div_round(int(lb[a, 1] + lb[bb, 1]), 1, 1),
+                        )
+                elif pf == 1:
+                    for k, (a, bb) in enumerate(((0, 2), (1, 3))):
+                        cb[k] = (
+                            div_round(int(lb[a, 0] + lb[bb, 0]), 1, 1),
+                            div_round(int(lb[a, 1] + lb[bb, 1]), 1, 1),
+                        )
+                else:
+                    cb = [tuple(v) for v in lb]
+                for pli in (1, 2):
+                    for bi in range(4):
+                        fragi = g.mb_maps[mbi, pli, bi]
+                        if fragi >= 0:
+                            frag_mv[fragi] = cb[bi]
         # Luma: only NOMV blocks may skip (mode transmission rides on
         # coded luma; untransmitted modes decode as NOMV).  Chroma: any
         # mode (uncoded chroma is a zero-MV prev copy regardless).
@@ -657,9 +718,23 @@ class TpuGopEncoder:
         bitstream orientation} replacing gop_frames entirely -- the
         device-resident transcode input (TpuBatchDecoder.dispatch_batch
         output); no pixel crosses the host link."""
+        return self.complete_dispatch(
+            self.dispatch_me(gop_frames, device_planes=device_planes),
+            want_recon=want_recon,
+        )
+
+    # ------------------------------------------------------------------
+    def dispatch_me(self, gop_frames: list | None = None,
+                    device_planes=None):
+        """Stage 1 of dispatch_gop: upload the GOP's pixels and enqueue
+        the fused ME plan WITHOUT blocking on it.  A pipelined driver
+        can hide the ME round trip of this GOP behind other host/device
+        work (e.g. the next GOP's decode in transcode_device) before
+        calling complete_dispatch."""
         import jax.numpy as jnp
 
-        g = self.g
+        from theora_tpu.ops import me_jax
+
         if device_planes is not None:
             ys_d = device_planes[0]
             F = int(ys_d.shape[0])
@@ -672,7 +747,22 @@ class TpuGopEncoder:
             # One upload per frame of luma: the same device buffer feeds
             # the fused ME dispatch and the luma encode scan.
             ys_d = jnp.asarray(np.stack([fr[0] for fr in planes_bs]))
-        plans = self._gop_plan(ys_d)
+        me_outs = me_jax.plan_from_gop(ys_d) if F >= 2 else None
+        return (F, planes_bs, device_planes, ys_d, me_outs)
+
+    # ------------------------------------------------------------------
+    def complete_dispatch(self, me_state, want_recon: bool = False):
+        """Stage 2: download the ME plan, run the host mode decision,
+        and enqueue the per-plane closed-loop scans."""
+        import jax
+        import jax.numpy as jnp
+
+        g = self.g
+        F, planes_bs, device_planes, ys_d, me_outs = me_state
+        plans = (
+            self._decide_frames(jax.device_get(me_outs), F - 1)
+            if me_outs is not None else []
+        )
 
         nfrags = g.nfrags
         frame_frag = []
@@ -680,8 +770,8 @@ class TpuGopEncoder:
         zero_mv = np.zeros((nfrags, 2), np.int32)
         no_skip = np.zeros(nfrags, bool)
         frame_frag.append((zero_rs, zero_mv, no_skip))  # keyframe
-        for mb_modes, mb_mvs in plans:
-            frame_frag.append(self._frag_plan(mb_modes, mb_mvs))
+        for mb_modes, mb_mvs, mb_bmvs in plans:
+            frame_frag.append(self._frag_plan(mb_modes, mb_mvs, mb_bmvs))
 
         plane_out = {}
         for pli in range(3):
@@ -801,7 +891,7 @@ class TpuGopEncoder:
                 sl = slice(pl.froffset, pl.froffset + pl.nfrags)
                 qdct[sl] = qdct_pl[pli][f]
                 coded[sl] = coded_pl[pli][f]
-            rs, _fmv, _ms = frame_frag[f]
+            rs, fmv, _ms = frame_frag[f]
             frag_refi = np.where(
                 coded, rs_to_ref[rs.astype(np.int32)], FRAME_NONE
             ).astype(np.int32)
@@ -810,7 +900,10 @@ class TpuGopEncoder:
                     INTRA_FRAME, coded, frag_refi, None, None, qdct
                 )
             else:
-                mb_modes, mb_mvs = plans[f - 1]
+                mb_modes, mb_mvs = plans[f - 1][:2]
+                # 4MV MBs pack their per-luma-block vectors from here
+                # (encoder._mvs_pack reads _frag_mv4).
+                self.enc._frag_mv4 = fmv
                 data = self.enc.pack_frame_plan(
                     INTER_FRAME, coded, frag_refi, mb_modes, mb_mvs, qdct
                 )
@@ -939,7 +1032,7 @@ def transcode_device(info, setup, data_packets, keyframe_freq: int = 8,
 
     prev_last = None  # last decoded frame's planes (all-dup chunks)
 
-    def dispatch_chunk(base):
+    def decode_chunk(base):
         nonlocal prev_last
         chunk = data_packets[base:base + keyframe_freq]
         st = dec.dispatch_batch(chunk)
@@ -959,25 +1052,47 @@ def transcode_device(info, setup, data_packets, keyframe_freq: int = 8,
                 idx = jnp.asarray(np.asarray(emit_idx, np.int32))
                 dev = {pli: p[idx] for pli, p in dev.items()}
         prev_last = {pli: p[-1] for pli, p in dev.items()}
-        return enc.dispatch_gop(device_planes=[dev[0], dev[1], dev[2]])
+        return [dev[0], dev[1], dev[2]]
 
     if rc is not None:
         for gi, base in enumerate(bases):
-            datas, _ = enc.finish_gop(dispatch_chunk(base))
+            datas, _ = enc.finish_gop(
+                enc.dispatch_gop(device_planes=decode_chunk(base))
+            )
             emit(base, datas)
             rc.add(8 * sum(len(d) for d in datas), len(datas))
             if (gi + 1) % rate_window == 0:
                 rc.update()
         rc.update()
         return out
-    pending = None
-    for base in bases + [None]:
-        state = (base, dispatch_chunk(base)) if base is not None else None
-        if pending is not None:
-            pbase, pstate = pending
-            datas, _ = enc.finish_gop(pstate)
-            emit(pbase, datas)
-        pending = state
+    # Three-stage pipeline: while GOP k's decode scans + ME run on
+    # device, GOP k-1's mode decision + encode scans are enqueued (its
+    # ME round trip already hidden behind k's decode dispatch) and GOP
+    # k-2's coefficients are downloaded and entropy-coded on host.
+    from collections import deque
+
+    me_q: deque = deque()
+    fin_q: deque = deque()
+
+    def drain_complete():
+        b, me = me_q.popleft()
+        fin_q.append((b, enc.complete_dispatch(me)))
+
+    def drain_finish():
+        b, st = fin_q.popleft()
+        emit(b, enc.finish_gop(st)[0])
+
+    for base in bases:
+        me_q.append((base, enc.dispatch_me(
+            device_planes=decode_chunk(base))))
+        if len(me_q) >= 2:
+            drain_complete()
+        if len(fin_q) >= 2:
+            drain_finish()
+    while me_q:
+        drain_complete()
+    while fin_q:
+        drain_finish()
     return out
 
 

@@ -100,20 +100,42 @@ def _mb_neighborhoods(ref, nv, nh):
 
 def _extract_patch(nb, py, px, S):
     """Per-MB SxS patch at per-MB offset (py, px) from the neighborhood
-    tensor, via separable masked shifts (static slices only).
+    tensor, as two separable one-hot contractions (the ops/mc_jax.py
+    discipline): selection matrices from index comparisons, applied as
+    integer matmuls -- MXU work instead of per-element gathers, and two
+    ops to trace instead of ~2x37 masked shifts (which dominated
+    compile time).
 
     nb: [F, n, 48, 48] u8; py/px: [F, n] int32 in [-16, 32-S].
     Returns [F, n, S, S] u8."""
-    F, n = py.shape
-    acc = jnp.zeros((F, n, S, 48), jnp.uint8)
-    for dy in range(-16, 32 - S + 1):
-        sl = nb[:, :, 16 + dy : 16 + dy + S, :]
-        acc = jnp.where((py == dy)[:, :, None, None], sl, acc)
-    out = jnp.zeros((F, n, S, S), jnp.uint8)
-    for dx in range(-16, 32 - S + 1):
-        sl = acc[:, :, :, 16 + dx : 16 + dx + S]
-        out = jnp.where((px == dx)[:, :, None, None], sl, out)
-    return out
+    lanes = jnp.arange(48, dtype=jnp.int32)
+    steps = jnp.arange(S, dtype=jnp.int32)
+    rsel = (
+        (py + 16)[:, :, None, None] + steps[None, None, :, None]
+        == lanes[None, None, None, :]
+    ).astype(jnp.int16)  # [F, n, S, 48]
+    rows = jnp.einsum(
+        "fnsr,fnrc->fnsc", rsel, nb.astype(jnp.int16),
+        preferred_element_type=jnp.int32,
+    )
+    csel = (
+        (px + 16)[:, :, None, None] + steps[None, None, :, None]
+        == lanes[None, None, None, :]
+    ).astype(jnp.int16)  # [F, n, S, 48]
+    out = jnp.einsum(
+        "fnsc,fntc->fnst", rows.astype(jnp.int16), csel,
+        preferred_element_type=jnp.int32,
+    )
+    return out.astype(jnp.uint8)
+
+
+def _pick25(grid, ey, ex):
+    """grid: list of 25 [F, n] SADs in 5x5 row-major order; returns the
+    per-MB entry at grid position (ey, ex) via one one-hot contraction
+    (compile-time: 2 ops instead of a 25-way masked-select chain)."""
+    g = jnp.stack(grid, axis=-1)  # [F, n, 25]
+    onehot = (ey * 5 + ex)[..., None] == jnp.arange(25, dtype=jnp.int32)
+    return jnp.where(onehot, g, 0).sum(-1)
 
 
 def _me_search_impl(cur, ref):
@@ -186,12 +208,7 @@ def _me_search_impl(cur, ref):
         ox = jnp.clip(bx + dx, -_MV_MAX, _MV_MAX)
         ey = oy - (by - 2)  # in [0, 4]
         ex = ox - (bx - 2)
-        sad = jnp.zeros((F, n), jnp.int32)
-        for ry in range(5):
-            for rx in range(5):
-                sad = jnp.where(
-                    (ey == ry) & (ex == rx), grid[ry * 5 + rx], sad
-                )
+        sad = _pick25(grid, ey, ex)
         better = sad < best_sad
         best_sad = jnp.where(better, sad, best_sad)
         best_y = jnp.where(better, oy, best_y)
@@ -347,6 +364,110 @@ def sad_intra_mb(cur):
     return _sad_intra_impl(cur)
 
 
+def _block_refine_impl(cur, ref, mv):
+    """Per-8x8-block MV refine around each parent MB's winner (the 4MV
+    search, mcenc.c:430-496 redesigned batched): +-2 full-pel grid then
+    the 8 half-pel neighbours with the exact two-tap MC prediction.
+
+    cur/ref: [F, H, W] u8; mv: [F, nv, nh, 2] int32 half-pel (dx, dy)
+    MB winners.  Returns (bmv [F, 2nv, 2nh, 2] int32 half-pel,
+    bsad [F, 2nv, 2nh] int32) in the block grid.  Block full-pel
+    candidates are clamped to +-13 (half-pel +-27) so every candidate
+    and half-pel tap stays inside the MB's 48x48 neighborhood tensor --
+    a slightly tighter range than the MB search's +-15, which block
+    vectors (anchored at the MB winner) do not reach in practice."""
+    F, H, W = cur.shape
+    nv, nh = H // 16, W // 16
+    n = nv * nh
+    nb = _mb_neighborhoods(ref, nv, nh)
+    curi = cur.astype(jnp.int32)
+    # Full-pel base per MB: the MC first tap of the half-pel winner.
+    mx, my = mv[..., 0], mv[..., 1]
+    base_x = (jnp.sign(mx) * (jnp.abs(mx) >> 1)).reshape(F, n)
+    base_y = (jnp.sign(my) * (jnp.abs(my) >> 1)).reshape(F, n)
+    base_x = jnp.clip(base_x, -13, 13)
+    base_y = jnp.clip(base_y, -13, 13)
+
+    hp_cands = sorted(
+        [(hy, hx) for hy in (-1, 0, 1) for hx in (-1, 0, 1)],
+        key=lambda d: (d[0] * d[0] + d[1] * d[1], d),
+    )
+    out_mv = jnp.zeros((F, 2 * nv, 2 * nh, 2), jnp.int32)
+    out_sad = jnp.zeros((F, 2 * nv, 2 * nh), jnp.int32)
+    for jy in (0, 1):
+        for jx in (0, 1):
+            cur_blk = (
+                curi.reshape(F, nv, 2, 8, nh, 2, 8)[:, :, jy, :, :, jx]
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(F, n, 8, 8)
+            )
+            # ---- full-pel: 5x5 grid as static slices of a 12px patch.
+            patch = _extract_patch(
+                nb, 8 * jy + base_y - 2, 8 * jx + base_x - 2, 12
+            ).astype(jnp.int32)
+            grid = []
+            for ry in range(5):
+                for rx in range(5):
+                    d = jnp.abs(
+                        patch[:, :, ry : ry + 8, rx : rx + 8] - cur_blk
+                    )
+                    grid.append(d.sum(axis=(2, 3)))
+            best_sad = jnp.full((F, n), jnp.iinfo(jnp.int32).max, jnp.int32)
+            best_y = jnp.zeros((F, n), jnp.int32)
+            best_x = jnp.zeros((F, n), jnp.int32)
+            for dy, dx in _refine_cands():
+                oy = jnp.clip(base_y + dy, -13, 13)
+                ox = jnp.clip(base_x + dx, -13, 13)
+                ey = oy - (base_y - 2)
+                ex = ox - (base_x - 2)
+                sad = _pick25(grid, ey, ex)
+                better = sad < best_sad
+                best_sad = jnp.where(better, sad, best_sad)
+                best_y = jnp.where(better, oy, best_y)
+                best_x = jnp.where(better, ox, best_x)
+            # ---- half-pel: 3x3 taps from a 10px patch.
+            patch = _extract_patch(
+                nb, 8 * jy + best_y - 1, 8 * jx + best_x - 1, 10
+            ).astype(jnp.int32)
+            taps = [
+                [patch[:, :, ry : ry + 8, rx : rx + 8] for rx in range(3)]
+                for ry in range(3)
+            ]
+            b_hsad = jnp.full((F, n), jnp.iinfo(jnp.int32).max, jnp.int32)
+            b_mx = jnp.zeros((F, n), jnp.int32)
+            b_my = jnp.zeros((F, n), jnp.int32)
+            for dy, dx in hp_cands:
+                m_y = 2 * best_y + dy
+                m_x = 2 * best_x + dx
+                o1y = jnp.sign(m_y) * (jnp.abs(m_y) >> 1)
+                o1x = jnp.sign(m_x) * (jnp.abs(m_x) >> 1)
+                o2y = o1y + jnp.sign(m_y) * (jnp.abs(m_y) & 1)
+                o2x = o1x + jnp.sign(m_x) * (jnp.abs(m_x) & 1)
+                r1y = o1y - (best_y - 1)
+                r1x = o1x - (best_x - 1)
+                r2y = o2y - (best_y - 1)
+                r2x = o2x - (best_x - 1)
+                pred2 = jnp.zeros((F, n, 8, 8), jnp.int32)
+                for ry in range(3):
+                    for rx in range(3):
+                        w = (
+                            ((r1y == ry) & (r1x == rx)).astype(jnp.int32)
+                            + ((r2y == ry) & (r2x == rx)).astype(jnp.int32)
+                        )
+                        pred2 = pred2 + w[:, :, None, None] * taps[ry][rx]
+                sad = jnp.abs(cur_blk - (pred2 >> 1)).sum(axis=(2, 3))
+                better = sad < b_hsad
+                b_hsad = jnp.where(better, sad, b_hsad)
+                b_mx = jnp.where(better, m_x, b_mx)
+                b_my = jnp.where(better, m_y, b_my)
+            bm = jnp.stack([b_mx, b_my], axis=-1).reshape(F, nv, nh, 2)
+            out_mv = out_mv.at[:, jy::2, jx::2].set(bm)
+            out_sad = out_sad.at[:, jy::2, jx::2].set(
+                b_hsad.reshape(F, nv, nh)
+            )
+    return out_mv, out_sad
+
+
 # ---------------------------------------------------------------------------
 # Fused per-GOP decision precompute: everything the host mode decision
 # needs, in one dispatch and one compact download.  SADs are 16x16 sums
@@ -359,10 +480,11 @@ def _plan_impl(cur, prev, gold):
     # (theora_tpu/debug.py).
     with jax.named_scope("me_search"):
         mv, sad_mv, sad_nomv = _me_search_impl(cur, prev)
+    with jax.named_scope("me_search_gold"):
+        gmv, sad_gmv, sad_gold = _me_search_impl(cur, gold)
+    with jax.named_scope("me_block_refine"):
+        bmv, bsad = _block_refine_impl(cur, prev, mv)
     with jax.named_scope("me_sads"):
-        sad_gold = _box_mb(
-            jnp.abs(cur.astype(jnp.int32) - gold.astype(jnp.int32)), 16
-        )
         sad_intra = _sad_intra_impl(cur)
     with jax.named_scope("me_cands"):
         cands = _top_cands_impl(mv)
@@ -375,6 +497,10 @@ def _plan_impl(cur, prev, gold):
         sad_intra.astype(jnp.uint16),
         cands.astype(jnp.int8),
         cand_sads.astype(jnp.uint16),
+        gmv.astype(jnp.int8),
+        sad_gmv.astype(jnp.uint16),
+        bmv.astype(jnp.int8),
+        bsad.astype(jnp.uint16),
     )
 
 

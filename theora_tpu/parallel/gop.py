@@ -177,7 +177,8 @@ class MeshGopEncoder:
         no_skip = np.zeros(nfrags, bool)
         frame_frag = [
             [(zero_rs, zero_mv, no_skip)]
-            + [base._frag_plan(mm, mv) for mm, mv in plans_per_gop[gi]]
+            + [base._frag_plan(mm, mv, bm)
+               for mm, mv, bm in plans_per_gop[gi]]
             for gi in range(G)
         ]
 
