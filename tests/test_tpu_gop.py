@@ -353,3 +353,72 @@ def test_4mv_and_golden_mv_modes():
         for pl in dec.ycbcr_out():
             ours += pl.tobytes()
     assert bytes(ours) == ref
+
+
+def test_adaptive_quant_device():
+    """Device-tier adaptive quantization: a qi triple with per-fragment
+    qii chosen by the scan's R/D proxy, packed as the block-qi RLE.
+    Mixed smooth/textured content must actually use >1 qi, the closed
+    loop must equal the decoder bit-for-bit, and the reference decoder
+    must agree."""
+    from theora_tpu.tpkt import write_tpkt
+
+    if not ensure_ref_oracle():
+        pytest.skip("reference oracle unavailable")
+    rng = np.random.RandomState(9)
+    W, H = 96, 64
+    y0 = np.zeros((H, W), np.uint8)
+    y0[:, : W // 2] = 128 + (np.arange(W // 2) // 4)[None, :]  # smooth
+    y0[:, W // 2 :] = rng.randint(0, 256, (H, W // 2))         # textured
+    u0 = np.full((H // 2, W // 2), 90, np.uint8)
+    v0 = rng.randint(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    frames = [[np.roll(y0, f, 1), u0, v0] for f in range(4)]
+
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=40,
+    )
+    enc = TpuGopEncoder(info, qi=40)
+    enc.adaptive_quant = True
+    assert len(enc._adaptive_qis()) == 3
+    state = enc.dispatch_gop(frames, want_recon=True)
+    datas, recon = enc.finish_gop(state)
+    g = enc.g
+    for f, dec in enumerate(_decode_all(enc, datas)):
+        assert len(dec.qis) == 3, "stream must carry the qi triple"
+        for pli in range(3):
+            vpad, hpad = g.plane_padding(pli)
+            hh, ww = g.plane_shape(pli)
+            got = dec._out_frame.planes[pli][
+                vpad : vpad + hh, hpad : hpad + ww
+            ]
+            want = recon[pli][f][vpad : vpad + hh, hpad : hpad + ww]
+            assert np.array_equal(got, want), (f, pli)
+    # At least one fragment chose a non-base qi.
+    qii_y = np.asarray(state[3][0][0][-1])  # luma [F, N] qii
+    assert (qii_y > 0).any(), "adaptive quant never chose a non-base qi"
+    hp = enc.flush_headers()
+    shift = info.keyframe_granule_shift
+    pkts = list(hp)
+    for j, d in enumerate(datas):
+        pkts.append(Packet(d, granulepos=(1 << shift) + j, packetno=3 + j,
+                           e_o_s=(j == len(datas) - 1)))
+    tpkt = "/tmp/test_tpu_aq.tpkt"
+    yuv = "/tmp/test_tpu_aq.yuv"
+    write_tpkt(tpkt, pkts)
+    subprocess.run(
+        [os.path.join(REPO_ROOT, "refbuild", "build", "ref_dec"),
+         tpkt, yuv],
+        check=True, capture_output=True,
+    )
+    ref = open(yuv, "rb").read()
+    dinfo = parse_info_header(hp[0].data)
+    parse_comment_header(hp[1].data)
+    setup = parse_setup_header(hp[2].data)
+    dec = Decoder(dinfo, setup)
+    ours = bytearray()
+    for d in datas:
+        dec.decode_packet(d)
+        for pl in dec.ycbcr_out():
+            ours += pl.tobytes()
+    assert bytes(ours) == ref

@@ -1934,7 +1934,7 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def pack_frame_plan(self, ftype, coded, frag_refi, mb_modes, mb_mvs,
-                        qdct_by_frag) -> bytes:
+                        qdct_by_frag, qis=None, frag_qii=None) -> bytes:
         """Pack one frame from an externally computed coding plan.
 
         The device GOP encoder (encode/tpu_gop.py) makes every decision
@@ -1946,10 +1946,12 @@ class Encoder:
         coded: [nfrags] bool; frag_refi: [nfrags] FRAME_* (FRAME_NONE for
         uncoded); qdct_by_frag: [nfrags, 64] int (zig-zag, actual DC in
         slot 0 -- prediction happens here).  mb_modes/mb_mvs as packed.
+        qis/frag_qii: adaptive-quant frame qi list (>1 entries) and the
+        per-fragment qi index, packed as the block-qi RLE.
         """
         g = self.geometry
         self._cur_fti = 0 if ftype == INTRA_FRAME else 1
-        self._frame_qis = None
+        self._frame_qis = list(qis) if qis and len(qis) > 1 else None
         per_plane = {}
         for pli in range(3):
             pl = g.planes[pli]
@@ -1960,6 +1962,8 @@ class Encoder:
         bw = BitWriter()
         self._frame_header_pack(bw, ftype, self.frame_qis)
         if ftype == INTRA_FRAME:
+            if self._frame_qis is not None:
+                self._block_qis_pack(bw, frag_qii, coded)
             return self._pack_tokens(bw, vecs_by_plane, INTRA_FRAME)
         self._coded_flags_pack(bw, coded)
         mb_luma_coded = np.zeros(g.nmbs, dtype=bool)
@@ -1969,6 +1973,8 @@ class Encoder:
         coded_mbis = list(np.where(mb_luma_coded)[0])
         self._mb_modes_pack(bw, mb_modes, coded_mbis)
         self._mvs_pack(bw, mb_modes, mb_mvs, coded_mbis, coded)
+        if self._frame_qis is not None:
+            self._block_qis_pack(bw, frag_qii, coded)
         return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
 
     # ------------------------------------------------------------------

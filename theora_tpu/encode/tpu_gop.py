@@ -65,7 +65,7 @@ _MODE_OF = {
 
 
 def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
-                    frag_axis=None, use_trellis=False):
+                    frag_axis=None, use_trellis=False, n_qis=1):
     """Build the closed-loop encode scan for one plane geometry.
 
     Returned fn(init_prev, init_gold, cur_blocks [F, N, 8, 8] u8,
@@ -85,6 +85,16 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
     reconstructed 8x8 blocks are all-gathered over the axis to assemble
     the carried reference plane (replicated, like the decoder's) --
     tensor-parallel encode over the fragment dimension.
+
+    With n_qis > 1 (adaptive quantization, the rate.c:175-201 qi-triple
+    analogue), deq_intra/deq_inter are [K, 64] (slot 0 of every row
+    already holding the BASE qi's DC quant -- DC always quantizes with
+    qis[0]), the lam_q_*/lam_t_* args are [K] vectors, and each
+    fragment evaluates the full quantize+recon chain at every qi,
+    keeping the one minimizing 16*ssd + lam*(6*nnz + 2 + 6*sig) where
+    sig charges the qi-RLE signaling (~1 extra bit for non-base rows,
+    the host tier's convention).  An extra [F, N] uint8 qii output is
+    appended before the carried plane.
     """
     import jax
     import jax.numpy as jnp
@@ -145,44 +155,85 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
             with jax.named_scope("fdct"):
                 res = curi - pred
                 dct = tj.fdct8x8(res)
-            deq = jnp.where((rsf == 0)[:, None], deq_intra, deq_inter)
-            if use_trellis:
-                with jax.named_scope("trellis"):
-                    qdct0 = tj.quantize(dct, deq)
-                    acmin_v = jnp.where(rsf == 0, 3, 0)
-                    nb_use = jnp.where(ik, nb_intra, nb_inter)
-                    lam_t = jnp.where(ik, lam_t_intra, lam_t_inter)
-                    qdct = tj.trellis_values(
-                        dct, qdct0, deq,
-                        jnp.broadcast_to(
-                            lam_t.astype(jnp.float32), (nl,)
-                        ),
-                        nb_use, acmin_v,
+
+            def quantize_recon(deq_i, deq_p, lqi, lqp, lti, ltp):
+                """One qi row: quantize (trellis or R/D), reconstruct,
+                and reduce nnz + SSD.  Counts and SSDs reduce in
+                float32: every term is an integer below 2^24 (counts
+                <= 64, squared diffs <= 255^2, their 64-sums <= 4.2M),
+                so the accumulation is exact -- and the minor-axis
+                int32 reduces these replace were the scan's hottest ops
+                (3+ ms/frame in the 720p trace)."""
+                deq = jnp.where((rsf == 0)[:, None], deq_i, deq_p)
+                if use_trellis:
+                    with jax.named_scope("trellis"):
+                        qdct0 = tj.quantize(dct, deq)
+                        acmin_v = jnp.where(rsf == 0, 3, 0)
+                        nb_use = jnp.where(ik, nb_intra, nb_inter)
+                        lam_t = jnp.where(ik, lti, ltp)
+                        qdct = tj.trellis_values(
+                            dct, qdct0, deq,
+                            jnp.broadcast_to(
+                                lam_t.astype(jnp.float32), (nl,)
+                            ),
+                            nb_use, acmin_v,
+                        )
+                else:
+                    lam_q = jnp.where(rsf == 0, lqi, lqp).astype(
+                        jnp.float32
                     )
-            else:
-                lam_q = jnp.where(
-                    rsf == 0, lam_q_intra, lam_q_inter
-                ).astype(jnp.float32)
-                with jax.named_scope("quantize_rd"):
-                    qdct = tj.quantize_rd(dct, deq, lam_q)
-            with jax.named_scope("idct_recon"):
-                # Counts and SSDs reduce in float32: every term is an
-                # integer below 2^24 (counts <= 64, squared diffs
-                # <= 255^2, their 64-sums <= 4.2M), so the accumulation
-                # is exact and every decision below is unchanged -- but
-                # the minor-axis int32 reduces these replace were the
-                # scan's hottest ops (3+ ms/frame in the 720p trace).
-                nzf = (qdct != 0).astype(jnp.float32)
-                cnt = nzf.sum(axis=1)
-                dc_only = cnt - nzf[:, 0] == 0.0
-                residual = tj.dequantize_idct(
-                    qdct, deq, qdct[:, 0], deq[:, 0], dc_only
-                )
-                recon = jnp.clip(residual + pred, 0, 255)
-            with jax.named_scope("skip_rd"):
+                    with jax.named_scope("quantize_rd"):
+                        qdct = tj.quantize_rd(dct, deq, lam_q)
+                with jax.named_scope("idct_recon"):
+                    nzf = (qdct != 0).astype(jnp.float32)
+                    cnt = nzf.sum(axis=1)
+                    dc_only = cnt - nzf[:, 0] == 0.0
+                    residual = tj.dequantize_idct(
+                        qdct, deq, qdct[:, 0], deq[:, 0], dc_only
+                    )
+                    recon = jnp.clip(residual + pred, 0, 255)
                 dr = (recon - curi).astype(jnp.float32)
+                ssd = (dr * dr).sum(axis=(1, 2)).astype(jnp.int32)
+                return qdct, cnt, recon, ssd
+
+            if n_qis == 1:
+                qdct, cnt, recon, ssd_rec = quantize_recon(
+                    deq_intra, deq_inter, lam_q_intra, lam_q_inter,
+                    lam_t_intra, lam_t_inter,
+                )
+                qii = jnp.zeros((nl,), jnp.uint8)
+            else:
+                # Adaptive quant: evaluate every qi row, keep the best
+                # by the skip stage's own R/D proxy (+1 signaling bit
+                # for non-base rows).
+                best = None
+                for k in range(n_qis):
+                    qk, ck, rk, sk = quantize_recon(
+                        deq_intra[k], deq_inter[k],
+                        lam_q_intra[k], lam_q_inter[k],
+                        lam_t_intra[k], lam_t_inter[k],
+                    )
+                    cost = (
+                        16 * sk
+                        + (lam * (6.0 * ck + 2.0 + (6.0 if k else 0.0)))
+                        .astype(jnp.int32)
+                    )
+                    if best is None:
+                        best = (cost, qk, ck, rk, sk,
+                                jnp.zeros_like(sk, jnp.uint8))
+                    else:
+                        win = cost < best[0]
+                        best = (
+                            jnp.where(win, cost, best[0]),
+                            jnp.where(win[:, None], qk, best[1]),
+                            jnp.where(win, ck, best[2]),
+                            jnp.where(win[:, None, None], rk, best[3]),
+                            jnp.where(win, sk, best[4]),
+                            jnp.where(win, np.uint8(k), best[5]),
+                        )
+                _, qdct, cnt, recon, ssd_rec, qii = best
+            with jax.named_scope("skip_rd"):
                 du = (unc - curi).astype(jnp.float32)
-                ssd_rec = (dr * dr).sum(axis=(1, 2)).astype(jnp.int32)
                 ssd_unc = (du * du).sum(axis=(1, 2)).astype(jnp.int32)
                 lamterm = (lam * (6.0 * cnt + 2.0)).astype(jnp.int32)
                 skip = ms & (16 * ssd_unc <= 16 * ssd_rec + lamterm) & ~ik
@@ -214,7 +265,11 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
             # the scan outputs so the host can size the sparse download
             # without re-reducing [F, N, 64] afterwards.
             nnz = jnp.where(coded, cnt, 0.0).astype(jnp.uint8)
-            ys = (qout, coded, nnz) + ((plane,) if emit_recon else ())
+            ys = (qout, coded, nnz)
+            if n_qis > 1:
+                ys = ys + (qii,)
+            if emit_recon:
+                ys = ys + (plane,)
             return (plane, gold_new), ys
 
         (prev_f, _), ys = jax.lax.scan(
@@ -231,13 +286,13 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("nv", "nh", "pad_y", "pad_x", "emit_recon",
-                     "use_trellis"),
+                     "use_trellis", "n_qis"),
 )
 def _scan_encode_plane(
     cur_planes, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
     deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
     nb_intra, nb_inter, lam_t_intra, lam_t_inter,
-    nv, nh, pad_y, pad_x, emit_recon=False, use_trellis=False,
+    nv, nh, pad_y, pad_x, emit_recon=False, use_trellis=False, n_qis=1,
 ):
     """Single-device jitted wrapper over make_plane_scan.
 
@@ -266,7 +321,7 @@ def _scan_encode_plane(
         if use_trellis else ()
     )
     out = make_plane_scan(nv, nh, pad_y, pad_x, emit_recon,
-                          use_trellis=use_trellis)(
+                          use_trellis=use_trellis, n_qis=n_qis)(
         init_prev, init_gold,
         cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
         deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter, *extra,
@@ -274,12 +329,21 @@ def _scan_encode_plane(
     # Per-block nonzero counts are emitted by the scan itself (the skip
     # stage already reduces them) so the host can size the sparse
     # coefficient download without an extra [F, N, 64] pass; reorder to
-    # keep this wrapper's historical (.., prev_f, nnz) output layout.
+    # keep this wrapper's historical (.., prev_f, nnz) output layout,
+    # with the adaptive-quant qii riding after nnz when present.
+    out = list(out)
+    qout, coded, nnz = out[:3]
+    rest = out[3:]
+    qii = rest.pop(0) if n_qis > 1 else None
+    recon = rest.pop(0) if emit_recon else None
+    prev_f = rest.pop(0)
+    res = (qout, coded)
     if emit_recon:
-        qout, coded, nnz, recon, prev_f = out
-        return (qout, coded, recon, prev_f, nnz)
-    qout, coded, nnz, prev_f = out
-    return (qout, coded, prev_f, nnz)
+        res = res + (recon,)
+    res = res + (prev_f, nnz)
+    if qii is not None:
+        res = res + (qii,)
+    return res
 
 
 @functools.partial(__import__("jax").jit, static_argnames=("cap",))
@@ -359,6 +423,9 @@ class TpuGopEncoder:
         # Batched device trellis (ops/transforms_jax.trellis_values)
         # replacing the heuristic R/D quantizer in the plane scans.
         self.use_trellis = bool(use_trellis)
+        # Adaptive quantization (qi triple + per-fragment qii chosen by
+        # the scan's R/D proxy); off by default, like the host tier.
+        self.adaptive_quant = False
         self.sp_level = 0
         self._no_mc = False
         # Predicted sparse-download capacities per (plane, GOP length),
@@ -420,7 +487,7 @@ class TpuGopEncoder:
             int(self.info.pixel_fmt), _tables.RD_LAMBDA[0]
         )
         # DCT-domain trellis lambdas per frame type (host tier units).
-        self._lam_t = (float(rdl[0][self.qi]), float(rdl[1][self.qi]))
+        self._lam_t = self._lam_t_for(self.qi)
         flimit = self.enc.qinfo["loop_filter_limits"][self.qi]
         from theora_tpu.ops.loopfilter_np import build_bounding_values
 
@@ -428,6 +495,38 @@ class TpuGopEncoder:
             build_bounding_values(flimit).astype(np.int32)
             if flimit else np.zeros(256, np.int32)
         )
+
+    # ------------------------------------------------------------------
+    def _lam_t_for(self, qi: int):
+        """DCT-domain trellis lambdas (intra, inter) at a qi."""
+        from theora_tpu import tables as _tables
+
+        rdl = _tables.RD_LAMBDA.get(
+            int(self.info.pixel_fmt), _tables.RD_LAMBDA[0]
+        )
+        return (float(rdl[0][qi]), float(rdl[1][qi]))
+
+    # ------------------------------------------------------------------
+    def _adaptive_qis(self):
+        """The frame's qi list: [base] normally; with adaptive_quant, a
+        (base, finer, coarser) triple at the host tier's log-quantizer
+        offsets (rate.c:175-201 analogue) when distinct."""
+        if not self.adaptive_quant or self.qi in (0, 63):
+            return (self.qi,)
+        dq = self.enc.dequant
+        lq = np.log(
+            np.maximum(dq[:, 0, 1, 1:].astype(np.float64), 1)
+        ).mean(axis=1)
+        base = self.qi
+
+        def at_offset(delta):
+            return int(np.argmin(np.abs(lq - (lq[base] + delta))))
+
+        finer = at_offset(-0.3)
+        coarser = at_offset(0.7)
+        if finer == base or coarser == base:
+            return (self.qi,)
+        return (base, finer, coarser)
 
     # ------------------------------------------------------------------
     def set_splevel(self, lvl: int) -> None:
@@ -773,6 +872,7 @@ class TpuGopEncoder:
         for mb_modes, mb_mvs, mb_bmvs in plans:
             frame_frag.append(self._frag_plan(mb_modes, mb_mvs, mb_bmvs))
 
+        qis = self._adaptive_qis()
         plane_out = {}
         for pli in range(3):
             pl = g.planes[pli]
@@ -800,28 +900,59 @@ class TpuGopEncoder:
             dq = self.enc.dequant
             from theora_tpu.ops.fdct_np import rd_lambda
 
-            lam_qi = rd_lambda(
-                self.qi, int(dq[self.qi, pli, 0, 1])
-            ) * self.rd_strength
-            lam_qp = rd_lambda(
-                self.qi, int(dq[self.qi, pli, 1, 1])
-            ) * self.rd_strength
+            K = len(qis)
+
+            def lam_for(qi, qti):
+                return rd_lambda(
+                    qi, int(dq[qi, pli, qti, 1])
+                ) * self.rd_strength
+
+            if K == 1:
+                deq_i = jnp.asarray(dq[self.qi, pli, 0].astype(np.int32))
+                deq_p = jnp.asarray(dq[self.qi, pli, 1].astype(np.int32))
+                lam_qi = jnp.float32(lam_for(self.qi, 0))
+                lam_qp = jnp.float32(lam_for(self.qi, 1))
+                lam_ti = jnp.float32(self._lam_t[0])
+                lam_tp = jnp.float32(self._lam_t[1])
+            else:
+                # [K, 64] rows; DC (slot 0) always quantizes with the
+                # base qi (qis[0]) -- the bitstream's rule.
+                di = dq[list(qis)][:, pli, 0].astype(np.int32).copy()
+                dp = dq[list(qis)][:, pli, 1].astype(np.int32).copy()
+                di[:, 0] = dq[qis[0], pli, 0, 0]
+                dp[:, 0] = dq[qis[0], pli, 1, 0]
+                deq_i = jnp.asarray(di)
+                deq_p = jnp.asarray(dp)
+                lam_qi = jnp.asarray(
+                    np.array([lam_for(q, 0) for q in qis], np.float32)
+                )
+                lam_qp = jnp.asarray(
+                    np.array([lam_for(q, 1) for q in qis], np.float32)
+                )
+                lam_ti = jnp.asarray(
+                    np.array([self._lam_t_for(q)[0] for q in qis],
+                             np.float32)
+                )
+                lam_tp = jnp.asarray(
+                    np.array([self._lam_t_for(q)[1] for q in qis],
+                             np.float32)
+                )
             out = _scan_encode_plane(
                 cur_pl, arrs["rs"], arrs["o1y"], arrs["o1x"],
                 arrs["o2y"], arrs["o2x"], arrs["u2"], arrs["ms"], is_intra,
-                jnp.asarray(dq[self.qi, pli, 0].astype(np.int32)),
-                jnp.asarray(dq[self.qi, pli, 1].astype(np.int32)),
+                deq_i, deq_p,
                 jnp.asarray(self._bv), jnp.float32(self._lam),
-                jnp.float32(lam_qi), jnp.float32(lam_qp),
+                lam_qi, lam_qp,
                 jnp.asarray(self._nb_dev), jnp.asarray(self._nb_dev),
-                jnp.float32(self._lam_t[0]), jnp.float32(self._lam_t[1]),
+                lam_ti, lam_tp,
                 pl.nvfrags, pl.nhfrags, vpad, hpad,
                 emit_recon=want_recon, use_trellis=self.use_trellis,
+                n_qis=K,
             )
             cap = self._cap_est.get((pli, F), 0)
             packed = _compact_qdct(out[0], cap) if cap else None
             plane_out[pli] = (out, packed, cap)
-        return (F, plans, frame_frag, plane_out, want_recon)
+        return (F, plans, frame_frag, plane_out, want_recon, qis)
 
     # ------------------------------------------------------------------
     def finish_gop(self, state):
@@ -837,12 +968,16 @@ class TpuGopEncoder:
         the first GOP of a shape, when no prediction exists)."""
         import jax
 
-        F, plans, frame_frag, plane_out, want_recon = state
+        F, plans, frame_frag, plane_out, want_recon, qis = state
+        K = len(qis)
+        nnz_i = -2 if K > 1 else -1  # qii rides last when adaptive
         tree = {}
         for pli, (out, packed, cap) in plane_out.items():
-            t = [out[-1], out[1]]          # nnz, coded
+            t = [out[nnz_i], out[1]]       # nnz, coded
             if want_recon:
                 t.append(out[2])
+            if K > 1:
+                t.append(out[-1])
             if packed is not None:
                 t.append(packed)
             tree[pli] = t
@@ -851,11 +986,14 @@ class TpuGopEncoder:
         qdct_pl = {}
         coded_pl = {}
         recon_pl = {}
+        qii_pl = {}
         for pli, (out, packed, cap) in plane_out.items():
-            h = host[pli]
-            nnz, coded_pl[pli] = h[0], h[1]
+            h = list(host[pli])
+            nnz, coded_pl[pli] = h.pop(0), h.pop(0)
             if want_recon:
-                recon_pl[pli] = h[2]
+                recon_pl[pli] = h.pop(0)
+            if K > 1:
+                qii_pl[pli] = h.pop(0)
             total = int(nnz.astype(np.int64).sum())
             self._cap_est[(pli, F)] = _cap_bucket(max(total * 9 // 8, 1))
             if packed is not None and total <= cap:
@@ -872,11 +1010,13 @@ class TpuGopEncoder:
                         jax.device_get(fresh), nnz
                     )
 
-        pkts = self._pack_gop(F, plans, frame_frag, qdct_pl, coded_pl)
+        pkts = self._pack_gop(F, plans, frame_frag, qdct_pl, coded_pl,
+                              qis=qis, qii_pl=qii_pl if K > 1 else None)
         return pkts, (recon_pl if want_recon else None)
 
     # ------------------------------------------------------------------
-    def _pack_gop(self, F, plans, frame_frag, qdct_pl, coded_pl):
+    def _pack_gop(self, F, plans, frame_frag, qdct_pl, coded_pl,
+                  qis=None, qii_pl=None):
         g = self.g
         nfrags = g.nfrags
         rs_to_ref = np.array(
@@ -886,18 +1026,25 @@ class TpuGopEncoder:
         for f in range(F):
             qdct = np.zeros((nfrags, 64), np.int16)
             coded = np.zeros(nfrags, bool)
+            frag_qii = None
+            if qii_pl is not None:
+                frag_qii = np.zeros(nfrags, np.int32)
             for pli in range(3):
                 pl = g.planes[pli]
                 sl = slice(pl.froffset, pl.froffset + pl.nfrags)
                 qdct[sl] = qdct_pl[pli][f]
                 coded[sl] = coded_pl[pli][f]
+                if frag_qii is not None:
+                    frag_qii[sl] = qii_pl[pli][f]
             rs, fmv, _ms = frame_frag[f]
             frag_refi = np.where(
                 coded, rs_to_ref[rs.astype(np.int32)], FRAME_NONE
             ).astype(np.int32)
+            pqis = list(qis) if (qis is not None and len(qis) > 1) else None
             if f == 0:
                 data = self.enc.pack_frame_plan(
-                    INTRA_FRAME, coded, frag_refi, None, None, qdct
+                    INTRA_FRAME, coded, frag_refi, None, None, qdct,
+                    qis=pqis, frag_qii=frag_qii,
                 )
             else:
                 mb_modes, mb_mvs = plans[f - 1][:2]
@@ -905,7 +1052,8 @@ class TpuGopEncoder:
                 # (encoder._mvs_pack reads _frag_mv4).
                 self.enc._frag_mv4 = fmv
                 data = self.enc.pack_frame_plan(
-                    INTER_FRAME, coded, frag_refi, mb_modes, mb_mvs, qdct
+                    INTER_FRAME, coded, frag_refi, mb_modes, mb_mvs, qdct,
+                    qis=pqis, frag_qii=frag_qii,
                 )
             pkts.append(data)
         return pkts
