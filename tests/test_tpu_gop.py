@@ -157,22 +157,62 @@ def test_mesh_byte_identity():
     assert [p.data for p in pk] == [p.data for p in seq]
 
 
-def test_mesh_rate_window_guard():
+def test_mesh_arbitrary_rate_window_and_auto_keyframes():
+    """CBR windows that do NOT divide the gop axis (dispatch batches are
+    clipped at window boundaries) and scene-cut-driven uneven GOPs stay
+    byte-identical across mesh shapes, and the auto keyframes land where
+    the scene cuts are."""
     import jax
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
+    from theora_tpu.encode.tpu_gop import detect_scene_cuts
     from theora_tpu.parallel.gop import encode_clip_mesh, make_mesh
 
+    # Smooth panning content (small inter-frame deltas) with a hard
+    # scene cut at frame 9 (luma inverted from there on).
+    yy, xx = np.mgrid[0:48, 0:64]
+    rng = np.random.RandomState(5)
+    tex = rng.randint(0, 48, (48, 64)).astype(np.int32)
+    frames = []
+    for t in range(14):
+        y = (tex + 80 + 70 * np.sin((xx + 2 * t) / 9.0)).clip(0, 255)
+        y = y.astype(np.uint8)
+        if t >= 9:
+            y = 255 - y
+        u = (128 + 40 * np.cos((yy[::2, ::2] + t) / 7.0)).astype(np.uint8)
+        v = (128 - 40 * np.sin((xx[::2, ::2] - t) / 8.0)).astype(np.uint8)
+        frames.append([y, u, v])
     info = TheoraInfo(
-        frame_width=32, frame_height=32, pic_width=32, pic_height=32,
-        quality=40,
+        frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+        quality=40, fps_numerator=30, fps_denominator=1,
     )
-    with pytest.raises(ValueError):
-        encode_clip_mesh(
-            [], info, make_mesh(8, frag_axis=1), target_bitrate=1000,
-            rate_window=4,
-        )
+    starts = detect_scene_cuts(frames, 8)
+    assert 9 in starts  # the cut was detected
+    assert max(np.diff(starts + [len(frames)])) <= 8
+    kw = dict(keyframe_freq=8, qi=40, target_bitrate=90_000,
+              rate_window=3, auto_keyframe=True)  # 3 !| gop axis of 4
+    ref = None
+    for nd, fragax in ((1, 1), (8, 2), (4, 1)):
+        mesh = make_mesh(nd, frag_axis=fragax)
+        pk = encode_clip_mesh(frames, info, mesh, **kw)
+        blob = b"".join(p.data for p in pk)
+        if ref is None:
+            ref = blob
+            # Keyframes really are at the detected starts: granulepos
+            # frame part resets there.
+            kfs = [
+                i for i, p in enumerate(pk[3:])
+                if (p.granulepos & ((1 << info.keyframe_granule_shift) - 1))
+                == 0
+            ]
+            assert kfs == starts
+        assert blob == ref, dict(mesh.shape)
+    # Sequential device encoder with the same segmentation matches too.
+    enc = TpuGopEncoder(info, qi=40)
+    seq = enc.encode_clip(frames, keyframe_freq=8, target_bitrate=90_000,
+                          rate_window=3, auto_keyframe=True)
+    assert b"".join(p.data for p in seq) == ref
 
 
 def test_single_device_cbr_matches_mesh():

@@ -64,6 +64,47 @@ _MODE_OF = {
 }
 
 
+def detect_scene_cuts(frames, keyframe_freq: int,
+                      threshold: float = 24.0) -> list[int]:
+    """Deterministic scene-cut GOP segmentation for the batched tiers.
+
+    The host tier's auto-keyframe is a sequential recode rule (re-encode
+    an inter frame as intra when it outgrows the last keyframe,
+    encoder.py:335-344; encode.c's analogue recodes on scene cuts) --
+    inherently order-dependent, which would serialize the batched
+    device/mesh encoders.  The TPU-native redesign decides GOP
+    boundaries up front from pixels alone: a frame opens a new GOP when
+    the mean absolute luma delta to its predecessor exceeds `threshold`
+    (a scene cut), and GOPs never exceed keyframe_freq frames.  The
+    segmentation depends only on content, so every mesh shape derives
+    the same boundaries and byte-identity across shapes is preserved.
+
+    frames: list of [y, u, v] display-orientation planes.  Returns the
+    sorted GOP start indices (always beginning with 0).
+    """
+    starts = [0]
+    prev = None
+    for i, fr in enumerate(frames):
+        y = np.asarray(fr[0]).astype(np.float32)[::2, ::2]
+        if prev is not None:
+            if (
+                i - starts[-1] >= keyframe_freq
+                or float(np.abs(y - prev).mean()) > threshold
+            ):
+                starts.append(i)
+        prev = y
+    return starts
+
+
+def gop_starts(frames, keyframe_freq: int, auto_keyframe: bool
+               ) -> list[int]:
+    """The clip's GOP start indices: fixed spacing, or scene-cut driven
+    (bounded by keyframe_freq) with auto_keyframe."""
+    if auto_keyframe:
+        return detect_scene_cuts(frames, keyframe_freq)
+    return list(range(0, len(frames), keyframe_freq))
+
+
 def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
                     frag_axis=None, use_trellis=False, n_qis=1):
     """Build the closed-loop encode scan for one plane geometry.
@@ -1061,8 +1102,12 @@ class TpuGopEncoder:
     # ------------------------------------------------------------------
     def encode_clip(self, frames: list, keyframe_freq: int = 8,
                     target_bitrate: int = 0, rate_window: int = 8,
-                    ) -> list[Packet]:
+                    auto_keyframe: bool = False) -> list[Packet]:
         """Headers + data packets for a whole clip, GOP by GOP.
+
+        auto_keyframe places keyframes at detected scene cuts (bounded
+        by keyframe_freq) via the deterministic pre-pass segmentation
+        (detect_scene_cuts) shared with the mesh path.
 
         Two-stage software pipeline (the host<->device analogue of the
         reference's MCU pipelining, SURVEY.md §2.7 "pipeline parallel"):
@@ -1082,7 +1127,12 @@ class TpuGopEncoder:
         shift = self.info.keyframe_granule_shift
         pno = 3
         nf = len(frames)
-        bases = list(range(0, nf, keyframe_freq))
+        bases = gop_starts(frames, keyframe_freq, auto_keyframe)
+        bounds = bases + [nf]
+        gops = [
+            (bases[k], frames[bases[k]:bounds[k + 1]])
+            for k in range(len(bases))
+        ]
         rc = (
             WindowRateController(self, target_bitrate, rate_window)
             if target_bitrate > 0 else None
@@ -1100,10 +1150,8 @@ class TpuGopEncoder:
                 pno += 1
 
         if rc is not None:
-            for gi, base in enumerate(bases):
-                datas, _ = self.finish_gop(
-                    self.dispatch_gop(frames[base:base + keyframe_freq])
-                )
+            for gi, (base, gfr) in enumerate(gops):
+                datas, _ = self.finish_gop(self.dispatch_gop(gfr))
                 emit(base, datas)
                 rc.add(8 * sum(len(d) for d in datas), len(datas))
                 if (gi + 1) % rate_window == 0:
@@ -1111,10 +1159,10 @@ class TpuGopEncoder:
             rc.update()
             return out
         pending = None  # (base, dispatched state)
-        for base in bases + [None]:
+        for item in gops + [None]:
             state = (
-                (base, self.dispatch_gop(frames[base:base + keyframe_freq]))
-                if base is not None else None
+                (item[0], self.dispatch_gop(item[1]))
+                if item is not None else None
             )
             if pending is not None:
                 pbase, pstate = pending

@@ -265,30 +265,36 @@ def encode_clip_mesh(
     qi: int | None = None,
     target_bitrate: int = 0,
     rate_window: int = 8,
+    auto_keyframe: bool = False,
 ) -> list[Packet]:
-    """Encode a clip over the mesh, GOP batches of size = gop-axis.
+    """Encode a clip over the mesh, GOP batches up to the gop-axis size.
+
+    auto_keyframe segments GOPs at detected scene cuts (bounded by
+    keyframe_freq) via the deterministic content-only pre-pass
+    (tpu_gop.detect_scene_cuts), so every mesh shape derives the same
+    (possibly uneven) GOP boundaries.
 
     With target_bitrate > 0, a reservoir controller adjusts qi at fixed
     rate_window GOP boundaries from the psum of real packed bit counts
-    (the rate collective).  The window is mesh-independent and the psum
-    is an associative integer sum, so the qi trajectory -- and therefore
+    (the rate collective).  rate_window is arbitrary: a dispatch batch
+    is clipped at window boundaries, so a qi update never lands inside
+    a batch and the update happens at the same GOP index on every mesh
+    shape.  The window is mesh-independent and the psum is an
+    associative integer sum, so the qi trajectory -- and therefore
     every output byte -- is identical on any mesh shape.
     """
+    from theora_tpu.encode.tpu_gop import gop_starts
+
     enc = MeshGopEncoder(mesh, info, qi=qi)
     G = mesh.shape["gop"]
-    if target_bitrate > 0 and rate_window % G != 0:
-        # A window boundary inside a dispatch batch would let different
-        # mesh shapes apply the qi update at different GOPs, breaking
-        # byte-identity; insist on aligned windows.
-        raise ValueError(
-            f"rate_window ({rate_window}) must be a multiple of the "
-            f"mesh gop axis ({G}) for a mesh-invariant CBR trajectory"
-        )
     out = enc.base.flush_headers()
     shift = info.keyframe_granule_shift
     nf = len(frames)
+    starts = gop_starts(frames, keyframe_freq, auto_keyframe)
+    bounds = starts + [nf]
     gop_list = [
-        frames[i : i + keyframe_freq] for i in range(0, nf, keyframe_freq)
+        (starts[k], frames[starts[k] : bounds[k + 1]])
+        for k in range(len(starts))
     ]
     rc = WindowRateController(enc.base, target_bitrate, rate_window)
     pno = 3
@@ -303,30 +309,35 @@ def encode_clip_mesh(
         # to the gop axis; zeros don't change the sum), applied through
         # the shared window controller (encode/tpu_gop.py) so single-
         # device encode_clip CBR is byte-identical by construction.
-        arr = np.zeros(-(-len(win_bits) // G) * G, np.int32)
+        arr = np.zeros(max(-(-len(win_bits) // G) * G, G), np.int32)
         arr[: len(win_bits)] = win_bits
         rc.apply(rate_psum(mesh, arr), win_frames)
         win_bits.clear()
         win_frames = 0
 
-    for b0 in range(0, len(gop_list), G):
-        # A rate window never spans a dispatch batch partially: dispatch
-        # batches subdivide windows when G <= rate_window, and updates
-        # happen between dispatches at fixed GOP indices either way.
-        batch = gop_list[b0 : b0 + G]
+    b0 = 0
+    while b0 < len(gop_list):
+        size = min(G, len(gop_list) - b0)
+        if target_bitrate > 0:
+            # Clip the batch at the next rate-window boundary: updates
+            # then always fall between dispatches, at mesh-independent
+            # GOP indices (costs parallelism only in the boundary
+            # batch when rate_window is not a multiple of G).
+            size = min(size, rate_window - b0 % rate_window)
+        batch = gop_list[b0 : b0 + size]
         real = len(batch)
-        F = max(len(gp) for gp in batch)
+        F = max(len(gp) for _, gp in batch)
         # Equal-shape padding: short GOPs repeat their last frame, the
         # batch pads with copies of GOP 0 (outputs dropped).
         padded = [
-            gp + [gp[-1]] * (F - len(gp)) for gp in batch
+            gp + [gp[-1]] * (F - len(gp)) for _, gp in batch
         ]
         while len(padded) < G:
             padded.append(padded[0])
         pkts_per_gop = enc.encode_gops(padded)
         for gi in range(real):
-            nreal = len(batch[gi])
-            base_f = (b0 + gi) * keyframe_freq
+            base_f, gfr = batch[gi]
+            nreal = len(gfr)
             for j in range(nreal):
                 fnum = base_f + j
                 gp = ((base_f + 1) << shift) + j
@@ -342,6 +353,7 @@ def encode_clip_mesh(
                 win_frames += nreal
                 if (b0 + gi + 1) % rate_window == 0:
                     rate_update()
+        b0 += size
     if target_bitrate > 0:
         rate_update()
     return out
