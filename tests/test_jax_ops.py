@@ -220,3 +220,38 @@ def test_tpu_batch_decoder_chained_batches():
         assert np.array_equal(mine, ref[i]), f"frame {i}"
     # sync_refs_to_host lets the scalar path continue the stream.
     dec.sync_refs_to_host()
+
+
+def test_tpu_batch_decoder_pipelined_clip():
+    """decode_clip (two-deep dispatch with async device->host copies)
+    must equal per-batch decode_batch byte-for-byte, including dup
+    packets whose chunk drains after the next batch is in flight."""
+    import os
+
+    from tests.conftest import TESTDATA
+    from theora_tpu.decode.tpu_batch import TpuBatchDecoder
+    from theora_tpu.headers import parse_info_header, parse_setup_header
+    from theora_tpu.tpkt import read_tpkt
+
+    name = "cif_k4_q40"
+    pkts = read_tpkt(os.path.join(TESTDATA, f"{name}.tpkt"))
+
+    def mk():
+        return TpuBatchDecoder(
+            parse_info_header(pkts[0].data),
+            parse_setup_header(pkts[2].data),
+        )
+
+    # Insert dup packets (one mid-stream, plus a whole dup-only chunk at
+    # batch=3: frames 6,7,8 all dups).
+    data = [p.data for p in pkts[3:]]
+    data = data[:4] + [b""] + data[4:6] + [b"", b"", b""] + data[6:]
+    a = mk().decode_clip(data, batch=3)
+    b = []
+    d2 = mk()
+    for lo in range(0, len(data), 3):
+        b.extend(d2.decode_batch(data[lo:lo + 3]))
+    assert len(a) == len(b) == len(data)
+    for i, (fa, fb) in enumerate(zip(a, b)):
+        for pa, pb in zip(fa, fb):
+            assert np.array_equal(pa, pb), f"frame {i}"
