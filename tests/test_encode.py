@@ -228,6 +228,88 @@ def test_scene_cut_auto_keyframe():
         assert dec.granpos == p.granulepos
 
 
+def test_mode_rd_stream_decodes_and_seeds_chains():
+    """The fitted-R/D mode decision (mode_rd, study path): streams must
+    decode bit-exactly in the reference decoder, and the multi-level
+    seeding walk must actually seed the last-MV chain on a smooth pan
+    (the all-NOMV collapse of the naive greedy walk is the regression
+    this guards)."""
+    import subprocess
+
+    from tests.conftest import REPO_ROOT, ensure_ref_oracle
+    from theora_tpu.encode import modedec
+    from theora_tpu.tpkt import write_tpkt
+
+    if not modedec.tables_available():
+        pytest.skip("modedec tables not generated")
+    W, H = 96, 80
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for t in range(6):
+        y = (110 + 70 * np.sin((xx + 3 * t) / 17.0)
+             + 30 * np.cos(yy / 13.0)).clip(0, 255).astype(np.uint8)
+        frames.append([
+            y, np.full((H // 2, W // 2), 120, np.uint8),
+            np.full((H // 2, W // 2), 136, np.uint8),
+        ])
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=40,
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 8
+    enc.mode_rd = True
+    pkts = enc.flush_headers()
+    modes_seen = set()
+    orig = Encoder._encode_inter_tail
+    import inspect
+
+    sig = inspect.signature(orig)
+
+    def spy(self, *a, **k):
+        ba = sig.bind(self, *a, **k)
+        modes_seen.update(
+            int(m) for m in ba.arguments["mb_modes"][ba.arguments["mb_list"]]
+        )
+        return orig(self, *a, **k)
+
+    Encoder._encode_inter_tail = spy
+    try:
+        for fr in frames:
+            pkts.append(enc.encode_frame(fr))
+    finally:
+        Encoder._encode_inter_tail = orig
+    # The pan must be tracked through MV-bearing modes (chain seeded).
+    from theora_tpu.constants import (
+        MODE_INTER_MV,
+        MODE_INTER_MV_LAST,
+        MODE_INTER_MV_LAST2,
+    )
+
+    assert modes_seen & {MODE_INTER_MV, MODE_INTER_MV_LAST,
+                         MODE_INTER_MV_LAST2}, modes_seen
+    # Bit-exact in the reference decoder.
+    if not ensure_ref_oracle():
+        pytest.skip("no reference oracle")
+    tpkt = "/tmp/test_mode_rd.tpkt"
+    yuv = "/tmp/test_mode_rd.yuv"
+    write_tpkt(tpkt, pkts)
+    subprocess.run(
+        [os.path.join(REPO_ROOT, "refbuild", "build", "ref_dec"),
+         tpkt, yuv],
+        check=True, capture_output=True,
+    )
+    ref = open(yuv, "rb").read()
+    dec = Decoder(parse_info_header(pkts[0].data),
+                  parse_setup_header(pkts[2].data))
+    ours = bytearray()
+    for p in pkts[3:]:
+        dec.decode_packet(p.data)
+        for pl in dec.ycbcr_out():
+            ours += pl.tobytes()
+    assert bytes(ours) == ref
+
+
 def test_crosscheck_random_configs():
     """A slice of the randomized conformance campaign: random geometry /
     format / qi / kf / CBR encodes must decode bit-identically in the

@@ -152,13 +152,29 @@ class Encoder:
         # every coded fragment appends (qi, pli, qti, satd, bits, ssd).
         self.collect = None
         # SATD + fitted-table mode decision (modedec analogue; requires
-        # generated modedec_tables). Experimental, off by default: measured
-        # ~5-10% worse than the SAD+bias policy because the per-block
-        # (rate, rmse) model misses the cross-block token-run economics the
-        # LAST-heavy policy exploits, and this pipeline's skip pass is not
-        # coupled to the mode costs the way the reference's rollback skip
-        # is (analyze.c:859-882). Kept for study + the collect tooling.
+        # generated modedec_tables).  Off by default -- closed question,
+        # round 3 (full bisection in ROUND_NOTES): after fixing the
+        # missing skip coupling, a 16x distortion-domain bug, the SATD
+        # bin blindness below 512 (log-spaced edges now), the greedy
+        # chain-seeding failure (multi-level walks, cheapest full-price
+        # plan), and one step of policy iteration on the training data,
+        # mode_rd ties or beats the SAD+bias policy on synthetic and
+        # held-out synthetic content (-0.2%..-3.1% at equal PSNR) but
+        # still loses 15-37% on held-out natural content at every qi and
+        # every rate scale: a per-block (satd -> rate, rmse) regression
+        # cannot see the cross-block token-run/skip economy that
+        # dominates natural content.  Kept for study + collect tooling.
         self.mode_rd = False
+        # Rate-aggressiveness multiplier on the mode-decision lambda
+        # (the reference's OC_BIT_SCALE convention makes its mode costs
+        # ~16x more rate-aggressive than our trellis-lambda units;
+        # swept empirically, see ROUND_NOTES round 3).
+        self.mode_rd_rate_scale = 1.0
+        # MV-bit discount levels tried when scoring MV-bearing modes
+        # (chain-seeding value of the last-MV predictor): one greedy
+        # walk per level, cheapest full-price plan wins.  See
+        # _mode_decide_rd.
+        self.mode_rd_seed_levels = (1.0, 0.25, 0.0)
         self._trellis_scan = None
         # Device-precomputed (dct, qdct) per plane (TpuBatchIntraEncoder).
         self._precomputed_tq = None
@@ -1333,7 +1349,7 @@ class Encoder:
         fmt = int(self.info.pixel_fmt)
         lam = float(
             tables.RD_LAMBDA.get(fmt, tables.RD_LAMBDA[0])[1][qi]
-        )
+        ) * float(self.mode_rd_rate_scale)
         rows = {
             qti: modedec.interp_rows(self.dequant, qi, qti, 0)
             for qti in (0, 1)
@@ -1370,11 +1386,12 @@ class Encoder:
         grid = (dd * dd).reshape(pl.nvfrags, 8, pl.nhfrags, 8).sum(
             axis=(1, 3)
         )
-        # Pixel-domain SSD: the mode-decision cost convention is
-        # ssd + lambda*bits with ssd NOT in the x16 coefficient domain
-        # (OC_MODE_RD_COST, analyze.c:1063-1076 with OC_BIT_SCALE).
-        skip_ssd = grid[blk_fy // 8, blk_fx // 8].astype(np.float64)
-        skip_ssd *= np.where((b2 != 0).any(axis=1), 2.0, 1.0)
+        # x16 coefficient domain (the fitted tables' RMSE is sqrt of
+        # 16*pixel-SSD, collect.py fit()), so the per-block skip-vs-code
+        # min compares like with like.  No motion penalty: only NOMV MBs
+        # consume this (their skip IS the zero-MV prev copy measured
+        # here).
+        skip_ssd = 16.0 * grid[blk_fy // 8, blk_fx // 8].astype(np.float64)
 
         if not hasattr(self, "_mv_len"):
             lens = {}
@@ -1383,93 +1400,128 @@ class Encoder:
             self._mv_len = lens
         mv_len = self._mv_len
 
-        def blocks_cost(satds, qti, skips):
+        def blocks_cost(satds, qti, skips, may_skip=False):
             tot = 0.0
             r_row, m_row = rows[qti]
             for s, sk in zip(satds, skips):
                 r, ssd = modedec.dct_cost(r_row, m_row, int(s))
                 # x16-domain distortion + lambda*bits: the same convention
-                # as the trellis and skip decisions in this pipeline (the
-                # reference's mode costs are 16x more rate-aggressive, but
-                # they feed a matching skip pass we don't replicate).
-                tot += ssd + lam * r
+                # as the trellis and skip decisions in this pipeline.
+                c = ssd + lam * r
+                # Skip coupling (oc_cost_inter's per-block min with the
+                # uncoded SSD, analyze.c:1275-1304): a block this
+                # pipeline's skip pass may actually drop (luma skips only
+                # in NOMV MBs -- mode transmission rides coded luma)
+                # contributes the cheaper of coding and skipping, so
+                # NOMV stops being charged for blocks it won't code.
+                if may_skip and sk < c:
+                    c = sk
+                tot += c
             return tot
 
-        chooser = modedec.SchemeChooser()
-        last_mv = (0, 0)
-        prior_mv = (0, 0)
         cur_c = np.ascontiguousarray(cur_y)
-        for i, mbi in enumerate(mb_list):
-            s4 = slice(4 * i, 4 * i + 4)
-            sk = skip_ssd[s4]
-            mv = (int(mvs[i, 0]), int(mvs[i, 1]))
-            costs = {}
-            costs[MODE_INTER_NOMV] = blocks_cost(
-                satd_nomv[s4], 1, sk
-            ) + lam * chooser.cost(MODE_INTER_NOMV)
-            costs[MODE_INTRA] = blocks_cost(
-                satd_intra[s4], 0, sk
-            ) + lam * chooser.cost(MODE_INTRA)
-            costs[MODE_GOLDEN_NOMV] = blocks_cost(
-                satd_gold[s4], 1, sk
-            ) + lam * chooser.cost(MODE_GOLDEN_NOMV)
-            costs[MODE_INTER_MV_FOUR] = (
-                blocks_cost(satd_4mv[s4], 1, sk)
-                + lam
-                * (
-                    chooser.cost(MODE_INTER_MV_FOUR)
-                    + sum(
-                        mv_len[int(b2[4 * i + bi, 0])]
+        satd_cache: dict = {}
+
+        def last_satd(i, mvt, mv, s4):
+            """SATD of MB i predicted with a candidate LAST/LAST2 vector
+            (cached across walks)."""
+            if mvt == mv:
+                return satd_mv[s4]
+            key = (i, mvt)
+            s_l = satd_cache.get(key)
+            if s_l is None:
+                mvx = np.full(4, mvt[0], np.int32)
+                mvy = np.full(4, mvt[1], np.int32)
+                s_l, _ = satd_halfpel_batch_native(
+                    cur_c, prev_o, blk_fy[s4], blk_fx[s4], mvx, mvy,
+                    bs=8,
+                )
+                satd_cache[key] = s_l
+            return s_l
+
+        def walk(seed_discount):
+            """One greedy pass over the MBs.  seed_discount < 1 makes
+            MV-bearing modes cheaper AT DECISION TIME only (their full
+            bits still accrue to the returned total): choosing INTER_MV
+            or 4MV seeds the decoder's last-MV predictor, which makes
+            LAST (0 MV bits) available to every following MB of a pan --
+            chain value a 1-step greedy walk cannot see (measured: at
+            full price the seed never happens on smooth pans and the
+            decision collapses to all-NOMV, +76% bytes / -3.7 dB at
+            q40).  The caller runs several aggressiveness levels and
+            keeps the plan whose FULL-price model total is least, so the
+            discount can only ever reveal better plans, not distort the
+            chosen one."""
+            chooser = modedec.SchemeChooser()
+            last_mv = (0, 0)
+            prior_mv = (0, 0)
+            plan = []
+            total = 0.0
+            for i, mbi in enumerate(mb_list):
+                s4 = slice(4 * i, 4 * i + 4)
+                sk = skip_ssd[s4]
+                mv = (int(mvs[i, 0]), int(mvs[i, 1]))
+                # costs: mode -> (decision cost, full-price cost).
+                costs = {}
+
+                def add(mode, bc, mv_bits=0.0):
+                    sc = chooser.cost(mode)
+                    costs[mode] = (
+                        bc + lam * (sc + mv_bits * seed_discount),
+                        bc + lam * (sc + mv_bits),
+                    )
+
+                add(MODE_INTER_NOMV,
+                    blocks_cost(satd_nomv[s4], 1, sk, may_skip=True))
+                add(MODE_INTRA, blocks_cost(satd_intra[s4], 0, sk))
+                add(MODE_GOLDEN_NOMV, blocks_cost(satd_gold[s4], 1, sk))
+                add(MODE_INTER_MV_FOUR,
+                    blocks_cost(satd_4mv[s4], 1, sk),
+                    sum(mv_len[int(b2[4 * i + bi, 0])]
                         + mv_len[int(b2[4 * i + bi, 1])]
-                        for bi in range(4)
-                    )
-                )
-            )
-            if mv != (0, 0):
-                costs[MODE_INTER_MV] = (
-                    blocks_cost(satd_mv[s4], 1, sk)
-                    + lam
-                    * (
-                        chooser.cost(MODE_INTER_MV)
-                        + mv_len[mv[0]]
-                        + mv_len[mv[1]]
-                    )
-                )
-            for m_last, mvt in (
-                (MODE_INTER_MV_LAST, last_mv),
-                (MODE_INTER_MV_LAST2, prior_mv),
-            ):
-                if mvt == (0, 0) or (
-                    m_last == MODE_INTER_MV_LAST2 and mvt == last_mv
+                        for bi in range(4)))
+                if mv != (0, 0):
+                    add(MODE_INTER_MV, blocks_cost(satd_mv[s4], 1, sk),
+                        mv_len[mv[0]] + mv_len[mv[1]])
+                for m_last, mvt in (
+                    (MODE_INTER_MV_LAST, last_mv),
+                    (MODE_INTER_MV_LAST2, prior_mv),
                 ):
-                    continue
-                if mvt == mv:
-                    s_l = satd_mv[s4]
+                    if mvt == (0, 0) or (
+                        m_last == MODE_INTER_MV_LAST2 and mvt == last_mv
+                    ):
+                        continue
+                    add(m_last, blocks_cost(last_satd(i, mvt, mv, s4),
+                                            1, sk))
+                mode = min(costs, key=lambda m: costs[m][0])
+                total += costs[mode][1]
+                chooser.update(mode)
+                if mode == MODE_INTER_MV:
+                    vec = mv
+                    prior_mv = last_mv
+                    last_mv = mv
+                elif mode == MODE_INTER_MV_LAST:
+                    vec = last_mv
+                elif mode == MODE_INTER_MV_LAST2:
+                    vec = prior_mv
+                    prior_mv, last_mv = last_mv, prior_mv
+                elif mode == MODE_INTER_MV_FOUR:
+                    vec = (0, 0)
+                    prior_mv = last_mv
+                    last_mv = (int(bmvs[i, 3, 0]), int(bmvs[i, 3, 1]))
                 else:
-                    mvx = np.full(4, mvt[0], np.int32)
-                    mvy = np.full(4, mvt[1], np.int32)
-                    s_l, _ = satd_halfpel_batch_native(
-                        cur_c, prev_o, blk_fy[s4], blk_fx[s4], mvx, mvy,
-                        bs=8,
-                    )
-                costs[m_last] = blocks_cost(s_l, 1, sk) + lam * chooser.cost(
-                    m_last
-                )
-            mode = min(costs, key=costs.get)
+                    vec = (0, 0)
+                plan.append((mode, vec))
+            return total, plan
+
+        best_total, best_plan = None, None
+        for d in self.mode_rd_seed_levels:
+            total, plan = walk(d)
+            if best_total is None or total < best_total:
+                best_total, best_plan = total, plan
+        for (mode, vec), mbi in zip(best_plan, mb_list):
             mb_modes[mbi] = mode
-            chooser.update(mode)
-            if mode == MODE_INTER_MV:
-                mb_mvs[mbi] = mv
-                prior_mv = last_mv
-                last_mv = mv
-            elif mode == MODE_INTER_MV_LAST:
-                mb_mvs[mbi] = last_mv
-            elif mode == MODE_INTER_MV_LAST2:
-                mb_mvs[mbi] = prior_mv
-                prior_mv, last_mv = last_mv, prior_mv
-            elif mode == MODE_INTER_MV_FOUR:
-                prior_mv = last_mv
-                last_mv = (int(bmvs[i, 3, 0]), int(bmvs[i, 3, 1]))
+            mb_mvs[mbi] = vec
 
     def _encode_inter_tail(self, planes, coded_seed, frag_refi, frag_mode,
                            frag_mv, mb_modes, mb_mvs, mb_list):

@@ -18,12 +18,25 @@ import sys
 
 import numpy as np
 
-SATD_SHIFT = 9     # bin width 512, matching the reference's binning
 NBINS = 24
 NLOGQ = 8
+# Log-spaced SATD bin edges: fine at low SATD where mode decisions are
+# actually made on coherent content (satd 0 vs ~200 is the NOMV-vs-MV
+# question), coarse at the top.  Redesign of the reference's uniform
+# 512-wide bins (modedec.h), which collapse that whole region into one
+# bin -- see theora_tpu/encode/modedec.py:satd_bin.
+SATD_EDGES = [
+    0, 32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1408, 1792,
+    2304, 2816, 3584, 4352, 5376, 6656, 8192, 10240, 12800, 16384,
+    20480,
+]
 
 
-def gather(clips, qis, kf=8, max_frames=32):
+def gather(clips, qis, kf=8, max_frames=32, mode_rd=False):
+    """mode_rd=True collects under the fitted-R/D mode policy itself
+    (one step of policy iteration: the training distribution is
+    conditioned on the deciding policy, so fitting from heuristic-policy
+    encodes and deploying under mode_rd is a distribution shift)."""
     from theora_tpu.info import TheoraInfo
     from theora_tpu.encode.encoder import Encoder
 
@@ -49,6 +62,7 @@ def gather(clips, qis, kf=8, max_frames=32):
             )
             enc = Encoder(info)
             enc.keyframe_freq = kf
+            enc.mode_rd = mode_rd
             enc.collect = []
             enc.flush_headers()
             for fr in frames:
@@ -77,7 +91,10 @@ def fit(rows, dequant):
         np.array([[dequant[q, int(p) and 1, t][1] for q, p, t
                    in zip(qi, plc, qti)]])
     ).reshape(-1)
-    bins = np.minimum(satd.astype(int) >> SATD_SHIFT, NBINS - 1)
+    bins = np.minimum(
+        np.searchsorted(np.asarray(SATD_EDGES), satd, side="right") - 1,
+        NBINS - 1,
+    )
 
     anchors = np.zeros((2, 2, NLOGQ))
     rate_t = np.zeros((2, 2, NLOGQ, NBINS))
@@ -107,16 +124,33 @@ def fit(rows, dequant):
                     else:
                         rate_t[pc, t, ai, b] = np.nan
                         rmse_t[pc, t, ai, b] = np.nan
-            # Fill empty bins by interpolation along the bin axis.
+            # Fill empty bins: interpolate interior gaps along the bin
+            # axis, then LINEAR-EXTRAPOLATE the unpopulated tail from
+            # the last two populated bins (in SATD-edge space).  A flat
+            # fill would freeze rate/rmse at each population's data
+            # ceiling, and since intra/inter populations truncate at
+            # different SATDs, the frozen ceilings cross and the mode
+            # decision floods INTRA at high q (measured on held-out
+            # content: +166% bytes at q56 before this extrapolation).
+            ecent = np.asarray(SATD_EDGES, np.float64)
             for tab in (rate_t, rmse_t):
                 for ai in range(NLOGQ):
                     v = tab[pc, t, ai]
-                    good = ~np.isnan(v)
-                    if good.any():
-                        v[:] = np.interp(np.arange(NBINS),
-                                         np.flatnonzero(good), v[good])
-                    else:
+                    good = np.flatnonzero(~np.isnan(v))
+                    if len(good) == 0:
                         v[:] = 0.0
+                        continue
+                    v[:] = np.interp(np.arange(NBINS), good,
+                                     v[good])
+                    k = good[-1]
+                    if k < NBINS - 1 and len(good) >= 2:
+                        j = good[-2]
+                        slope = (v[k] - v[j]) / max(
+                            ecent[k] - ecent[j], 1.0
+                        )
+                        v[k + 1:] = v[k] + slope * (
+                            ecent[k + 1:] - ecent[k]
+                        )
             # Enforce monotonic non-decreasing rate/rmse over SATD.
             for tab in (rate_t, rmse_t):
                 np.maximum.accumulate(tab[pc, t], axis=1, out=tab[pc, t])
@@ -129,12 +163,12 @@ def write_tables(path, anchors, rate_t, rmse_t):
                 "mode-decision R-D tables.\n\n"
                 "Fitted rate (bits) and RMSE (x4-DCT-domain) per 8x8 block "
                 "as functions of\nprediction-residual SATD, at "
-                f"{NLOGQ} log-quantizer anchors x {NBINS} SATD bins\n"
-                "(bin width 512; chroma SATD scaled x4), per "
+                f"{NLOGQ} log-quantizer anchors x {NBINS} log-spaced "
+                "SATD bins\n(chroma SATD scaled x4), per "
                 "(plane-class, frame-type).\nThe modedec.h analogue, "
                 'regenerated from our own encoder statistics."""\n')
-        f.write(f"SATD_SHIFT = {SATD_SHIFT}\nNBINS = {NBINS}\n"
-                f"NLOGQ = {NLOGQ}\n\n")
+        f.write(f"NBINS = {NBINS}\nNLOGQ = {NLOGQ}\n"
+                f"SATD_EDGES = {SATD_EDGES}\n\n")
         def dump(name, arr, fmt):
             f.write(f"{name} = ")
             f.write(np.array2string(
@@ -153,13 +187,16 @@ def main(argv=None):
     ap.add_argument("clips", nargs="+", help="path.i420:W:H")
     ap.add_argument("--out", default="theora_tpu/modedec_tables.py")
     ap.add_argument("--qis", default="4,10,16,22,28,34,40,46,52,58,63")
+    ap.add_argument("--mode-rd", action="store_true",
+                    help="collect under the fitted-R/D mode policy "
+                         "(policy iteration; needs existing tables)")
     args = ap.parse_args(argv)
     clips = []
     for c in args.clips:
         p, w, h = c.rsplit(":", 2)
         clips.append((p, int(w), int(h)))
     qis = [int(q) for q in args.qis.split(",")]
-    rows = gather(clips, qis)
+    rows = gather(clips, qis, mode_rd=args.mode_rd)
     print(f"total {len(rows)} fragment samples", file=sys.stderr)
     from theora_tpu import tables
     from theora_tpu.quant import dequant_tables_init
