@@ -189,6 +189,11 @@ class PageReader:
         self.data = data
         self.pos = 0
         self._partial: dict[int, bytearray] = {}
+        # Streams whose continuation state was lost (first page not yet
+        # seen, or a page dropped by CRC): the tail of a continued
+        # packet must be discarded, not emitted as a truncated packet
+        # (libogg's ogg_stream_packetout -1 resync semantics).
+        self._lost: set[int] = set()
 
     def pages(self):
         data = self.data
@@ -237,26 +242,45 @@ class PageReader:
     def packets(self):
         """Yield (serialno, Packet) in stream order. The page granulepos is
         attached to the last packet completed on each page."""
+        expect_page: dict[int, int] = {}
         for page in self.pages():
             sn = page["serialno"]
             buf = self._partial.setdefault(sn, bytearray())
             body = page["body"]
             off = 0
             continued = bool(page["htype"] & 0x01)
+            # A page-sequence gap (CRC-dropped page) loses any pending
+            # continuation.
+            exp = expect_page.get(sn)
+            if (exp is not None and page["pageno"] != exp) or (
+                exp is None and continued
+            ):
+                buf.clear()
+                self._lost.add(sn)
+            expect_page[sn] = page["pageno"] + 1
             if not continued and buf:
                 buf.clear()  # lost continuation; drop
+            if not continued:
+                self._lost.discard(sn)
+            drop_first = continued and sn in self._lost
             completed: list[Packet] = []
             for lv in page["segments"]:
                 buf += body[off : off + lv]
                 off += lv
                 if lv < 255:
-                    completed.append(
-                        Packet(
-                            bytes(buf),
-                            b_o_s=bool(page["htype"] & 0x02),
-                            granulepos=-1,
+                    if drop_first:
+                        # Tail of a packet whose head was lost: discard
+                        # (not a decodable packet).
+                        drop_first = False
+                        self._lost.discard(sn)
+                    else:
+                        completed.append(
+                            Packet(
+                                bytes(buf),
+                                b_o_s=bool(page["htype"] & 0x02),
+                                granulepos=-1,
+                            )
                         )
-                    )
                     buf.clear()
             if completed:
                 completed[-1].granulepos = page["granulepos"]
