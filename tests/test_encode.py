@@ -228,6 +228,52 @@ def test_scene_cut_auto_keyframe():
         assert dec.granpos == p.granulepos
 
 
+def test_adaptive_quant_auto_rescues_high_qi_texture():
+    """The round-3 sweep found the single-qi ladder collapses on dense
+    texture at high qi (q56 textured: -3.6 dB vs the reference, which
+    masks by default).  The "auto" default must engage the reference-
+    spec qi triple there and recover multiple dB; below the gate it
+    must leave streams single-qi."""
+    rng = np.random.RandomState(7)
+    W, H = 176, 144
+    tex = rng.randint(0, 160, (H + 32, W + 32)).astype(np.int32)
+    frames = []
+    for t in range(8):
+        y = (tex[t:t + H, 2 * t:2 * t + W] + 48).clip(0, 255)
+        frames.append([
+            y.astype(np.uint8),
+            np.full((H // 2, W // 2), 110, np.uint8),
+            np.full((H // 2, W // 2), 140, np.uint8),
+        ])
+
+    def encode(qi, aq):
+        enc = Encoder(TheoraInfo(
+            frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+            quality=qi,
+        ))
+        enc.keyframe_freq = 8
+        enc.adaptive_quant = aq
+        pkts = enc.flush_headers()
+        for fr in frames:
+            pkts.append(enc.encode_frame(fr))
+        dec = Decoder(parse_info_header(pkts[0].data),
+                      parse_setup_header(pkts[2].data))
+        se = 0.0
+        for i, p in enumerate(pkts[3:]):
+            dec.decode_packet(p.data)
+            d = dec.ycbcr_out()[0].astype(np.float64) - frames[i][0]
+            se += (d * d).mean()
+        return enc.frame_qis, 10 * np.log10(255.0**2 / (se / len(frames)))
+
+    qis_on, psnr_on = encode(56, "auto")
+    assert len(qis_on) == 3, qis_on  # gate engaged at q56
+    qis_off, psnr_off = encode(56, False)
+    assert len(qis_off) == 1
+    assert psnr_on - psnr_off > 2.0, (psnr_on, psnr_off)
+    qis_low, _ = encode(40, "auto")
+    assert len(qis_low) == 1, qis_low  # below the gate: single-qi
+
+
 def test_mode_rd_stream_decodes_and_seeds_chains():
     """The fitted-R/D mode decision (mode_rd, study path): streams must
     decode bit-exactly in the reference decoder, and the multi-level
@@ -345,6 +391,8 @@ def test_encoder_output_stability():
     h = hashlib.sha256()
     for fr in frames:
         h.update(enc.encode_frame(fr).data)
+    # (q40 sits below the adaptive-quant "auto" gate, so the round-3
+    # masking default leaves this digest untouched.)
     assert h.hexdigest() == (
         "311b6ffa5060c5b57d148c21fe6d2e026c1dd5ac96f6f1ebc5a96b6f72d6ef17"
     )

@@ -184,8 +184,26 @@ class Encoder:
         # the proven decode path stays the default.
         self.fast_recon = False
         self._recon_state = None
-        # Adaptive quantization (3-qi frames with activity masking).
-        self.adaptive_quant = False
+        # Adaptive quantization: 3-qi frames, reference-spec quantizer
+        # triple (log_qavg -0.6/+0.7 clusters, rate.c:175-201 -- see
+        # _adaptive_qi_triple), per-block qii by exact trellis R/D.
+        # Default "auto": ON in the quality-saturation region
+        # (log_qavg < 5.0, i.e. the high-qi range), where it rescues
+        # exactly the failure the round-3 sweep exposed -- dense
+        # texture at q56 is +3.7 dB at equal qi, a point the single-qi
+        # ladder cannot reach at ANY byte count -- and OFF below, where
+        # it measured PSNR-neutral-to-negative while costing ~2x
+        # encode throughput.  True forces masking at every qi (the
+        # reference's default, perceptually motivated); False disables.
+        # Gated off under vp3_compatible, sp_level >= 2, and
+        # log_qavg >= 7 (low rates), as in the reference.
+        self.adaptive_quant = "auto"
+        # Lambda multiplier for the per-block qii R/D chooser.  1.0 =
+        # the frame's trellis lambda (reference-coherent).  Swept round
+        # 3: 0.25 lifts iid-noise content above the single-qi RD curve
+        # but overshoots (RD-negative) on textured/real content; 1.0
+        # wins where it matters and stays on-curve elsewhere.
+        self.aq_lambda_scale = 1.0
         # VP3 compatibility: explicit drop-frame packets instead of 0-byte
         # dups (encode.c:865-906); pair with VP31 quant/Huffman tables for
         # full compatibility.
@@ -648,7 +666,10 @@ class Encoder:
         n = len(fragis)
         fti = self._cur_fti
         fmt = int(self.info.pixel_fmt)
-        lam = tables.RD_LAMBDA.get(fmt, tables.RD_LAMBDA[0])[fti][qis[0]]
+        lam = (
+            tables.RD_LAMBDA.get(fmt, tables.RD_LAMBDA[0])[fti][qis[0]]
+            * self.aq_lambda_scale
+        )
         nbt = self._nb_table(pli, fti)
         res_a = np.asarray(res)
         dct16 = None
@@ -668,29 +689,62 @@ class Encoder:
                     if dct16 is None:
                         dct16 = np.empty((n, 64), dtype=np.int16)
                     dct16[m] = dc16
-            else:
+                dq0r = self.dequant[qi, pli, 0].astype(np.int64)
+                dq1r = self.dequant[qi, pli, 1].astype(np.int64)
+                paths, acbits, err2 = trellis_plan_blocks_native(
+                    dct16, qdct, dq0r, dq1r, qti, lam, nbt
+                )
+                qdcts.append(qdct)
+                pathss.append(paths)
+                acbitss.append(acbits)
+                err2s.append(err2)
+                continue
+            # Extra rows: exact evaluation PRUNED to blocks where the
+            # row could possibly win (keeps the adaptive default near
+            # the single-qi throughput on coherent content).  A coarser
+            # row can only win by saving bits, so blocks whose base
+            # plan spends <= 1 AC bit are out (the +1 qii signaling bit
+            # alone eats the gain); a finer row can only win by cutting
+            # error, so blocks with base error <= lambda are out (one
+            # extra bit already costs more than the whole error).
+            bits0 = acbitss[0]
+            err0 = err2s[0]
+            cand = bits0 > 1 if qi < qis[0] else err0 > lam
+            idx = np.nonzero(cand)[0]
+            qdct = qdcts[0].copy()
+            paths = pathss[0].copy()
+            acb = acbitss[0].copy()
+            err = np.full(n, np.int64(1) << 62, np.int64)
+            if len(idx):
+                d16 = np.ascontiguousarray(dct16[idx])
+                qtis = np.ascontiguousarray(qti[idx])
+                qsub = np.empty((len(idx), 64), dtype=np.int16)
                 for t in (0, 1):
-                    m = qti == t
+                    m = qtis == t
                     if not m.any():
                         continue
                     dq = self.dequant[qi, pli, t].astype(np.int64)
-                    qdct[m] = quantize_batch(
-                        dct16[m].astype(np.int64), dq
+                    qsub[m] = quantize_batch(
+                        d16[m].astype(np.int64), dq
                     ).astype(np.int16)
                     # DC re-quantizes with qis[0] for every qii.
                     dq0 = self.dequant[qis[0], pli, t].astype(np.int64)
-                    qdct[m, 0] = quantize_batch(
-                        dct16[m][:, :1].astype(np.int64), dq0[:1]
+                    qsub[m, 0] = quantize_batch(
+                        d16[m][:, :1].astype(np.int64), dq0[:1]
                     ).reshape(-1).astype(np.int16)
-            dq0r = self.dequant[qi, pli, 0].astype(np.int64)
-            dq1r = self.dequant[qi, pli, 1].astype(np.int64)
-            paths, acbits, err2 = trellis_plan_blocks_native(
-                dct16, qdct, dq0r, dq1r, qti, lam, nbt
-            )
+                dq0r = self.dequant[qi, pli, 0].astype(np.int64)
+                dq1r = self.dequant[qi, pli, 1].astype(np.int64)
+                p_s, a_s, e_s = trellis_plan_blocks_native(
+                    d16, qsub, dq0r, dq1r, qtis, lam, nbt
+                )
+                qdct[idx] = qsub
+                paths[idx] = p_s
+                acb[idx] = a_s
+                err[idx] = e_s
             qdcts.append(qdct)
             pathss.append(paths)
-            acbitss.append(acbits)
-            err2s.append(err2)
+            acbitss.append(acb)
+            err2s.append(err)
         # Per-block qii by R/D (qii signaling ~1 bit for base, ~2 others).
         sig = np.array([1.0, 2.0, 2.0])
         costs = np.stack(
@@ -818,36 +872,84 @@ class Encoder:
     def frame_qis(self):
         return getattr(self, "_frame_qis", None) or [self.qi]
 
-    def _select_adaptive_qis(self, planes, coded):
-        """Pick 3 qis (base, finer, coarser) and a per-fragment qii from
-        luma activity -- the activity-masking analogue (rate.c:175-201,
-        analyze.c:1152-1300): textured blocks take a coarser quantizer,
-        smooth blocks a finer one."""
-        g = self.geometry
-        if not self.adaptive_quant or self.qi in (0, 63):
-            self._frame_qis = None
-            return None
-        lq = np.log(np.maximum(self.dequant[:, 0, 1, 1:].astype(np.float64), 1)).mean(
-            axis=1
-        )
+    def _adaptive_qi_triple(self, qti):
+        """The frame's (base, finer, coarser) quantizer list under the
+        reference's masking spec (oc_enc_calc_lambda, rate.c:175-201):
+        additional quantizers sit at log_qavg offsets of -0.6 (finer)
+        and +0.7 (coarser) base-2 from the base qi's log_qavg -- the
+        K-means cluster centers of the R-D optimal block-AC quantizer
+        distribution -- selected by nearest log_qavg over the full qi
+        range; masking is off entirely when log_qavg >= 7.0 (low
+        rates, where greedy qii optimization stops paying).  Returns
+        None when masking is inactive.  The round-2 triple used mean
+        log-AC-quant with smaller offsets and was far too timid: at
+        textured q56 the reference's [56, coarser 46, finer 63] triple
+        buys +3.6 dB over a single-qi encode (BASELINE.md round 3)."""
         base = self.qi
+        if (
+            not self.adaptive_quant
+            or self.vp3_compatible
+            or self.sp_level >= 2  # FAST_ANALYSIS drops masking (ref)
+        ):
+            return None
+        from theora_tpu.encode.qavg_tables import LOG_QAVG
 
-        def at_offset(delta):
-            return int(np.argmin(np.abs(lq - (lq[base] + delta))))
+        fmt = int(self.info.pixel_fmt)
+        lqa = LOG_QAVG.get(fmt, LOG_QAVG[0])[qti]
+        lq = lqa[base]
+        if lq >= 7.0:
+            return None
+        if self.adaptive_quant == "auto" and lq >= 5.0:
+            return None
 
-        finer = at_offset(-0.3)
-        coarser = at_offset(0.7)
-        if finer == base or coarser == base:
+        def find_qi(target, qi_old):
+            best_qi, best_d = 0, abs(lqa[0] - target)
+            for qi in range(1, 64):
+                d = abs(lqa[qi] - target)
+                if d < best_d or (
+                    d == best_d and abs(qi - qi_old) < abs(best_qi - qi_old)
+                ):
+                    best_qi, best_d = qi, d
+            return best_qi
+
+        coarser = find_qi(lq + 0.7, max(base - 1, 0))
+        finer = find_qi(lq - 0.6, min(base + 1, 63))
+        qis = [base]
+        if coarser != base:
+            qis.append(coarser)
+        if finer != base and finer != coarser:
+            qis.append(finer)
+        if len(qis) < 2:
+            return None
+        return qis
+
+    def _select_adaptive_qis(self, planes, coded):
+        """Pick the frame's qi list and a per-fragment qii from luma
+        activity -- the activity-masking analogue (rate.c:175-201,
+        analyze.c:1152-1300): textured blocks take a coarser quantizer,
+        smooth blocks a finer one (with the trellis, the per-block qii
+        is chosen by exact R/D instead)."""
+        g = self.geometry
+        qis = self._adaptive_qi_triple(self._cur_fti)
+        if qis is None:
             self._frame_qis = None
             return None
-        qis = [base, finer, coarser]
         if self.use_trellis:
             # Per-block qii chosen by exact trellis R/D inside
             # _transform_quantize (supersedes the activity heuristic).
             self._frame_qis = qis
             self._frag_qii_rd = np.zeros(g.nfrags, dtype=np.int32)
             return self._frag_qii_rd
-        # Luma block variance -> activity terciles.
+        # Luma block variance -> activity terciles (non-trellis
+        # fallback).  qis is [base, coarser?, finer?]; map low-variance
+        # blocks to the finer qi and high-variance to the coarser when
+        # each is present.
+        coarser_i = next(
+            (i for i in range(1, len(qis)) if qis[i] < qis[0]), 0
+        )
+        finer_i = next(
+            (i for i in range(1, len(qis)) if qis[i] > qis[0]), 0
+        )
         y = planes[0]
         H, W = y.shape
         blocks = (
@@ -856,7 +958,9 @@ class Encoder:
         var = blocks.var(axis=1)
         lo, hi = np.quantile(var, [0.10, 0.55])
         frag_qii = np.zeros(g.nfrags, dtype=np.int32)
-        yq = np.where(var <= lo, 1, np.where(var >= hi, 2, 0)).astype(np.int32)
+        yq = np.where(
+            var <= lo, finer_i, np.where(var >= hi, coarser_i, 0)
+        ).astype(np.int32)
         frag_qii[: g.planes[0].nfrags] = yq
         # Chroma keeps the base qi.
         self._frame_qis = qis

@@ -549,25 +549,24 @@ class TpuGopEncoder:
 
     # ------------------------------------------------------------------
     def _adaptive_qis(self):
-        """The frame's qi list: [base] normally; with adaptive_quant, a
-        (base, finer, coarser) triple at the host tier's log-quantizer
-        offsets (rate.c:175-201 analogue) when distinct."""
-        if not self.adaptive_quant or self.qi in (0, 63):
+        """The frame's qi list: [base] normally; with adaptive_quant,
+        the host tier's reference-spec quantizer set (log_qavg
+        -0.6/+0.7 clusters, encoder._adaptive_qi_triple).  Unlike the
+        host tier, the device tier defaults adaptive OFF: each extra qi
+        row multiplies the scan's quantize+recon work, and the
+        throughput-first default keeps the pipeline at its measured
+        on-chip rate (flip `adaptive_quant` for the quality-first
+        configuration)."""
+        if not self.adaptive_quant:
             return (self.qi,)
-        dq = self.enc.dequant
-        lq = np.log(
-            np.maximum(dq[:, 0, 1, 1:].astype(np.float64), 1)
-        ).mean(axis=1)
-        base = self.qi
-
-        def at_offset(delta):
-            return int(np.argmin(np.abs(lq - (lq[base] + delta))))
-
-        finer = at_offset(-0.3)
-        coarser = at_offset(0.7)
-        if finer == base or coarser == base:
-            return (self.qi,)
-        return (base, finer, coarser)
+        saved = self.enc.adaptive_quant
+        self.enc.adaptive_quant = True
+        self.enc.qi = self.qi
+        try:
+            qis = self.enc._adaptive_qi_triple(1)
+        finally:
+            self.enc.adaptive_quant = saved
+        return tuple(qis) if qis else (self.qi,)
 
     # ------------------------------------------------------------------
     def set_splevel(self, lvl: int) -> None:

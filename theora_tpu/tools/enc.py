@@ -19,7 +19,11 @@ def main(argv=None):
     ap.add_argument("-k", "--keyframe-freq", type=int, default=64)
     ap.add_argument("-b", "--bitrate", type=int, default=0,
                     help="target bitrate (bps); enables CBR")
-    ap.add_argument("--adaptive-quant", action="store_true")
+    ap.add_argument("--adaptive-quant", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="activity masking: auto (high-qi region only, "
+                         "default), on (every qi, the reference's "
+                         "default), off")
     ap.add_argument("--rd-strength", type=float, default=None)
     ap.add_argument("--two-pass", action="store_true",
                     help="two-pass CBR (requires --bitrate)")
@@ -95,7 +99,9 @@ def main(argv=None):
     def make_encoder():
         e = Encoder(info)
         e.keyframe_freq = args.keyframe_freq
-        e.adaptive_quant = args.adaptive_quant
+        e.adaptive_quant = {
+            "auto": "auto", "on": True, "off": False
+        }[args.adaptive_quant]
         if args.rd_strength is not None:
             e.rd_strength = args.rd_strength
         if args.speed:
