@@ -1157,17 +1157,34 @@ class TpuGopEncoder:
                     rc.update()
             rc.update()
             return out
-        pending = None  # (base, dispatched state)
-        for item in gops + [None]:
-            state = (
-                (item[0], self.dispatch_gop(item[1]))
-                if item is not None else None
-            )
-            if pending is not None:
-                pbase, pstate = pending
-                datas, _ = self.finish_gop(pstate)
-                emit(pbase, datas)
-            pending = state
+        # Three-stage pipeline (same staging as transcode_device): while
+        # GOP k's ME plan is in flight on device, GOP k-1's mode
+        # decision + encode scans are enqueued (its ME round trip
+        # already hidden) and GOP k-2's coefficients are downloaded and
+        # entropy-coded on host.
+        from collections import deque
+
+        me_q: deque = deque()
+        fin_q: deque = deque()
+
+        def drain_complete():
+            b, me = me_q.popleft()
+            fin_q.append((b, self.complete_dispatch(me)))
+
+        def drain_finish():
+            b, st = fin_q.popleft()
+            emit(b, self.finish_gop(st)[0])
+
+        for base, gfr in gops:
+            me_q.append((base, self.dispatch_me(gfr)))
+            if len(me_q) >= 2:
+                drain_complete()
+            if len(fin_q) >= 2:
+                drain_finish()
+        while me_q:
+            drain_complete()
+        while fin_q:
+            drain_finish()
         return out
 
 
