@@ -274,6 +274,59 @@ def test_adaptive_quant_auto_rescues_high_qi_texture():
     assert len(qis_low) == 1, qis_low  # below the gate: single-qi
 
 
+def test_cbr_crosses_masking_gate_and_reference_decodes():
+    """CBR on easy content drives qi past the adaptive-quant auto gate:
+    frames must carry a multi-qi list mid-stream and the stream must
+    still decode bit-exactly in the reference decoder (rate control x
+    masking interaction)."""
+    import subprocess
+
+    from tests.conftest import REPO_ROOT, ensure_ref_oracle
+    from theora_tpu.tpkt import write_tpkt
+
+    if not ensure_ref_oracle():
+        pytest.skip("no reference oracle")
+    yy, xx = np.mgrid[0:48, 0:64]
+    frames = [
+        [
+            (120 + 60 * np.sin((xx + 2 * t) / 11.0)).astype(np.uint8),
+            np.full((24, 32), 120, np.uint8),
+            np.full((24, 32), 136, np.uint8),
+        ]
+        for t in range(12)
+    ]
+    info = TheoraInfo(
+        frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+        quality=0, target_bitrate=400_000, fps_numerator=30,
+        fps_denominator=1,
+    )
+    enc = Encoder(info)
+    enc.keyframe_freq = 8
+    pkts = enc.flush_headers()
+    multi = 0
+    for i, fr in enumerate(frames):
+        pkts.append(enc.encode_frame(fr, e_o_s=(i == len(frames) - 1)))
+        multi += len(enc.frame_qis) > 1
+    assert multi > 0, "generous CBR never engaged the masking gate"
+    tpkt = "/tmp/test_cbr_mask.tpkt"
+    yuv = "/tmp/test_cbr_mask.yuv"
+    write_tpkt(tpkt, pkts)
+    subprocess.run(
+        [os.path.join(REPO_ROOT, "refbuild", "build", "ref_dec"),
+         tpkt, yuv],
+        check=True, capture_output=True,
+    )
+    ref = open(yuv, "rb").read()
+    dec = Decoder(parse_info_header(pkts[0].data),
+                  parse_setup_header(pkts[2].data))
+    ours = bytearray()
+    for p in pkts[3:]:
+        dec.decode_packet(p.data)
+        for pl in dec.ycbcr_out():
+            ours += pl.tobytes()
+    assert bytes(ours) == ref
+
+
 def test_mode_rd_stream_decodes_and_seeds_chains():
     """The fitted-R/D mode decision (mode_rd, study path): streams must
     decode bit-exactly in the reference decoder, and the multi-level
