@@ -137,7 +137,10 @@ def bench_device_e2e(frames):
     # Warm-up compiles the ME + per-plane scans at benchmark shapes.
     enc.encode_gop(fr[:KF_FREQ])
     dt = float("inf")
-    for _ in range(2):
+    # Best-of-3: the first post-warmup dispatch reproducibly absorbs a
+    # 2-3x stall on the axon tunnel (queue-depth ramp; see ROUND_NOTES
+    # round-3 method note), and tunnel health wanders between reps.
+    for _ in range(3):
         t0 = time.perf_counter()
         enc.encode_clip(fr, keyframe_freq=KF_FREQ)
         dt = min(dt, time.perf_counter() - t0)

@@ -188,7 +188,8 @@ class Encoder:
         # triple (log_qavg -0.6/+0.7 clusters, rate.c:175-201 -- see
         # _adaptive_qi_triple), per-block qii by exact trellis R/D.
         # Default "auto": ON in the quality-saturation region
-        # (log_qavg < 5.0, i.e. the high-qi range), where it rescues
+        # (log_qavg below ~4.8 inter / ~4.0 intra, i.e. the high-qi
+        # range), where it rescues
         # exactly the failure the round-3 sweep exposed -- dense
         # texture at q56 is +3.7 dB at equal qi, a point the single-qi
         # ladder cannot reach at ANY byte count -- and OFF below, where
@@ -899,7 +900,14 @@ class Encoder:
         lq = lqa[base]
         if lq >= 7.0:
             return None
-        if self.adaptive_quant == "auto" and lq >= 5.0:
+        # "auto": engage only where masking measurably wins (the
+        # quality-saturation region).  Per frame type: the crossover
+        # sits at log_qavg ~4.78 for inter (textured q54: +2.6 dB;
+        # q50-52: neutral at 2x cost) and ~3.9 for intra (q56 kf-only:
+        # +5.1 dB; q44-52: neutral) -- swept round 3.
+        if self.adaptive_quant == "auto" and lq >= (
+            4.0 if qti == 0 else 4.8
+        ):
             return None
 
         def find_qi(target, qi_old):
