@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Full quality sweep: bytes + luma PSNR at equal qi for the reference
+C encoder, the host tier, and the device tier, across content types.
+
+Produces the BASELINE.md device-tier quality table (round-2 VERDICT
+item 10: "device tier RD-beats host" must hold across a q-sweep and
+content sweep, not two operating points).
+
+Usage: python tools/qualitysweep.py [--qis 16,24,32,40,48,56]
+       [--content smooth,textured,noise] [--frames 16] [--json out.json]
+
+Reference anchor: the encoder quality loop of
+/root/reference/examples/encoder_example.c (fixed-qi VBR) driven via the
+refbuild ref_enc oracle.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+sys.path.insert(0, REPO)
+
+W, H = 352, 288
+KF = 8
+
+
+def gen_content(kind: str, n: int):
+    """Deterministic CIF clips per content class."""
+    yy, xx = np.mgrid[0:H, 0:W]
+    rng = np.random.RandomState(7)
+    frames = []
+    if kind == "smooth":
+        for t in range(n):
+            y = (110 + 70 * np.sin((xx + 3 * t) / 31.0)
+                 + 40 * np.cos((yy - 2 * t) / 23.0)).clip(0, 255)
+            u = (128 + 40 * np.sin((xx[::2, ::2] + 2 * t) / 41.0))
+            v = (128 - 40 * np.cos((yy[::2, ::2] + t) / 37.0))
+            frames.append([y.astype(np.uint8), u.astype(np.uint8),
+                           v.astype(np.uint8)])
+    elif kind == "textured":
+        ty = rng.randint(0, 160, (H + 64, W + 64)).astype(np.int32)
+        tu = rng.randint(0, 80, (H // 2 + 32, W // 2 + 32)).astype(np.int32)
+        for t in range(n):
+            y = (ty[t:t + H, 2 * t:2 * t + W]
+                 + 48 + 32 * np.sin((xx + 4 * t) / 57.0)).clip(0, 255)
+            u = (tu[t // 2:t // 2 + H // 2, t:t + W // 2] + 88).clip(0, 255)
+            v = (tu[t:t + H // 2, t // 2:t // 2 + W // 2] + 88).clip(0, 255)
+            frames.append([y.astype(np.uint8), u.astype(np.uint8),
+                           v.astype(np.uint8)])
+    elif kind == "noise":
+        for t in range(n):
+            frames.append([
+                rng.randint(0, 256, (H, W)).astype(np.uint8),
+                rng.randint(0, 256, (H // 2, W // 2)).astype(np.uint8),
+                rng.randint(0, 256, (H // 2, W // 2)).astype(np.uint8),
+            ])
+    else:
+        raise ValueError(kind)
+    return frames
+
+
+def luma_psnr(frames, recons):
+    se = 0.0
+    npix = 0
+    for fr, rc in zip(frames, recons):
+        d = fr[0].astype(np.float64) - rc[0].astype(np.float64)
+        se += float((d * d).sum())
+        npix += d.size
+    if se == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 * npix / se)
+
+
+def decode_packets(pkts):
+    from theora_tpu.decode.decoder import Decoder
+    from theora_tpu.headers import parse_info_header, parse_setup_header
+
+    dec = Decoder(parse_info_header(pkts[0].data),
+                  parse_setup_header(pkts[2].data))
+    outs = []
+    for p in pkts[3:]:
+        dec.decode_packet(p.data)
+        outs.append(dec.ycbcr_out())
+    return outs
+
+
+def run_reference(frames, qi):
+    from theora_tpu.tpkt import read_tpkt
+
+    enc = os.path.join(REPO, "refbuild", "build", "ref_enc")
+    if not os.path.exists(enc):
+        subprocess.run(["make", "-C", os.path.join(REPO, "refbuild")],
+                       check=True, capture_output=True)
+    with tempfile.TemporaryDirectory() as td:
+        raw = os.path.join(td, "in.i420")
+        with open(raw, "wb") as f:
+            for y, u, v in frames:
+                f.write(y.tobytes()); f.write(u.tobytes()); f.write(v.tobytes())
+        out = os.path.join(td, "out.tpkt")
+        subprocess.run(
+            [enc, str(W), str(H), str(len(frames)), str(qi), str(KF),
+             raw, out],
+            check=True, capture_output=True,
+        )
+        pkts = read_tpkt(out)
+    size = sum(len(p.data) for p in pkts[3:])
+    return size, luma_psnr(frames, decode_packets(pkts))
+
+
+def mk_info(qi):
+    from theora_tpu.info import TheoraInfo
+
+    return TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=qi, fps_numerator=30, fps_denominator=1,
+        keyframe_granule_shift=6,
+    )
+
+
+def run_host(frames, qi):
+    from theora_tpu.encode.encoder import Encoder
+
+    enc = Encoder(mk_info(qi))
+    enc.keyframe_freq = KF
+    hdrs = enc.flush_headers()
+    pkts = list(hdrs) + [enc.encode_frame(fr) for fr in frames]
+    size = sum(len(p.data) for p in pkts[3:])
+    return size, luma_psnr(frames, decode_packets(pkts))
+
+
+_DEV_CACHE = {}
+
+
+def run_device(frames, qi, adaptive=False):
+    from theora_tpu.encode.tpu_gop import TpuGopEncoder
+
+    # One encoder per (adaptive,) reused across qis: the compiled scans
+    # are qi-independent (tables arrive as arrays), so the sweep pays
+    # compile once.
+    enc = _DEV_CACHE.get(adaptive)
+    if enc is None:
+        enc = TpuGopEncoder(mk_info(qi), qi=qi)
+        enc.adaptive_quant = adaptive
+        _DEV_CACHE[adaptive] = enc
+    enc.set_qi(qi)
+    pkts = enc.encode_clip(frames, keyframe_freq=KF)
+    size = sum(len(p.data) for p in pkts[3:])
+    return size, luma_psnr(frames, decode_packets(pkts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--qis", default="16,24,32,40,48,56")
+    ap.add_argument("--content", default="smooth,textured,noise")
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--adaptive", action="store_true",
+                    help="also sweep the device tier with adaptive quant")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    qis = [int(q) for q in args.qis.split(",")]
+    rows = []
+    for kind in args.content.split(","):
+        frames = gen_content(kind, args.frames)
+        for qi in qis:
+            r = {"content": kind, "qi": qi}
+            r["ref_bytes"], r["ref_psnr"] = run_reference(frames, qi)
+            r["host_bytes"], r["host_psnr"] = run_host(frames, qi)
+            r["dev_bytes"], r["dev_psnr"] = run_device(frames, qi)
+            if args.adaptive:
+                r["deva_bytes"], r["deva_psnr"] = run_device(
+                    frames, qi, adaptive=True
+                )
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+    # Markdown table for BASELINE.md.
+    print("\n| content | q | ref (B @ dB) | host (B @ dB) | device "
+          "(B @ dB) | dev vs ref | dev vs host |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['content']} | {r['qi']} "
+            f"| {r['ref_bytes']:,} @ {r['ref_psnr']:.2f} "
+            f"| {r['host_bytes']:,} @ {r['host_psnr']:.2f} "
+            f"| {r['dev_bytes']:,} @ {r['dev_psnr']:.2f} "
+            f"| {100 * (r['dev_bytes'] / r['ref_bytes'] - 1):+.1f}% "
+            f"({r['dev_psnr'] - r['ref_psnr']:+.2f} dB) "
+            f"| {100 * (r['dev_bytes'] / r['host_bytes'] - 1):+.1f}% "
+            f"({r['dev_psnr'] - r['host_psnr']:+.2f} dB) |"
+        )
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
