@@ -318,20 +318,41 @@ def main():
         "720p end-to-end device GOP encode Mpix/s (ME+modes+RD quant+"
         "closed loop on chip, host entropy; incl. tunnel transfers)"
     )
+    # The axon tunnel wedges transiently and recovers on its own
+    # (ROUND_NOTES); a single failed probe must not decide the round's
+    # official number.  Probe up to 3 times with backoff, and if a
+    # probe passes but the e2e run itself wedges, re-probe and retry
+    # once more in a fresh subprocess before falling back.
     value = None
-    if _probe_device():
-        value = _run_sub("e2e", 1800)
-        if value is not None:
-            v = _run_sub("pipeline", 900)
-            if v is not None:
-                extra["pipeline_compute_mpixs"] = round(v, 1)
-            v = _run_sub("core", 600)
-            if v is not None:
-                extra["compute_core_mpixs"] = round(v, 1)
-    if value is None:
-        # TPU unreachable or hung: report the host tier so the driver
-        # still gets a measurement.
-        metric = "720p keyframe encode Mpix/s (host tier; TPU unreachable)"
+    attempts = []
+    for attempt in range(3):
+        if _probe_device():
+            attempts.append("probe-ok")
+            value = _run_sub("e2e", 1800)
+            if value is not None:
+                break
+            attempts.append("e2e-wedged")
+        else:
+            attempts.append("probe-fail")
+        if attempt < 2:
+            time.sleep(60 * (attempt + 1))
+    if value is not None:
+        v = _run_sub("pipeline", 900)
+        if v is not None:
+            extra["pipeline_compute_mpixs"] = round(v, 1)
+        v = _run_sub("core", 600)
+        if v is not None:
+            extra["compute_core_mpixs"] = round(v, 1)
+    else:
+        # TPU unreachable after retries: report the host tier so the
+        # driver still gets a measurement, loudly labeled as fallback.
+        metric = (
+            "720p keyframe encode Mpix/s (HOST-TIER FALLBACK -- TPU "
+            "unreachable after 3 probe/retry attempts; not a device "
+            "number)"
+        )
+        extra["fallback"] = True
+        extra["device_attempts"] = attempts
         value = bench_host_encode(frames)
     vs = value / ref_mpixs if ref_mpixs == ref_mpixs else 0.0
     if ref_mpixs == ref_mpixs:

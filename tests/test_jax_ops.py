@@ -224,34 +224,42 @@ def test_tpu_batch_decoder_chained_batches():
 
 def test_tpu_batch_decoder_pipelined_clip():
     """decode_clip (two-deep dispatch with async device->host copies)
-    must equal per-batch decode_batch byte-for-byte, including dup
-    packets whose chunk drains after the next batch is in flight."""
+    must equal the SCALAR decoder frame-for-frame -- not just
+    decode_batch, which could share a flaw -- including a dup packet
+    that is the FIRST packet of a chunk (must repeat the previous
+    chunk's last frame, not this chunk's first live frame), a
+    mid-chunk dup, and a whole dup-only chunk."""
     import os
 
     from tests.conftest import TESTDATA
+    from theora_tpu.decode.decoder import Decoder
     from theora_tpu.decode.tpu_batch import TpuBatchDecoder
     from theora_tpu.headers import parse_info_header, parse_setup_header
     from theora_tpu.tpkt import read_tpkt
 
     name = "cif_k4_q40"
     pkts = read_tpkt(os.path.join(TESTDATA, f"{name}.tpkt"))
+    info = parse_info_header(pkts[0].data)
+    setup = parse_setup_header(pkts[2].data)
 
-    def mk():
-        return TpuBatchDecoder(
-            parse_info_header(pkts[0].data),
-            parse_setup_header(pkts[2].data),
-        )
-
-    # Insert dup packets (one mid-stream, plus a whole dup-only chunk at
-    # batch=3: frames 6,7,8 all dups).
+    # Dups at a chunk boundary (index 3 = first packet of chunk 1 at
+    # batch=3), mid-chunk (index 5), and a dup-only chunk (6,7,8).
     data = [p.data for p in pkts[3:]]
-    data = data[:4] + [b""] + data[4:6] + [b"", b"", b""] + data[6:]
-    a = mk().decode_clip(data, batch=3)
+    data = data[:3] + [b""] + data[3:4] + [b""] + [b"", b"", b""] + data[4:]
+
+    truth = []
+    dref = Decoder(info, setup)
+    for d in data:
+        dref.decode_packet(d)
+        truth.append(dref.ycbcr_out())
+
+    a = TpuBatchDecoder(info, setup).decode_clip(data, batch=3)
     b = []
-    d2 = mk()
+    d2 = TpuBatchDecoder(info, setup)
     for lo in range(0, len(data), 3):
         b.extend(d2.decode_batch(data[lo:lo + 3]))
-    assert len(a) == len(b) == len(data)
-    for i, (fa, fb) in enumerate(zip(a, b)):
-        for pa, pb in zip(fa, fb):
-            assert np.array_equal(pa, pb), f"frame {i}"
+    assert len(a) == len(b) == len(truth) == len(data)
+    for i, (fa, fb, ft) in enumerate(zip(a, b, truth)):
+        for pa, pb, pt in zip(fa, fb, ft):
+            assert np.array_equal(pa, pt), f"clip frame {i} vs scalar"
+            assert np.array_equal(pb, pt), f"batch frame {i} vs scalar"

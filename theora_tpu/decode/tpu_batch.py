@@ -159,6 +159,22 @@ class TpuBatchDecoder(Decoder):
         # Device-resident (prev, gold) per plane, carried across
         # decode_batch calls.
         self._dev_refs: dict[int, tuple] | None = None
+        # Host copy of the last frame emitted by a batched call, kept so
+        # a dup packet that LEADS the next batch can repeat it without a
+        # device round trip (the pre-batch refs are donated into the
+        # scan and gone by the time emit indices are resolved).
+        self._last_out_host: list[np.ndarray] | None = None
+
+    def _prev_output_frame(self) -> list[np.ndarray]:
+        """The most recently output frame, display orientation.  Used
+        when a batch (or chunk) begins with dup packets."""
+        if self._dev_refs is not None:
+            if self._last_out_host is not None:
+                return self._last_out_host
+            # Device state exists but no host copy was kept (e.g. the
+            # caller used dispatch_batch directly): materialize it.
+            self.sync_refs_to_host()
+        return self.ycbcr_out()
 
     def decode_batch(self, packets: list[bytes]) -> list[list[np.ndarray]]:
         """Returns display-orientation [y, u, v] planes per packet.
@@ -166,22 +182,33 @@ class TpuBatchDecoder(Decoder):
         reference state); dup packets repeat the previous output.
         Chained calls keep the reference state on device."""
         g = self.geometry
+        prev_frame = None
+        if packets and len(packets[0]) == 0:
+            # Leading dup: capture the previous output BEFORE dispatch
+            # donates the reference planes into the new scan.
+            prev_frame = self._prev_output_frame()
         st = self.dispatch_batch(packets)
         if st is None:
-            # All dups: the output frame is the last decoded one, which
-            # lives on device after a batched call -- materialize it
-            # before reading the host buffers.
-            self.sync_refs_to_host()
-            return [self.ycbcr_out() for _ in packets]
+            # All dups: repeat the last decoded frame.
+            if prev_frame is None:
+                prev_frame = self._prev_output_frame()
+            outs = [[p.copy() for p in prev_frame] for _ in packets]
+            if outs:
+                self._last_out_host = [p.copy() for p in outs[-1]]
+            return outs
         out_planes = {pli: np.asarray(p) for pli, p in st["dev"].items()}
         outs = []
         for li in st["emit"]:
+            if li < 0:
+                outs.append([p.copy() for p in prev_frame])
+                continue
             frame_out = []
             for pli in range(3):
                 h, w = g.plane_shape(pli)
                 p = out_planes[pli][li][:h, :w]
                 frame_out.append(p[::-1].copy())
             outs.append(frame_out)
+        self._last_out_host = [p.copy() for p in outs[-1]]
         return outs
 
     def dispatch_batch(self, packets: list[bytes]):
@@ -381,13 +408,16 @@ class TpuBatchDecoder(Decoder):
         self._out_frame = self.buffers[refi]
 
         # Per-packet emit index into the live axis (dup packets repeat;
-        # device already cropped the UMV padding).
+        # device already cropped the UMV padding).  A dup BEFORE the
+        # first live frame of the batch emits -1: the caller must
+        # substitute the previous batch's last output frame -- clamping
+        # to 0 here would show a FUTURE frame for that packet.
         emit = []
         li = -1
         for fr in per_frame:
             if fr is not None:
                 li += 1
-            emit.append(max(li, 0))
+            emit.append(li)
         return {"dev": out_planes, "emit": emit}
 
     def decode_clip(self, packets: list[bytes], batch: int = 8,
@@ -408,6 +438,15 @@ class TpuBatchDecoder(Decoder):
             packets[i : i + batch] for i in range(0, len(packets), batch)
         ]
         outs: list = []
+        # If the clip LEADS with a dup packet, the frame it repeats
+        # predates this call -- capture it before the first dispatch
+        # donates the reference planes away.  None when the decoder has
+        # no prior state (then a leading dup is a stream error).
+        prior_frame = None
+        if packets and len(packets[0]) == 0:
+            if self._dev_refs is None and self.ref_idx[FRAME_PREV] < 0:
+                raise ValueError("stream must start with a live frame")
+            prior_frame = self._prev_output_frame()
 
         def drain(item):
             chunk, st = item
@@ -415,12 +454,24 @@ class TpuBatchDecoder(Decoder):
                 # All-dup chunk: repeat the last emitted frame (the
                 # decoder state may already reflect the NEXT in-flight
                 # batch, so ycbcr_out() must not be consulted here).
-                if not outs:
+                prev = outs[-1] if outs else prior_frame
+                if prev is None:
                     raise ValueError("stream must start with a live frame")
-                outs.extend([f.copy() for f in outs[-1]] for _ in chunk)
+                outs.extend([f.copy() for f in prev] for _ in chunk)
                 return
             host = {pli: np.asarray(p) for pli, p in st["dev"].items()}
             for li in st["emit"]:
+                if li < 0:
+                    # Dup before the chunk's first live frame: repeat
+                    # the PREVIOUS chunk's last output, not this
+                    # chunk's first (future) frame.
+                    prev = outs[-1] if outs else prior_frame
+                    if prev is None:
+                        raise ValueError(
+                            "stream must start with a live frame"
+                        )
+                    outs.append([f.copy() for f in prev])
+                    continue
                 frame = []
                 for pli in range(3):
                     h, w = g.plane_shape(pli)
@@ -440,6 +491,8 @@ class TpuBatchDecoder(Decoder):
             if pending is not None:
                 drain(pending)
             pending = item
+        if outs:
+            self._last_out_host = [p.copy() for p in outs[-1]]
         return outs
 
     def sync_refs_to_host(self) -> None:

@@ -23,7 +23,11 @@ def _build() -> None:
     # Tuned build for the local CPU, portable fallback. The .buildinfo tag
     # pins the flags + host so every machine compiles its own binary once
     # (a checked-out .so from another machine is never trusted).
-    for flags in (["-O3", "-march=native", "-fno-math-errno"], ["-O3"]):
+    for flags in (
+        ["-O3", "-march=native", "-fno-math-errno", "-pthread"],
+        ["-O3", "-pthread"],
+        ["-O3"],
+    ):
         try:
             subprocess.run(
                 ["g++", *flags, "-shared", "-fPIC", "-std=c++17", _SRC,

@@ -13,6 +13,7 @@
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
+#include <thread>
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
@@ -1436,9 +1437,10 @@ inline void idct8_soa(__m256i* x, int stride) {
 // qz: [n,64] int16 zig-zag quantized; deq: [n,64] int32 factors (zig-zag);
 // dc: [n] int32 predicted DC; dc_quant: [n]; dc_only: [n] uint8;
 // out: [n,64] int32 residual blocks (row-major).
-void th_residuals_batch(int64_t n, const int16_t* qz, const int32_t* deq,
-                        const int32_t* dc, const int32_t* dc_quant,
-                        const uint8_t* dc_only, int32_t* out) {
+static void residuals_batch_range(int64_t lo, int64_t hi, const int16_t* qz,
+                                  const int32_t* deq, const int32_t* dc,
+                                  const int32_t* dc_quant,
+                                  const uint8_t* dc_only, int32_t* out) {
 #if defined(__AVX2__)
   // SoA groups of 8 non-dc_only blocks.
   int64_t grp[8];
@@ -1470,7 +1472,7 @@ void th_residuals_batch(int64_t n, const int16_t* qz, const int32_t* deq,
     }
     gi = 0;
   };
-  for (int64_t i = 0; i < n; i++) {
+  for (int64_t i = lo; i < hi; i++) {
     if (dc_only[i]) {
       int32_t p = i16w((dc[i] * dc_quant[i] + 15) >> 5);
       int32_t* o = out + i * 64;
@@ -1482,7 +1484,7 @@ void th_residuals_batch(int64_t n, const int16_t* qz, const int32_t* deq,
   }
   flush();
 #else
-  for (int64_t i = 0; i < n; i++) {
+  for (int64_t i = lo; i < hi; i++) {
     int32_t* o = out + i * 64;
     if (dc_only[i]) {
       int32_t p = i16w((dc[i] * dc_quant[i] + 15) >> 5);
@@ -1502,6 +1504,26 @@ void th_residuals_batch(int64_t n, const int16_t* qz, const int32_t* deq,
     for (int k = 0; k < 64; k++) o[k] = i16w((o[k] + 8) >> 4);
   }
 #endif
+}
+
+void th_residuals_batch(int64_t n, const int16_t* qz, const int32_t* deq,
+                        const int32_t* dc, const int32_t* dc_quant,
+                        const uint8_t* dc_only, int32_t* out) {
+  // Per-block independent (each thread keeps its own SoA group state).
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = (int)(hw ? hw : 1);
+  if (nthreads > 4) nthreads = 4;
+  if (n < 4096 || nthreads < 2) {
+    residuals_batch_range(0, n, qz, deq, dc, dc_quant, dc_only, out);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; t++) {
+    int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+    ts.emplace_back(residuals_batch_range, lo, hi, qz, deq, dc, dc_quant,
+                    dc_only, out);
+  }
+  for (auto& t : ts) t.join();
 }
 
 }  // extern "C"
@@ -1972,10 +1994,12 @@ const double MAG_BITS[9] = {0.0, 4.5, 5.5, 6.5, 6.5, 7.5, 7.5, 8.5, 9.5};
 // res: [n, 64] int32 residual blocks (row-major); dq: [64] int32 zig-zag
 // dequant; lam: lambda. Outputs: qz [n,64] int16 zig-zag quantized;
 // err2/res2: [n] int64 (coding error and x16 pixel energy).
-void th_fdct_quantize_rd(int64_t n, const int32_t* res, const int32_t* dq,
-                         double lam, int rd, int16_t* qz, int64_t* err2,
-                         int64_t* res2, int16_t* dct_out) {
-  for (int64_t i = 0; i < n; i++) {
+static void fdct_quantize_rd_range(int64_t lo, int64_t hi,
+                                   const int32_t* res, const int32_t* dq,
+                                   double lam, int rd, int16_t* qz,
+                                   int64_t* err2, int64_t* res2,
+                                   int16_t* dct_out) {
+  for (int64_t i = lo; i < hi; i++) {
     const int32_t* x = res + i * 64;
     int32_t w[64], y[64];
     int64_t r2 = 0;
@@ -2059,6 +2083,27 @@ void th_fdct_quantize_rd(int64_t n, const int32_t* res, const int32_t* dq,
     err2[i] = e2;
     res2[i] = r2 * 16;
   }
+}
+
+void th_fdct_quantize_rd(int64_t n, const int32_t* res, const int32_t* dq,
+                         double lam, int rd, int16_t* qz, int64_t* err2,
+                         int64_t* res2, int16_t* dct_out) {
+  // Per-block independent: split large batches across cores (same
+  // disjoint-output argument as th_trellis_plan_blocks).
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = (int)(hw ? hw : 1);
+  if (nthreads > 4) nthreads = 4;
+  if (n < 4096 || nthreads < 2) {
+    fdct_quantize_rd_range(0, n, res, dq, lam, rd, qz, err2, res2, dct_out);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; t++) {
+    int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+    ts.emplace_back(fdct_quantize_rd_range, lo, hi, res, dq, lam, rd, qz,
+                    err2, res2, dct_out);
+  }
+  for (auto& t : ts) t.join();
 }
 
 }  // extern "C"
@@ -2505,12 +2550,13 @@ extern "C" {
 // round-to-nearest in, AC rewritten to the chosen values out); dq0/dq1:
 // intra/inter dequant rows; qti: per-block 0/1; nbt: [5][32] bit costs;
 // outputs acbits[n], err2[n] (full-block coding error), paths [n][66][4].
-void th_trellis_plan_blocks(int64_t n, const int16_t* dct, int16_t* qdct,
-                            const int32_t* dq0, const int32_t* dq1,
-                            const int32_t* qti, int64_t lam,
-                            const int64_t* nbt, int64_t* acbits,
-                            int64_t* err2, int16_t* paths) {
-  for (int64_t i = 0; i < n; i++) {
+static void trellis_plan_range(int64_t lo, int64_t hi, const int16_t* dct,
+                               int16_t* qdct, const int32_t* dq0,
+                               const int32_t* dq1, const int32_t* qti,
+                               int64_t lam, const int64_t* nbt,
+                               int64_t* acbits, int64_t* err2,
+                               int16_t* paths) {
+  for (int64_t i = lo; i < hi; i++) {
     const int32_t* dq = qti[i] ? dq1 : dq0;
     int16_t* row = qdct + i * 64;
     int16_t vals[64];
@@ -2525,6 +2571,31 @@ void th_trellis_plan_blocks(int64_t n, const int16_t* dct, int16_t* qdct,
     }
     err2[i] = e2;
   }
+}
+
+void th_trellis_plan_blocks(int64_t n, const int16_t* dct, int16_t* qdct,
+                            const int32_t* dq0, const int32_t* dq1,
+                            const int32_t* qti, int64_t lam,
+                            const int64_t* nbt, int64_t* acbits,
+                            int64_t* err2, int16_t* paths) {
+  // Blocks are independent (cross-block EOB-run coupling lives in the
+  // phase-2 replay): split large batches across cores.  Output ranges
+  // are disjoint, so no synchronization is needed.
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = (int)(hw ? hw : 1);
+  if (nthreads > 4) nthreads = 4;
+  if (n < 4096 || nthreads < 2) {
+    trellis_plan_range(0, n, dct, qdct, dq0, dq1, qti, lam, nbt, acbits,
+                       err2, paths);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; t++) {
+    int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+    ts.emplace_back(trellis_plan_range, lo, hi, dct, qdct, dq0, dq1, qti,
+                    lam, nbt, acbits, err2, paths);
+  }
+  for (auto& t : ts) t.join();
 }
 
 // Phase 2: replay the surviving plans and pack the residual section.

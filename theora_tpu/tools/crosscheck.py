@@ -219,27 +219,133 @@ def run_device_trial(rng, trial, tmp="/tmp/crosscheck_d"):
     return desc, None
 
 
+REF_FUZZ = "refbuild/build/ref_fuzz"
+
+
+def _mutate_packet(rng, data: bytes) -> bytes:
+    """One random packet mutation: truncate, bit flips, zeroed range, or
+    random-tail extension."""
+    b = bytearray(data)
+    kind = int(rng.randint(0, 4))
+    if kind == 0 and len(b) > 1:  # truncate
+        b = b[: int(rng.randint(1, len(b)))]
+    elif kind == 1 and len(b):  # flip 1-8 bits
+        for _ in range(int(rng.randint(1, 9))):
+            i = int(rng.randint(0, len(b)))
+            b[i] ^= 1 << int(rng.randint(0, 8))
+    elif kind == 2 and len(b) > 2:  # zero a range
+        lo = int(rng.randint(0, len(b) - 1))
+        hi = int(rng.randint(lo + 1, len(b) + 1))
+        b[lo:hi] = bytes(hi - lo)
+    else:  # extend with random bytes
+        b += bytes(rng.randint(0, 256, int(rng.randint(1, 32))).astype(
+            np.uint8
+        ).tobytes())
+    return bytes(b)
+
+
+def run_fuzz_trial(rng, trial, tmp="/tmp/crosscheck_f"):
+    """Corrupt-DATA-PACKET differential: mutate packets of a valid
+    stream; our decoder and the reference must produce the same
+    per-packet accept/dup/reject decision AND byte-identical output
+    frames, including the recovery AFTER a rejected packet (the
+    zeros-past-EOF / dummy-frame semantics of bitpack.c:47-53 and
+    decode.c:2053-2082 on damaged input)."""
+    fw = int(rng.choice([32, 48, 64, 80]))
+    fh = int(rng.choice([32, 48, 64]))
+    fmt = int(rng.choice([0, 2, 3]))
+    qi = int(rng.randint(0, 64))
+    kf = int(rng.choice([1, 2, 4]))
+    nfr = int(rng.randint(3, 8))
+    desc = f"FUZZ {fw}x{fh} fmt{fmt} qi{qi} kf{kf} n{nfr}"
+    info = TheoraInfo(
+        frame_width=fw, frame_height=fh, pic_width=fw, pic_height=fh,
+        fps_numerator=30, fps_denominator=1, quality=qi,
+        keyframe_granule_shift=6, pixel_fmt=fmt,
+    )
+    e = Encoder(info)
+    e.keyframe_freq = kf
+    hd = e.flush_headers()
+    pk = [e.encode_frame(fr)
+          for fr in synth(rng, fw, fh, nfr, fmt, trial % 3)]
+    # Mutate 1-3 data packets (never the headers; container-level damage
+    # is test_ogg_container.py's job).
+    nmut = int(rng.randint(1, 4))
+    muts = rng.choice(len(pk), size=min(nmut, len(pk)), replace=False)
+    datas = [p.data for p in pk]
+    for mi in muts:
+        datas[mi] = _mutate_packet(rng, datas[mi])
+        desc += f" mut@{mi}"
+    from theora_tpu.tpkt import Packet as TPacket
+
+    mutated = hd + [
+        TPacket(d, granulepos=p.granulepos, packetno=p.packetno,
+                e_o_s=p.e_o_s)
+        for d, p in zip(datas, pk)
+    ]
+    write_tpkt(tmp + ".tpkt", mutated)
+    r = subprocess.run(
+        [REF_FUZZ, tmp + ".tpkt", tmp + ".yuv"],
+        capture_output=True, text=True, timeout=60,
+    )
+    if r.returncode != 0:
+        return desc, f"ref_fuzz crashed: rc={r.returncode} {r.stderr[-80:]}"
+    ref_stat = [int(line.split()[1]) for line in r.stdout.splitlines()
+                if line.startswith("S ")]
+    ref_cat = ["bad" if s < 0 else "dup" if s == 1 else "ok"
+               for s in ref_stat]
+
+    dec = Decoder(parse_info_header(hd[0].data),
+                  parse_setup_header(hd[2].data))
+    my_cat = []
+    mine = []
+    for d in datas:
+        try:
+            ret = dec.decode_packet(d)
+            my_cat.append("dup" if ret == 1 else "ok")
+            mine.append(
+                np.concatenate([x.reshape(-1) for x in dec.ycbcr_out()])
+            )
+        except Exception:
+            my_cat.append("bad")
+    if my_cat != ref_cat:
+        return desc, f"status divergence: ref {ref_cat} vs ours {my_cat}"
+    ref = np.fromfile(tmp + ".yuv", np.uint8)
+    mine_all = (np.concatenate(mine) if mine
+                else np.zeros(0, np.uint8))
+    if len(ref) != len(mine_all):
+        return desc, f"length {len(ref)} vs {len(mine_all)}"
+    if not np.array_equal(ref, mine_all):
+        return desc, f"bytes differ at {int(np.argmax(ref != mine_all))}"
+    return desc, None
+
+
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     reverse = "--reverse" in argv
     device = "--device" in argv
+    fuzz = "--fuzz" in argv
     if reverse:
         argv.remove("--reverse")
     if device:
         argv.remove("--device")
+    if fuzz:
+        argv.remove("--fuzz")
     trials = int(argv[0]) if argv else 40
     seed = int(argv[1]) if len(argv) > 1 else 42
     rng = np.random.RandomState(seed)
     fails = 0
     fn = (run_reverse_trial if reverse
-          else run_device_trial if device else run_trial)
+          else run_device_trial if device
+          else run_fuzz_trial if fuzz else run_trial)
     for t in range(trials):
         desc, err = fn(rng, t)
         if err:
             fails += 1
             print(f"FAIL {desc}: {err}")
     which = ("reference encodes" if reverse
-             else "device-tier encodes" if device else "our encodes")
+             else "device-tier encodes" if device
+             else "mutated streams" if fuzz else "our encodes")
     print(f"{trials - fails}/{trials} trials bit-identical "
           f"(reference decoder vs ours, on {which})")
     return 1 if fails else 0

@@ -20,10 +20,11 @@ def main(argv=None):
     ap.add_argument("-b", "--bitrate", type=int, default=0,
                     help="target bitrate (bps); enables CBR")
     ap.add_argument("--adaptive-quant", choices=["auto", "on", "off"],
-                    default="auto",
+                    nargs="?", const="on", default="auto",
                     help="activity masking: auto (high-qi region only, "
                          "default), on (every qi, the reference's "
-                         "default), off")
+                         "default), off; bare --adaptive-quant means "
+                         "'on' (backward compatible with the old flag)")
     ap.add_argument("--rd-strength", type=float, default=None)
     ap.add_argument("--two-pass", action="store_true",
                     help="two-pass CBR (requires --bitrate)")
@@ -144,6 +145,9 @@ def main(argv=None):
         from theora_tpu.encode.tpu_gop import TpuGopEncoder
 
         denc = TpuGopEncoder(info, qi=args.quality)
+        denc.adaptive_quant = {
+            "auto": "auto", "on": True, "off": False
+        }[args.adaptive_quant]
         if args.speed:
             denc.set_splevel(args.speed)
         pkts = denc.encode_clip(

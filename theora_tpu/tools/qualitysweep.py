@@ -67,15 +67,15 @@ def gen_content(kind: str, n: int):
 
 
 def luma_psnr(frames, recons):
-    se = 0.0
-    npix = 0
-    for fr, rc in zip(frames, recons):
-        d = fr[0].astype(np.float64) - rc[0].astype(np.float64)
-        se += float((d * d).sum())
-        npix += d.size
-    if se == 0:
-        return float("inf")
-    return 10.0 * np.log10(255.0 * 255.0 * npix / se)
+    from theora_tpu.metrics import clip_luma_psnr
+
+    return clip_luma_psnr(frames, recons)
+
+
+def luma_ssim(frames, recons):
+    from theora_tpu.metrics import clip_luma_ssim
+
+    return clip_luma_ssim(frames, recons)
 
 
 def decode_packets(pkts):
@@ -111,7 +111,8 @@ def run_reference(frames, qi):
         )
         pkts = read_tpkt(out)
     size = sum(len(p.data) for p in pkts[3:])
-    return size, luma_psnr(frames, decode_packets(pkts))
+    rec = decode_packets(pkts)
+    return size, luma_psnr(frames, rec), luma_ssim(frames, rec)
 
 
 def mk_info(qi):
@@ -132,13 +133,14 @@ def run_host(frames, qi):
     hdrs = enc.flush_headers()
     pkts = list(hdrs) + [enc.encode_frame(fr) for fr in frames]
     size = sum(len(p.data) for p in pkts[3:])
-    return size, luma_psnr(frames, decode_packets(pkts))
+    rec = decode_packets(pkts)
+    return size, luma_psnr(frames, rec), luma_ssim(frames, rec)
 
 
 _DEV_CACHE = {}
 
 
-def run_device(frames, qi, adaptive=False):
+def run_device(frames, qi, adaptive="auto"):
     from theora_tpu.encode.tpu_gop import TpuGopEncoder
 
     # One encoder per (adaptive,) reused across qis: the compiled scans
@@ -152,7 +154,8 @@ def run_device(frames, qi, adaptive=False):
     enc.set_qi(qi)
     pkts = enc.encode_clip(frames, keyframe_freq=KF)
     size = sum(len(p.data) for p in pkts[3:])
-    return size, luma_psnr(frames, decode_packets(pkts))
+    rec = decode_packets(pkts)
+    return size, luma_psnr(frames, rec), luma_ssim(frames, rec)
 
 
 def main():
@@ -170,29 +173,38 @@ def main():
         frames = gen_content(kind, args.frames)
         for qi in qis:
             r = {"content": kind, "qi": qi}
-            r["ref_bytes"], r["ref_psnr"] = run_reference(frames, qi)
-            r["host_bytes"], r["host_psnr"] = run_host(frames, qi)
-            r["dev_bytes"], r["dev_psnr"] = run_device(frames, qi)
+            (r["ref_bytes"], r["ref_psnr"],
+             r["ref_ssim"]) = run_reference(frames, qi)
+            r["host_bytes"], r["host_psnr"], r["host_ssim"] = run_host(
+                frames, qi
+            )
+            r["dev_bytes"], r["dev_psnr"], r["dev_ssim"] = run_device(
+                frames, qi
+            )
             if args.adaptive:
-                r["deva_bytes"], r["deva_psnr"] = run_device(
-                    frames, qi, adaptive=True
-                )
+                (r["deva_bytes"], r["deva_psnr"],
+                 r["deva_ssim"]) = run_device(frames, qi, adaptive=True)
             rows.append(r)
             print(json.dumps(r), flush=True)
     # Markdown table for BASELINE.md.
-    print("\n| content | q | ref (B @ dB) | host (B @ dB) | device "
-          "(B @ dB) | dev vs ref | dev vs host |")
+    print("\n| content | q | ref (B @ dB / SSIM) | host (B @ dB / SSIM) "
+          "| device (B @ dB / SSIM) | dev vs ref | dev vs host |")
     print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['content']} | {r['qi']} "
-            f"| {r['ref_bytes']:,} @ {r['ref_psnr']:.2f} "
-            f"| {r['host_bytes']:,} @ {r['host_psnr']:.2f} "
-            f"| {r['dev_bytes']:,} @ {r['dev_psnr']:.2f} "
+            f"| {r['ref_bytes']:,} @ {r['ref_psnr']:.2f} / "
+            f"{r['ref_ssim']:.4f} "
+            f"| {r['host_bytes']:,} @ {r['host_psnr']:.2f} / "
+            f"{r['host_ssim']:.4f} "
+            f"| {r['dev_bytes']:,} @ {r['dev_psnr']:.2f} / "
+            f"{r['dev_ssim']:.4f} "
             f"| {100 * (r['dev_bytes'] / r['ref_bytes'] - 1):+.1f}% "
-            f"({r['dev_psnr'] - r['ref_psnr']:+.2f} dB) "
+            f"({r['dev_psnr'] - r['ref_psnr']:+.2f} dB, "
+            f"{r['dev_ssim'] - r['ref_ssim']:+.4f} S) "
             f"| {100 * (r['dev_bytes'] / r['host_bytes'] - 1):+.1f}% "
-            f"({r['dev_psnr'] - r['host_psnr']:+.2f} dB) |"
+            f"({r['dev_psnr'] - r['host_psnr']:+.2f} dB, "
+            f"{r['dev_ssim'] - r['host_ssim']:+.4f} S) |"
         )
     if args.json:
         with open(args.json, "w") as f:
