@@ -197,14 +197,20 @@ def bench_device_pipeline_compute(frames):
         ik = jnp.asarray(np.arange(F) == 0)
         lam_qi = rd_lambda(enc.qi, int(dq[enc.qi, pli, 0, 1])) * 3.0
         lam_qp = rd_lambda(enc.qi, int(dq[enc.qi, pli, 1, 1])) * 3.0
+
+        def pf(row, dtype=np.float32):
+            # Scan quantizer inputs are per-frame (leading F axis).
+            a = np.asarray(row, dtype)
+            return jnp.asarray(np.broadcast_to(a, (F,) + a.shape).copy())
+
         plane_args.append((
             cur, rs, z8, z8, z8, z8, u2, ms, ik,
-            jnp.asarray(dq[enc.qi, pli, 0].astype(np.int32)),
-            jnp.asarray(dq[enc.qi, pli, 1].astype(np.int32)),
-            jnp.asarray(enc._bv), jnp.float32(enc._lam),
-            jnp.float32(lam_qi), jnp.float32(lam_qp),
+            pf(dq[enc.qi, pli, 0], np.int32),
+            pf(dq[enc.qi, pli, 1], np.int32),
+            pf(enc._bv, np.int32), pf(enc._lam),
+            pf(lam_qi), pf(lam_qp),
             jnp.asarray(enc._nb_dev), jnp.asarray(enc._nb_dev),
-            jnp.float32(enc._lam_t[0]), jnp.float32(enc._lam_t[1]),
+            pf(enc._lam_t[0]), pf(enc._lam_t[1]),
             pl.nvfrags, pl.nhfrags, vpad, hpad,
         ))
     ys_d = plane_args[0][0]
@@ -234,7 +240,10 @@ def bench_device_pipeline_compute(frames):
 
 
 def bench_host_encode(frames):
-    """Fallback metric if the TPU is unreachable: host-tier encode."""
+    """Fallback metric if the TPU is unreachable: host-tier encode with
+    the SAME GOP structure the reference baseline uses (kf=KF_FREQ) --
+    the round-3 fallback compared our keyframe-only encode against the
+    reference's inter-GOP run, understating the ratio."""
     from theora_tpu.encode.encoder import Encoder
     from theora_tpu.info import TheoraInfo
 
@@ -243,14 +252,18 @@ def bench_host_encode(frames):
         pic_x=0, pic_y=0, fps_numerator=30, fps_denominator=1,
         quality=QUALITY, keyframe_granule_shift=6,
     )
-    enc = Encoder(info)
-    enc.keyframe_freq = 1
     fr = [[f[0], f[1], f[2]] for f in frames]
-    enc.encode_frame(fr[0])
-    t0 = time.perf_counter()
-    for x in fr:
-        enc.encode_frame(x)
-    dt = time.perf_counter() - t0
+    warm = Encoder(info)
+    warm.keyframe_freq = KF_FREQ
+    warm.encode_frame(fr[0])
+    dt = float("inf")
+    for _ in range(3):
+        enc = Encoder(info)
+        enc.keyframe_freq = KF_FREQ
+        t0 = time.perf_counter()
+        for x in fr:
+            enc.encode_frame(x)
+        dt = min(dt, time.perf_counter() - t0)
     return NFRAMES * (W * H + 2 * (W // 2) * (H // 2)) / 1e6 / dt
 
 

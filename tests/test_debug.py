@@ -60,9 +60,10 @@ def test_named_scopes_in_lowered_encode_scan():
         jnp.zeros((F, n), jnp.int8), jnp.zeros((F, n), jnp.int8),
         jnp.zeros((F, n), bool), jnp.zeros((F, n), bool),
         jnp.zeros((F,), bool),
-        jnp.ones((64,), jnp.int32), jnp.ones((64,), jnp.int32),
-        jnp.zeros((256,), jnp.int32),
-        jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+        jnp.ones((F, 64), jnp.int32), jnp.ones((F, 64), jnp.int32),
+        jnp.zeros((F, 256), jnp.int32),
+        jnp.ones((F,), jnp.float32), jnp.ones((F,), jnp.float32),
+        jnp.ones((F,), jnp.float32),
     )
     hlo = jax.jit(scan).lower(*args).as_text(debug_info=True)
     for stage in ("mc", "fdct", "quantize_rd", "idct_recon",

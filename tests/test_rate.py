@@ -391,3 +391,68 @@ def test_twopass_cbr_deviation(target):
         goal = target * len(frames) / 30.0
         dev = (bits - goal) / goal
         assert abs(dev) <= 0.05, (target, buf_delay, dev)
+
+
+def test_ot2p_device_tier_cross_tool(tmp_path, ref_tools):
+    """Device-tier 2-pass interop both directions: the device pass-1
+    blob feeds the REFERENCE encoder's pass 2 (TH_ENCCTL_2PASS_IN),
+    and the reference's pass-1 file drives the device tier's pass 2."""
+    import os
+    import subprocess
+
+    from theora_tpu.encode.tpu_gop import TpuGopEncoder
+
+    ref_enc, _ = ref_tools
+    W, H, frames = _frames()
+    frames = frames[:16]
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=0, fps_numerator=30,
+    )
+    denc = TpuGopEncoder(info, qi=40)
+    _, blob = denc.encode_clip_pass1(
+        frames, keyframe_freq=8, target_bitrate=256000
+    )
+    # Direction 1: device blob -> reference pass 2.
+    tpf = tmp_path / "dev.ot2p"
+    tpf.write_bytes(blob)
+    raw = tmp_path / "in.i420"
+    _encode_i420(frames, raw)
+    out = tmp_path / "o.tpkt"
+    subprocess.run(
+        [ref_enc, str(W), str(H), str(len(frames)), "0", "8",
+         str(raw), str(out), "256000"],
+        env=dict(os.environ, REF_2PASS_IN=str(tpf)),
+        check=True, capture_output=True,
+    )
+    assert out.stat().st_size > 1000
+    # Direction 2: reference pass-1 file -> device pass 2.
+    tpf2 = tmp_path / "ref.ot2p"
+    subprocess.run(
+        [ref_enc, str(W), str(H), str(len(frames)), "0", "8",
+         str(raw), str(tmp_path / "o2.tpkt"), "256000"],
+        env=dict(os.environ, REF_2PASS_OUT=str(tpf2)),
+        check=True, capture_output=True,
+    )
+    pkts = denc.encode_clip_pass2(
+        frames, tpf2.read_bytes(), keyframe_freq=8,
+        target_bitrate=256000, buf_delay=16,
+    )
+    bits = 8 * sum(len(p.data) for p in pkts[3:])
+    goal = 256000 * len(frames) / 30.0
+    # Foreign metrics: the reference's pass-1 scales model the
+    # REFERENCE encoder's spend, which is higher than ours at equal qi
+    # (BASELINE.md), so a conservative undershoot is expected until the
+    # model-offset feedback converges -- the interop claim here is the
+    # FORMAT + allocator, not deviation with a foreign model (the tight
+    # bound lives in test_device_twopass_cbr on our own metrics).
+    assert abs(bits / goal - 1) <= 0.30, bits / goal - 1
+    from theora_tpu.bitio import BitReader
+
+    qis = set()
+    for p in pkts[3:]:
+        br = BitReader(p.data)
+        assert br.read1() == 0
+        br.read1()
+        qis.add(br.read(6))
+    assert len(qis) > 1, "pass 2 never steered qi"

@@ -462,3 +462,91 @@ def test_adaptive_quant_device():
         for pl in dec.ycbcr_out():
             ours += pl.tobytes()
     assert bytes(ours) == ref
+
+
+@pytest.mark.parametrize("target", [150000, 300000])
+def test_device_twopass_cbr(target):
+    """Device-tier 2-pass: OT2P pass-1 blob in the reference format
+    (parses with the host RateControl), pass-2 deviation within 5% at
+    a finite buf_delay (the reference's own whole-file allocator
+    leaves up to 15% unspent, rate.c:506-625)."""
+    from theora_tpu.encode.rate import RateControl
+
+    W, H = 352, 288
+    raw = np.fromfile(
+        os.path.join(TESTDATA, "cif_smooth.i420"), np.uint8
+    )
+    fsz = W * H * 3 // 2
+    frames = []
+    for i in range(min(32, len(raw) // fsz)):
+        f = raw[i * fsz : (i + 1) * fsz]
+        frames.append([
+            f[: W * H].reshape(H, W),
+            f[W * H : W * H + fsz // 6].reshape(H // 2, W // 2),
+            f[W * H + fsz // 6 :].reshape(H // 2, W // 2),
+        ])
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        fps_numerator=30, fps_denominator=1, quality=0,
+        keyframe_granule_shift=6,
+    )
+    enc = TpuGopEncoder(info, qi=40)
+    pkts, blob = enc.encode_clip_twopass(
+        frames, keyframe_freq=8, target_bitrate=target, buf_delay=16
+    )
+    summary, metrics = RateControl.twopass_parse(blob)
+    assert len(metrics) == len(frames)
+    assert summary["frames_total"][0] == 4  # keyframes at kf=8
+    bits = 8 * sum(len(p.data) for p in pkts[3:])
+    goal = target * len(frames) / 30.0
+    assert abs(bits / goal - 1) <= 0.05, (target, bits / goal - 1)
+    # The stream decodes in the reference decoder (and frames carry
+    # varying qi -- the controller actually steered).
+    qis = set()
+    from theora_tpu.bitio import BitReader
+
+    for p in pkts[3:]:
+        br = BitReader(p.data)
+        assert br.read1() == 0
+        br.read1()
+        qis.add(br.read(6))
+    assert len(qis) > 1, "2-pass never changed qi"
+
+
+def test_mesh_twopass_byte_identity():
+    """Mesh 2-pass (per-frame qi vectors from the window pre-pass) is
+    byte-identical across mesh shapes, and the deviation matches the
+    sequential tier at the same rate_window."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from theora_tpu.parallel.gop import encode_clip_mesh, make_mesh
+
+    frames = _moving_frames(64, 48, 0, 11, 7)
+    info = TheoraInfo(
+        frame_width=64, frame_height=48, pic_width=64, pic_height=48,
+        quality=0, fps_numerator=30, fps_denominator=1,
+    )
+    target = 120_000
+    enc = TpuGopEncoder(info, qi=40)
+    _, blob = enc.encode_clip_pass1(
+        frames, keyframe_freq=4, target_bitrate=target
+    )
+    kw = dict(keyframe_freq=4, qi=40, target_bitrate=target,
+              rate_window=2, twopass_data=blob, buf_delay=16)
+    ref = None
+    for nd, fragax in ((1, 1), (8, 2), (4, 4)):
+        mesh = make_mesh(nd, frag_axis=fragax)
+        pk = encode_clip_mesh(frames, info, mesh, **kw)
+        blob_out = b"".join(p.data for p in pk)
+        if ref is None:
+            ref = blob_out
+        assert blob_out == ref, dict(mesh.shape)
+    # Sequential pass-2 at the same window size produces the same
+    # bytes (shared controller + shared pre-pass).
+    seq = enc.encode_clip_pass2(
+        frames, blob, keyframe_freq=4, target_bitrate=target,
+        buf_delay=16, rate_window=2,
+    )
+    assert [p.data for p in seq] == [p.data for p in pk]

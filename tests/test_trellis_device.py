@@ -137,6 +137,11 @@ def test_trellis_tier_beats_rd_quantizer_at_equal_quality():
 
     def run(qi, use_trellis):
         enc = TpuGopEncoder(info, qi=qi, use_trellis=use_trellis)
+        # Pin masking off: this test isolates the trellis-vs-heuristic
+        # quantizer axis, and the tier's "auto" default engages the
+        # 3-qi triple at the high-qi points, moving the operating
+        # point up-rate/up-quality for a different reason.
+        enc.adaptive_quant = False
         pkts = enc.encode_clip(frames, keyframe_freq=8)
         dinfo = parse_info_header(pkts[0].data)
         setup = parse_setup_header(pkts[2].data)

@@ -335,6 +335,7 @@ class Encoder:
         self.curframe_num += 1
         self._frames_since_keyframe += 1
         self._recon_state = None
+        self._recon_done = False
         # Rate control: lazy init.
         if self.info.target_bitrate > 0 and self.rc is None:
             from theora_tpu.encode.rate import RateControl
@@ -405,7 +406,11 @@ class Encoder:
         # Feed the packet through the embedded decoder to update refs --
         # via the entropy-free fast path when the trellis state allows.
         rs = getattr(self, "_recon_state", None)
-        if rs is not None and len(data) and self.collect is None:
+        if getattr(self, "_recon_done", False):
+            # _encode_intra already reconstructed, overlapped with the
+            # bit-pack; nothing left to feed through.
+            self._recon_done = False
+        elif rs is not None and len(data) and self.collect is None:
             self._dec.reconstruct_from_state(*rs)
             self._recon_state = None
         else:
@@ -1069,12 +1074,52 @@ class Encoder:
         # round 3, weak #1b).
         from theora_tpu.constants import MODE_INTRA
 
-        self._stash_recon_state(
-            INTRA_FRAME, coded, frag_refi,
-            np.full(nfrags, MODE_INTRA, dtype=np.int32),
-            np.zeros((nfrags, 2), dtype=np.int32), frag_qii, per_plane,
+        can_fast = (
+            self.fast_recon
+            and self.collect is None
+            and self._trellis_scan is not None
+            and all(isinstance(p, tuple) for p in self._trellis_scan)
         )
-        return self._pack_tokens(bw, vecs_by_plane, INTRA_FRAME)
+        if not can_fast:
+            self._stash_recon_state(
+                INTRA_FRAME, coded, frag_refi,
+                np.full(nfrags, MODE_INTRA, dtype=np.int32),
+                np.zeros((nfrags, 2), dtype=np.int32), frag_qii,
+                per_plane,
+            )
+            return self._pack_tokens(bw, vecs_by_plane, INTRA_FRAME)
+        # Overlap the serial C++ bit-pack (GIL released inside the
+        # native call) with the closed-loop reconstruction: the two read
+        # disjoint trellis outputs, and keyframes are never dropped by
+        # rate control, so the reference update cannot need undoing.
+        # The stash (its coefficient gather included) also runs under
+        # the pack, keeping it off the critical path.
+        import threading
+
+        result = {}
+
+        def pack():
+            result["data"] = self._pack_tokens(
+                bw, vecs_by_plane, INTRA_FRAME
+            )
+
+        t = threading.Thread(target=pack)
+        t.start()
+        try:
+            self._stash_recon_state(
+                INTRA_FRAME, coded, frag_refi,
+                np.full(nfrags, MODE_INTRA, dtype=np.int32),
+                np.zeros((nfrags, 2), dtype=np.int32), frag_qii,
+                per_plane,
+            )
+            rs = self._recon_state
+            if rs is not None:
+                self._dec.reconstruct_from_state(*rs)
+                self._recon_state = None
+                self._recon_done = True
+        finally:
+            t.join()
+        return result["data"]
 
     # ------------------------------------------------------------------
     def _dc_predict_and_order(self, per_plane, coded, frag_refi):
@@ -1915,11 +1960,53 @@ class Encoder:
         self._mvs_pack(bw, mb_modes, mb_mvs, coded_mbis, coded)
         if frag_qii is not None:
             self._block_qis_pack(bw, frag_qii, coded)
-        self._stash_recon_state(
-            INTER_FRAME, coded, frag_refi, frag_mode, frag_mv, frag_qii,
-            per_plane,
+        can_overlap = (
+            self.fast_recon
+            and self.rc is None  # a dropped frame must not advance refs
+            and not self.auto_keyframe  # intra retry would re-encode
+            and self.collect is None
+            and self._trellis_scan is not None
+            and all(isinstance(p, tuple) for p in self._trellis_scan)
         )
-        return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
+        if not can_overlap:
+            self._stash_recon_state(
+                INTER_FRAME, coded, frag_refi, frag_mode, frag_mv,
+                frag_qii, per_plane,
+            )
+            return self._pack_tokens(bw, vecs_by_plane, INTER_FRAME)
+        # Same pack/recon overlap as the intra path: with no rate
+        # control this frame cannot be dropped or replaced, so the
+        # closed-loop reconstruction may run under the serial C++
+        # bit-pack.  (fast_recon "auto" skips the stash for inter when
+        # run SEQUENTIALLY -- the C++ full decode beats the Python MC
+        # recon -- but overlapped under the pack the recon is free.)
+        import threading
+
+        saved_fr = self.fast_recon
+        result = {}
+
+        def pack():
+            result["data"] = self._pack_tokens(
+                bw, vecs_by_plane, INTER_FRAME
+            )
+
+        t = threading.Thread(target=pack)
+        t.start()
+        try:
+            self.fast_recon = True  # allow the inter stash under "auto"
+            self._stash_recon_state(
+                INTER_FRAME, coded, frag_refi, frag_mode, frag_mv,
+                frag_qii, per_plane,
+            )
+            rs = self._recon_state
+            if rs is not None:
+                self._dec.reconstruct_from_state(*rs)
+                self._recon_state = None
+                self._recon_done = True
+        finally:
+            self.fast_recon = saved_fr
+            t.join()
+        return result["data"]
 
     # ------------------------------------------------------------------
     def _uncoded_ssd_plane(self, planes, prev_rec, pli):

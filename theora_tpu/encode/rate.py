@@ -765,3 +765,48 @@ class RateControl:
             self._tp_raw_cur_scale = None
         self._tp_log_cur_scale = log_cur_scale
         return nframes, buf_delay, buf_pad, None
+
+
+# ---------------------------------------------------------------------
+def twopass_window_qvecs(rc: "RateControl", gop_lens, prev_qi: int):
+    """Per-frame qi vectors for a window of GOPs in pass 2, for
+    encoders that must FIX each frame's quantizer before dispatch (the
+    device GOP-batch tier, encode/tpu_gop.py, and the mesh tier,
+    parallel/gop.py).
+
+    Virtually runs the reference's select_qi/update interleaving
+    (rate.c:463-870) across the window's frames with MODEL-estimated
+    bits (2^(scale + npixels - q*exp), the same model the allocator
+    budgets with), from the window-start controller state.  The state
+    is snapshotted and restored, so only REAL bits ever enter the
+    persistent controller -- and because the pre-pass sees no real
+    bits, the vectors are a pure function of (pass-1 metrics,
+    window-start state), which keeps mesh-parallel encodes of the
+    window's GOPs byte-identical across mesh shapes.
+
+    gop_lens: frame count per GOP (frame 0 of each GOP is the
+    keyframe).  Returns one qi list per GOP.
+    """
+    import copy
+
+    snap = copy.deepcopy(rc.__dict__)
+    qvecs = []
+    prev = prev_qi
+    try:
+        for n in gop_lens:
+            qv = []
+            for j in range(n):
+                ft = 0 if j == 0 else 1
+                q = rc.select_qi(ft, prev)
+                prev = q
+                qv.append(q)
+                est = 2.0 ** (
+                    rc._tp_log_cur_scale + rc.log_npixels
+                    - (rc.log_qtarget - 2.0) * rc.exp[ft]
+                )
+                rc.update(ft, q, int(est), droppable=False)
+            qvecs.append(qv)
+    finally:
+        rc.__dict__.clear()
+        rc.__dict__.update(snap)
+    return qvecs

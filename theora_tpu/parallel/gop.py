@@ -107,18 +107,23 @@ class MeshGopEncoder:
         def local(init_prev, init_gold, cur, rs, o1y, o1x, o2y, o2x, u2,
                   ms, ik, deqi, deqp, bv, lam, lqi, lqp, nbi, nbp, lti,
                   ltp):
-            extra = (nbi, nbp, lti, ltp) if use_trellis else ()
-
-            def one_gop(ip, ig, c, r, a, b_, cc, dd, u, m, k):
+            # Quantizer inputs carry a per-GOP axis (CBR / 2-pass rate
+            # control gives every GOP its own per-frame qi vector); the
+            # token-bit tables (nbi/nbp) are frame-type keyed only and
+            # stay shared.
+            def one_gop(ip, ig, c, r, a, b_, cc, dd, u, m, k, di, dp,
+                        bvf, lm, qi_, qp_, ti_, tp_):
+                extra = (nbi, nbp, ti_, tp_) if use_trellis else ()
                 return scan(ip, ig, c, r, a, b_, cc, dd, u, m, k,
-                            deqi, deqp, bv, lam, lqi, lqp, *extra)
+                            di, dp, bvf, lm, qi_, qp_, *extra)
 
             return jax.vmap(one_gop)(
                 init_prev, init_gold, cur, rs, o1y, o1x, o2y, o2x, u2,
-                ms, ik,
+                ms, ik, deqi, deqp, bv, lam, lqi, lqp, lti, ltp,
             )
 
         gfp = P("gop", None, "frag")
+        gq = P("gop")
         fn = jax.jit(shard_map(
             local,
             mesh=self.mesh,
@@ -127,8 +132,8 @@ class MeshGopEncoder:
                 P("gop", None, "frag", None, None),
                 gfp, gfp, gfp, gfp, gfp, gfp, gfp,
                 P("gop", None),
-                P(), P(), P(), P(), P(), P(),
-                P(), P(), P(), P(),
+                gq, gq, gq, gq, gq, gq,
+                P(), P(), gq, gq,
             ),
             out_specs=(
                 P("gop", None, "frag", None),
@@ -142,14 +147,23 @@ class MeshGopEncoder:
         return fn
 
     # ------------------------------------------------------------------
-    def encode_gops(self, gops: list, want_sizes: bool = False):
+    def encode_gops(self, gops: list, want_sizes: bool = False,
+                    frame_qi: list | None = None):
         """Encode G GOPs (equal frame counts) in one mesh dispatch per
-        plane.  Returns a list of per-GOP packet byte lists."""
+        plane.  Returns a list of per-GOP packet byte lists.
+
+        frame_qi: optional per-GOP per-frame base-qi vectors
+        ([G][F] ints) -- the 2-pass controller's trajectory; None
+        encodes everything at base.qi."""
         base = self.base
         g = self.g
         G = len(gops)
         F = len(gops[0])
         assert all(len(x) == F for x in gops)
+        if frame_qi is not None:
+            assert len(frame_qi) == G and all(
+                len(qv) == F for qv in frame_qi
+            )
         fragshards = self.mesh.shape["frag"]
 
         planes_bs = [
@@ -224,25 +238,63 @@ class MeshGopEncoder:
             )
             dq = base.enc.dequant
             from theora_tpu.ops.fdct_np import rd_lambda
+            from theora_tpu.ops.loopfilter_np import (
+                build_bounding_values,
+            )
 
-            lam_qi = rd_lambda(
-                base.qi, int(dq[base.qi, pli, 0, 1])
-            ) * base.rd_strength
-            lam_qp = rd_lambda(
-                base.qi, int(dq[base.qi, pli, 1, 1])
-            ) * base.rd_strength
             fn = self._sharded_scan(pli)
+            # Per-GOP, per-frame quantizer inputs ([G, F, ...]; the
+            # scan takes a leading F axis per GOP and the mesh maps the
+            # G axis).  Fixed-qi dispatches broadcast one row.
+            di_g = np.empty((G, F, 64), np.int32)
+            dp_g = np.empty((G, F, 64), np.int32)
+            bv_g = np.empty((G, F, 256), np.int32)
+            lam_g = np.empty((G, F), np.float32)
+            lqi_g = np.empty((G, F), np.float32)
+            lqp_g = np.empty((G, F), np.float32)
+            lti_g = np.empty((G, F), np.float32)
+            ltp_g = np.empty((G, F), np.float32)
+            bv_cache = {}
+            for gi in range(G):
+                for f in range(F):
+                    q = (
+                        base.qi if frame_qi is None
+                        else int(frame_qi[gi][f])
+                    )
+                    di_g[gi, f] = dq[q, pli, 0].astype(np.int32)
+                    dp_g[gi, f] = dq[q, pli, 1].astype(np.int32)
+                    if q not in bv_cache:
+                        flimit = base.enc.qinfo[
+                            "loop_filter_limits"
+                        ][q]
+                        bv_cache[q] = (
+                            build_bounding_values(flimit)
+                            .astype(np.int32)
+                            if flimit else np.zeros(256, np.int32)
+                        )
+                    bv_g[gi, f] = bv_cache[q]
+                    lam_g[gi, f] = (
+                        rd_lambda(q, int(dq[q, 0, 1, 1]))
+                        * base.rd_strength * 4.0
+                    )
+                    lqi_g[gi, f] = rd_lambda(
+                        q, int(dq[q, pli, 0, 1])
+                    ) * base.rd_strength
+                    lqp_g[gi, f] = rd_lambda(
+                        q, int(dq[q, pli, 1, 1])
+                    ) * base.rd_strength
+                    lti_g[gi, f] = base._lam_t_for(q)[0]
+                    ltp_g[gi, f] = base._lam_t_for(q)[1]
             qdct, coded, _nnz, _final = fn(
                 init, init,
                 arrs["cur"], arrs["rs"], arrs["o1y"], arrs["o1x"],
                 arrs["o2y"], arrs["o2x"], arrs["u2"], arrs["ms"],
                 is_intra,
-                jnp.asarray(dq[base.qi, pli, 0].astype(np.int32)),
-                jnp.asarray(dq[base.qi, pli, 1].astype(np.int32)),
-                jnp.asarray(base._bv), jnp.float32(base._lam),
-                jnp.float32(lam_qi), jnp.float32(lam_qp),
+                jnp.asarray(di_g), jnp.asarray(dp_g),
+                jnp.asarray(bv_g), jnp.asarray(lam_g),
+                jnp.asarray(lqi_g), jnp.asarray(lqp_g),
                 jnp.asarray(base._nb_dev), jnp.asarray(base._nb_dev),
-                jnp.float32(base._lam_t[0]), jnp.float32(base._lam_t[1]),
+                jnp.asarray(lti_g), jnp.asarray(ltp_g),
             )
             qdct_pl[pli] = np.asarray(qdct)[:, :, :n]
             coded_pl[pli] = np.asarray(coded)[:, :, :n]
@@ -253,6 +305,10 @@ class MeshGopEncoder:
                 F, plans_per_gop[gi], frame_frag[gi],
                 {pli: qdct_pl[pli][gi] for pli in range(3)},
                 {pli: coded_pl[pli][gi] for pli in range(3)},
+                fqis=(
+                    [[int(q)] for q in frame_qi[gi]]
+                    if frame_qi is not None else None
+                ),
             ))
         return out
 
@@ -266,6 +322,8 @@ def encode_clip_mesh(
     target_bitrate: int = 0,
     rate_window: int = 8,
     auto_keyframe: bool = False,
+    twopass_data: bytes | None = None,
+    buf_delay: int | None = None,
 ) -> list[Packet]:
     """Encode a clip over the mesh, GOP batches up to the gop-axis size.
 
@@ -296,8 +354,70 @@ def encode_clip_mesh(
         (starts[k], frames[starts[k] : bounds[k + 1]])
         for k in range(len(starts))
     ]
-    rc = WindowRateController(enc.base, target_bitrate, rate_window)
     pno = 3
+    # 2-pass mode: the reference's OT2P window allocation steers a
+    # per-frame qi trajectory at rate_window-GOP windows.  Window
+    # boundaries sit at FIXED GOP indices (mesh-shape independent); the
+    # qi vectors for a whole window derive from the window-start
+    # controller state via the model-estimate pre-pass
+    # (rate.twopass_window_qvecs) -- no real bits inside a window -- so
+    # the trajectory (and every output byte) is identical on any mesh
+    # shape; the controller replays with REAL bits between windows.
+    if twopass_data is not None:
+        from theora_tpu.encode.rate import (
+            RateControl,
+            twopass_window_qvecs,
+        )
+
+        rc2 = RateControl(
+            enc.base._rc_info(target_bitrate), enc.base.enc.dequant,
+            keyframe_freq,
+        )
+        rc2.drop_frames = False
+        rc2.start_pass2(twopass_data, buf_delay)
+        prev_applied = enc.base.qi
+        for w0 in range(0, len(gop_list), rate_window):
+            window = gop_list[w0 : w0 + rate_window]
+            qvecs = twopass_window_qvecs(
+                rc2, [len(gp) for _, gp in window], prev_applied
+            )
+            results = []
+            for c0 in range(0, len(window), G):
+                batch = window[c0 : c0 + G]
+                qv_b = qvecs[c0 : c0 + G]
+                F = max(len(gp) for _, gp in batch)
+                padded = [
+                    gp + [gp[-1]] * (F - len(gp)) for _, gp in batch
+                ]
+                frame_qi = [
+                    qv + [qv[-1]] * (F - len(qv)) for qv in qv_b
+                ]
+                while len(padded) < G:
+                    padded.append(padded[0])
+                    frame_qi.append(frame_qi[0])
+                results.extend(enc.encode_gops(
+                    padded, frame_qi=frame_qi
+                )[: len(batch)])
+            for (base_f, gfr), pk, qv in zip(window, results, qvecs):
+                nreal = len(gfr)
+                for j in range(nreal):
+                    fnum = base_f + j
+                    gp = ((base_f + 1) << shift) + j
+                    out.append(Packet(
+                        pk[j], granulepos=gp, packetno=pno,
+                        e_o_s=(fnum == nf - 1),
+                    ))
+                    pno += 1
+                    # Per-frame controller replay with REAL bits, in
+                    # frame order, identically on every host.
+                    ftype = 0 if j == 0 else 1
+                    rc2.select_qi(ftype, prev_applied)
+                    rc2.log_qtarget = rc2.log_qavg[ftype][qv[j]]
+                    rc2.update(ftype, qv[j], 8 * len(pk[j]),
+                               droppable=False)
+                    prev_applied = qv[j]
+        return out
+    rc = WindowRateController(enc.base, target_bitrate, rate_window)
     win_bits: list[int] = []
     win_frames = 0
 

@@ -140,8 +140,8 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     if args.device:
-        if args.two_pass:
-            ap.error("--two-pass is host-tier only")
+        if args.two_pass and not args.bitrate:
+            ap.error("--two-pass requires --bitrate")
         from theora_tpu.encode.tpu_gop import TpuGopEncoder
 
         denc = TpuGopEncoder(info, qi=args.quality)
@@ -150,10 +150,22 @@ def main(argv=None):
         }[args.adaptive_quant]
         if args.speed:
             denc.set_splevel(args.speed)
-        pkts = denc.encode_clip(
-            frames, keyframe_freq=args.keyframe_freq,
-            target_bitrate=args.bitrate,
-        )
+        if args.two_pass:
+            # Device-tier 2-pass: OT2P pass 1 + pass-2 window
+            # allocation with per-frame qi vectors (encode_clip_pass2).
+            pkts, blob = denc.encode_clip_twopass(
+                frames, keyframe_freq=args.keyframe_freq,
+                target_bitrate=args.bitrate,
+                buf_delay=args.rate_buffer or None,
+            )
+            if args.two_pass_file:
+                with open(args.two_pass_file, "wb") as f:
+                    f.write(blob)
+        else:
+            pkts = denc.encode_clip(
+                frames, keyframe_freq=args.keyframe_freq,
+                target_bitrate=args.bitrate,
+            )
         dt = time.perf_counter() - t0
         write_output(pkts)
         total = sum(len(p.data) for p in pkts[3:])
