@@ -18,7 +18,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-W, H, NFRAMES = 1280, 720, 16
+W, H, NFRAMES = 1280, 720, 32
 QUALITY = 48
 KF_FREQ = 8  # same GOP structure for the reference and the device tier
 
@@ -26,7 +26,9 @@ KF_FREQ = 8  # same GOP structure for the reference and the device tier
 def gen_frames():
     rng = np.random.RandomState(11)
     yy, xx = np.mgrid[0:H, 0:W]
-    base = rng.randint(0, 256, size=(H + 64, W + 64)).astype(np.uint8)
+    base = rng.randint(
+        0, 256, size=(H + 4 * NFRAMES + 4, W + 2 * NFRAMES + 4)
+    ).astype(np.uint8)
     frames = []
     for t in range(NFRAMES):
         y = base[t * 4 : t * 4 + H, t * 2 : t * 2 + W].copy()
@@ -267,6 +269,28 @@ def bench_host_encode(frames):
     return NFRAMES * (W * H + 2 * (W // 2) * (H // 2)) / 1e6 / dt
 
 
+def bench_host_parallel(frames):
+    """Host-tier GOP-parallel encode (2 workers, byte-identical to
+    sequential) -- the framework's multi-core host story; the reference
+    encoder is single-threaded by design."""
+    from theora_tpu.parallel.transcode import transcode
+    from theora_tpu.info import TheoraInfo
+
+    info = TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        pic_x=0, pic_y=0, fps_numerator=30, fps_denominator=1,
+        quality=QUALITY, keyframe_granule_shift=6,
+    )
+    fr = [[f[0], f[1], f[2]] for f in frames]
+    transcode(fr, info, keyframe_freq=KF_FREQ, max_workers=2)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        transcode(fr, info, keyframe_freq=KF_FREQ, max_workers=2)
+        dt = min(dt, time.perf_counter() - t0)
+    return NFRAMES * (W * H + 2 * (W // 2) * (H // 2)) / 1e6 / dt
+
+
 def _probe_device(timeout_s=180):
     """True iff the accelerator actually computes (not just enumerates).
 
@@ -356,6 +380,13 @@ def main():
         v = _run_sub("core", 600)
         if v is not None:
             extra["compute_core_mpixs"] = round(v, 1)
+        try:
+            hp = bench_host_parallel(frames)
+            extra["host_gop_parallel_mpixs"] = round(hp, 2)
+            if ref_mpixs == ref_mpixs:
+                extra["host_parallel_vs_ref"] = round(hp / ref_mpixs, 3)
+        except Exception:
+            pass
     else:
         # TPU unreachable after retries: report the host tier so the
         # driver still gets a measurement, loudly labeled as fallback.
@@ -367,6 +398,13 @@ def main():
         extra["fallback"] = True
         extra["device_attempts"] = attempts
         value = bench_host_encode(frames)
+        try:
+            hp = bench_host_parallel(frames)
+            extra["host_gop_parallel_mpixs"] = round(hp, 2)
+            if ref_mpixs == ref_mpixs:
+                extra["host_parallel_vs_ref"] = round(hp / ref_mpixs, 3)
+        except Exception:
+            pass
     vs = value / ref_mpixs if ref_mpixs == ref_mpixs else 0.0
     if ref_mpixs == ref_mpixs:
         extra["ref_encode_mpixs"] = round(ref_mpixs, 2)

@@ -202,6 +202,16 @@ class Encoder:
         # Gated off under vp3_compatible, sp_level >= 2, and
         # log_qavg >= 7 (low rates), as in the reference.
         self.adaptive_quant = "auto"
+        # Estimate-first qii margin (bits): with a float value, FINER
+        # quantizer rows run the exact trellis only on blocks whose
+        # cheap-model cost (th_quantize_estimate) lands within this
+        # many lambda-bits of beating the base row.  Default None =
+        # exact everywhere: measured at CIF scale the estimator costs
+        # about as much as the trellis it tries to avoid (both are
+        # 64-coefficient walks), so the exact path -- already cut from
+        # ~2.1x to 1.5-1.8x of single-qi by the threaded native
+        # batches -- stays ahead; see ROUND_NOTES round 4.
+        self.aq_estimate_margin: float | None = None
         # Lambda multiplier for the per-block qii R/D chooser.  1.0 =
         # the frame's trellis lambda (reference-coherent).  Swept round
         # 3: 0.25 lifts iid-noise content above the single-qi RD curve
@@ -670,7 +680,6 @@ class Encoder:
             fdct_quantize_rd_native,
             trellis_plan_blocks_native,
         )
-        from theora_tpu.ops.fdct_np import quantize_batch
 
         n = len(fragis)
         fti = self._cur_fti
@@ -681,51 +690,95 @@ class Encoder:
         )
         nbt = self._nb_table(pli, fti)
         res_a = np.asarray(res)
-        dct16 = None
-        qdcts, pathss, acbitss, err2s = [], [], [], []
-        for qii, qi in enumerate(qis):
-            qdct = np.empty((n, 64), dtype=np.int16)
-            if qii == 0:
+        # Base row (qis[0]): exact trellis for every block -- this is
+        # the single tokenization the frame pays regardless.
+        qdct0 = np.empty((n, 64), dtype=np.int16)
+        dct16 = np.empty((n, 64), dtype=np.int16)
+        for t in (0, 1):
+            m = qti == t
+            if not m.any():
+                continue
+            dq = self.dequant[qis[0], pli, t]
+            qz, _e2, _r2, dc16 = fdct_quantize_rd_native(
+                res_a[m], dq, 0.0, rd=False, want_dct=True
+            )
+            qdct0[m] = qz
+            dct16[m] = dc16
+        dq0r = self.dequant[qis[0], pli, 0].astype(np.int64)
+        dq1r = self.dequant[qis[0], pli, 1].astype(np.int64)
+        paths0, acbits0, err20 = trellis_plan_blocks_native(
+            dct16, qdct0, dq0r, dq1r, qti, lam, nbt
+        )
+        qdcts = [qdct0]
+        pathss = [paths0]
+        acbitss = [acbits0]
+        err2s = [err20]
+        # Extra rows.  FINER rows (qi > qis[0]) go estimate-first /
+        # exact-confirm (the reference's shape: qii from estimates, one
+        # tokenization -- analyze.c qii flow + rate.c:175-201): the
+        # cheap model (R/D-swept quantize + greedy tokenization,
+        # th_quantize_estimate) predicts the finer row's exact decision
+        # with corr ~0.99 / +-6-bit bias on textured saturation content
+        # (measured), so the exact trellis runs only on blocks whose
+        # estimate lands within aq_estimate_margin bits of winning --
+        # the blocks that switch rows and need token paths anyway.
+        # COARSER rows stay exact: their decision balances large bit
+        # savings against large error increases and the cheap model
+        # carries almost no signal there (corr ~0.2 measured) -- an
+        # estimate-steered coarser row silently destroys the masking
+        # gain.  Pruning (stage 1) applies to both: a coarser row only
+        # wins by saving bits (base plans spending <= 1 AC bit are
+        # out); a finer row only wins by cutting error (base error <=
+        # lambda is out).
+        from theora_tpu.ops.fdct_np import quantize_batch
+
+        margin = getattr(self, "aq_estimate_margin", 8.0)
+        big = np.int64(1) << 62
+        for qii in range(1, len(qis)):
+            qi = qis[qii]
+            finer = qi > qis[0]
+            cand = err20 > lam if finer else acbits0 > 1
+            idx = np.nonzero(cand)[0]
+            qdct = qdct0.copy()
+            paths = paths0.copy()
+            acb = acbits0.copy()
+            err = np.full(n, big, np.int64)
+            if len(idx) and finer and margin is not None:
+                # Estimate pass -> shrink idx to likely winners.
+                from theora_tpu.native import quantize_estimate_native
+
+                d16 = np.ascontiguousarray(dct16[idx])
+                qtis = np.ascontiguousarray(qti[idx])
+                ni = len(idx)
+                bits_r = np.empty(ni, dtype=np.int64)
+                err_r = np.empty(ni, dtype=np.int64)
+                bits_b = np.empty(ni, dtype=np.int64)
                 for t in (0, 1):
-                    m = qti == t
+                    m = qtis == t
                     if not m.any():
                         continue
-                    dq = self.dequant[qi, pli, t]
-                    qz, _e2, _r2, dc16 = fdct_quantize_rd_native(
-                        res_a[m], dq, 0.0, rd=False, want_dct=True
+                    dq_r = self.dequant[qi, pli, t].astype(np.int32)
+                    dq_b = self.dequant[qis[0], pli, t].astype(np.int32)
+                    dq0_dc = int(dq_b[0])
+                    _, b_, e_ = quantize_estimate_native(
+                        d16[m], dq_r, dq0_dc, lam, nbt
                     )
-                    qdct[m] = qz
-                    if dct16 is None:
-                        dct16 = np.empty((n, 64), dtype=np.int16)
-                    dct16[m] = dc16
-                dq0r = self.dequant[qi, pli, 0].astype(np.int64)
-                dq1r = self.dequant[qi, pli, 1].astype(np.int64)
-                paths, acbits, err2 = trellis_plan_blocks_native(
-                    dct16, qdct, dq0r, dq1r, qti, lam, nbt
-                )
-                qdcts.append(qdct)
-                pathss.append(paths)
-                acbitss.append(acbits)
-                err2s.append(err2)
-                continue
-            # Extra rows: exact evaluation PRUNED to blocks where the
-            # row could possibly win (keeps the adaptive default near
-            # the single-qi throughput on coherent content).  A coarser
-            # row can only win by saving bits, so blocks whose base
-            # plan spends <= 1 AC bit are out (the +1 qii signaling bit
-            # alone eats the gain); a finer row can only win by cutting
-            # error, so blocks with base error <= lambda are out (one
-            # extra bit already costs more than the whole error).
-            bits0 = acbitss[0]
-            err0 = err2s[0]
-            cand = bits0 > 1 if qi < qis[0] else err0 > lam
-            idx = np.nonzero(cand)[0]
-            qdct = qdcts[0].copy()
-            paths = pathss[0].copy()
-            acb = acbitss[0].copy()
-            err = np.full(n, np.int64(1) << 62, np.int64)
+                    bits_r[m], err_r[m] = b_, e_
+                    _, bb_, _ = quantize_estimate_native(
+                        d16[m], dq_b, dq0_dc, lam, nbt
+                    )
+                    bits_b[m] = bb_
+                # Model bits anchored to the base row's exact bits (the
+                # greedy-vs-trellis gap cancels between rows; measured
+                # +6-bit residual bias, corr 0.99 for finer rows).
+                est_bits = acbits0[idx] + (bits_r - bits_b)
+                dcost = (
+                    err_r
+                    + (lam * (est_bits + 1.0)).astype(np.int64)
+                ) - (err20[idx] + (lam * acbits0[idx]).astype(np.int64))
+                idx = idx[dcost < lam * float(margin)]
             if len(idx):
-                d16 = np.ascontiguousarray(dct16[idx])
+                d16c = np.ascontiguousarray(dct16[idx])
                 qtis = np.ascontiguousarray(qti[idx])
                 qsub = np.empty((len(idx), 64), dtype=np.int16)
                 for t in (0, 1):
@@ -734,17 +787,18 @@ class Encoder:
                         continue
                     dq = self.dequant[qi, pli, t].astype(np.int64)
                     qsub[m] = quantize_batch(
-                        d16[m].astype(np.int64), dq
+                        d16c[m].astype(np.int64), dq
                     ).astype(np.int16)
                     # DC re-quantizes with qis[0] for every qii.
                     dq0 = self.dequant[qis[0], pli, t].astype(np.int64)
                     qsub[m, 0] = quantize_batch(
-                        d16[m][:, :1].astype(np.int64), dq0[:1]
+                        d16c[m][:, :1].astype(np.int64), dq0[:1]
                     ).reshape(-1).astype(np.int16)
-                dq0r = self.dequant[qi, pli, 0].astype(np.int64)
-                dq1r = self.dequant[qi, pli, 1].astype(np.int64)
                 p_s, a_s, e_s = trellis_plan_blocks_native(
-                    d16, qsub, dq0r, dq1r, qtis, lam, nbt
+                    d16c, qsub,
+                    self.dequant[qi, pli, 0].astype(np.int64),
+                    self.dequant[qi, pli, 1].astype(np.int64),
+                    qtis, lam, nbt,
                 )
                 qdct[idx] = qsub
                 paths[idx] = p_s

@@ -611,6 +611,37 @@ def trellis_plan_blocks_native(dct16, qdct, dq0, dq1, qti, lam, nbt):
     return paths, acbits, err2
 
 
+def quantize_estimate_native(dct16, dq, dq_dc, lam, nbt):
+    """Quantize (round-to-nearest + the cheap R/D sweeps of
+    th_fdct_quantize_rd) and price with a greedy tokenization bit
+    estimate (th_quantize_estimate): the cost model behind the
+    estimate-first qii chooser.  dct16 [n,64] int16 (zig-zag); dq [64]
+    int32 AC row; dq_dc the base qi's DC quant; lam the R/D lambda
+    (0 = plain round-to-nearest); nbt [5,32] int64 bit costs.  Returns
+    (qz [n,64] int16, bits [n] int64, err [n] int64)."""
+    lib = _require_lib()
+    if not hasattr(lib, "_qe_setup"):
+        lib.th_quantize_estimate.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._qe_setup = True
+    n = len(dct16)
+    dct_c = np.ascontiguousarray(dct16, dtype=np.int16)
+    dq_c = np.ascontiguousarray(dq, dtype=np.int32)
+    nbt_c = np.ascontiguousarray(nbt, dtype=np.int64)
+    qz = np.empty((n, 64), dtype=np.int16)
+    bits = np.empty(n, dtype=np.int64)
+    err = np.empty(n, dtype=np.int64)
+    lib.th_quantize_estimate(
+        n, dct_c.ctypes.data, dq_c.ctypes.data, int(dq_dc), float(lam),
+        nbt_c.ctypes.data, qz.ctypes.data, bits.ctypes.data,
+        err.ctypes.data,
+    )
+    return qz, bits, err
+
+
 def sad_batch_native(cur, ref_padded, fy, fx, mvx, mvy, bs=16):
     """Batch half-pel SAD (th_sad_batch). cur [H,W]; ref padded; fy/fx
     block pixel coords; mvx/mvy half-pel MVs. Returns [n] int64."""
