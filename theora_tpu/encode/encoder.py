@@ -2364,6 +2364,20 @@ class Encoder:
                 .sum(axis=(1, 3))
                 .reshape(-1)
             )
+        # Causal neighborhood context: mean CHOSEN-mode SATD of the
+        # left and up neighbor fragments (0 where uncoded/absent) --
+        # the block-context feature the round-3 mode_rd closure said a
+        # reopening would need (cross-block token-run/skip economy).
+        ctx = np.zeros(g.nfrags, dtype=np.int64)
+        for pli in range(3):
+            pl = g.planes[pli]
+            sl = slice(pl.froffset, pl.froffset + pl.nfrags)
+            s = self._satd_frame[sl].reshape(pl.nvfrags, pl.nhfrags)
+            left = np.zeros_like(s)
+            left[:, 1:] = s[:, :-1]
+            up = np.zeros_like(s)
+            up[1:, :] = s[:-1, :]
+            ctx[sl] = ((left + up) // 2).reshape(-1)
         self.collect.append(
             np.stack(
                 [
@@ -2373,6 +2387,7 @@ class Encoder:
                     self._satd_frame[order],
                     bits.astype(np.int64),
                     ssd_full[order],
+                    ctx[order],
                 ],
                 axis=1,
             )
