@@ -232,11 +232,17 @@ def test_adaptive_quant_auto_rescues_high_qi_texture():
     """The round-3 sweep found the single-qi ladder collapses on dense
     texture at high qi (q56 textured: -3.6 dB vs the reference, which
     masks by default).  The "auto" default must engage the reference-
-    spec qi triple there and recover multiple dB; below the gate it
-    must leave streams single-qi."""
+    spec qi triple there and recover multiple dB; below the gate,
+    STRUCTURED content must stay single-qi (iid-noise-like content at
+    mid-q engages via the round-4 noise gate instead -- asserted
+    separately below)."""
     rng = np.random.RandomState(7)
     W, H = 176, 144
     tex = rng.randint(0, 160, (H + 32, W + 32)).astype(np.int32)
+    # Structure the texture (horizontal box filter): lag-1 ac rises
+    # well above the noise-gate threshold while the content stays
+    # dense texture.
+    tex = (tex + np.roll(tex, 1, 1) + np.roll(tex, 2, 1)) // 3
     frames = []
     for t in range(8):
         y = (tex[t:t + H, 2 * t:2 * t + W] + 48).clip(0, 255)
@@ -272,6 +278,41 @@ def test_adaptive_quant_auto_rescues_high_qi_texture():
     assert psnr_on - psnr_off > 2.0, (psnr_on, psnr_off)
     qis_low, _ = encode(40, "auto")
     assert len(qis_low) == 1, qis_low  # below the gate: single-qi
+
+
+def test_noise_gate_engages_masking_at_mid_qi():
+    """Round 4: on iid-noise-like frames at mid-q the reference's
+    default masking lands ~1 dB above our single-qi curve on BOTH
+    PSNR and SSIM (BASELINE), so "auto" engages the qi triple there,
+    gated by the lag-1 luma autocorrelation test (_noise_like); the
+    chooser runs at the cheaper 0.25 lambda.  Structured content at
+    the same qi stays single-qi (covered by the test above)."""
+    rng = np.random.RandomState(11)
+    W, H = 176, 144
+    frames = [
+        [rng.randint(0, 256, (H, W)).astype(np.uint8),
+         rng.randint(0, 256, (H // 2, W // 2)).astype(np.uint8),
+         rng.randint(0, 256, (H // 2, W // 2)).astype(np.uint8)]
+        for _ in range(4)
+    ]
+    enc = Encoder(TheoraInfo(
+        frame_width=W, frame_height=H, pic_width=W, pic_height=H,
+        quality=40,
+    ))
+    enc.keyframe_freq = 8
+    enc.adaptive_quant = "auto"
+    enc.flush_headers()
+    for fr in frames:
+        enc.encode_frame(fr)
+    assert enc._frame_noise_like
+    assert len(enc.frame_qis) == 3, enc.frame_qis
+    assert enc._aq_scale_frame == 0.25
+    # The discriminator itself: noise ~0 ac, smooth ~1.
+    assert Encoder._noise_like(frames[0][0])
+    yy = np.broadcast_to(
+        np.arange(W, dtype=np.uint8), (H, W)
+    ).copy()
+    assert not Encoder._noise_like(yy)
 
 
 def test_cbr_crosses_masking_gate_and_reference_decodes():

@@ -686,7 +686,7 @@ class Encoder:
         fmt = int(self.info.pixel_fmt)
         lam = (
             tables.RD_LAMBDA.get(fmt, tables.RD_LAMBDA[0])[fti][qis[0]]
-            * self.aq_lambda_scale
+            * getattr(self, "_aq_scale_frame", self.aq_lambda_scale)
         )
         nbt = self._nb_table(pli, fti)
         res_a = np.asarray(res)
@@ -962,15 +962,27 @@ class Encoder:
         lq = lqa[base]
         if lq >= 7.0:
             return None
-        # "auto": engage only where masking measurably wins (the
-        # quality-saturation region).  Per frame type: the crossover
-        # sits at log_qavg ~4.78 for inter (textured q54: +2.6 dB;
-        # q50-52: neutral at 2x cost) and ~3.9 for intra (q56 kf-only:
-        # +5.1 dB; q44-52: neutral) -- swept round 3.
+        # "auto": engage only where masking measurably wins.  Two
+        # regimes (both adjudicated on PSNR and SSIM, BASELINE round
+        # 4): (a) the quality-saturation region -- crossover at
+        # log_qavg ~4.78 inter (textured q54: +2.6 dB; q50-52 neutral
+        # at 2x cost) / ~3.9 intra (q56 kf-only: +5.1 dB), swept round
+        # 3; (b) NOISE-LIKE frames at mid-q, where the reference's
+        # default masking lands ~1 dB above our single-qi curve on
+        # both metrics (noise q24: ref 31.73 dB / 0.9958 SSIM vs ours
+        # 30.68 / 0.9945) -- there the qi triple engages with the
+        # cheaper chooser lambda (0.25, swept round 3: above-curve on
+        # iid noise, overshoots on structured content) gated by a
+        # lag-1 luma autocorrelation test that separates iid noise
+        # (ac ~0) from texture (ac ~0.2+) and smooth content
+        # (ac ~1.0).
+        self._aq_scale_frame = self.aq_lambda_scale
         if self.adaptive_quant == "auto" and lq >= (
             4.0 if qti == 0 else 4.8
         ):
-            return None
+            if not getattr(self, "_frame_noise_like", False):
+                return None
+            self._aq_scale_frame = 0.25
 
         def find_qi(target, qi_old):
             best_qi, best_d = 0, abs(lqa[0] - target)
@@ -993,6 +1005,21 @@ class Encoder:
             return None
         return qis
 
+    @staticmethod
+    def _noise_like(y, thresh: float = 0.10) -> bool:
+        """Is the luma plane iid-noise-like?  Lag-1 horizontal
+        autocorrelation on subsampled rows: ~0 for iid noise, ~0.2+
+        for structured texture, ~1.0 for smooth content (measured on
+        the sweep corpus).  Drives the mid-q noise-masking engage in
+        _adaptive_qi_triple."""
+        ys = y[::4].astype(np.float64)
+        yc = ys - ys.mean()
+        denom = float((yc * yc).sum())
+        if denom < 1e-6:
+            return False
+        ac = float((yc[:, :-1] * yc[:, 1:]).sum()) / denom
+        return ac < thresh
+
     def _select_adaptive_qis(self, planes, coded):
         """Pick the frame's qi list and a per-fragment qii from luma
         activity -- the activity-masking analogue (rate.c:175-201,
@@ -1000,6 +1027,7 @@ class Encoder:
         smooth blocks a finer one (with the trellis, the per-block qii
         is chosen by exact R/D instead)."""
         g = self.geometry
+        self._frame_noise_like = self._noise_like(planes[0])
         qis = self._adaptive_qi_triple(self._cur_fti)
         if qis is None:
             self._frame_qis = None

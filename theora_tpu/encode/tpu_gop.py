@@ -961,17 +961,40 @@ class TpuGopEncoder:
         # are padded to the GOP's K by repeating the base row, which the
         # chooser can never pick (identical output + extra signaling
         # cost), so padded frames still pack single-qi headers.
-        if frame_qi is None:
-            fqis = [
-                self._adaptive_qis(keyframe_only=(F == 1))
-            ] * F
-        else:
-            if len(frame_qi) != F:
-                raise ValueError("frame_qi length must equal GOP length")
-            fqis = [
-                self._adaptive_qis(keyframe_only=(F == 1), qi=int(q))
-                for q in frame_qi
-            ]
+        # The mid-q noise-masking gate (encoder._noise_like) runs per
+        # frame when pixels are host-visible; device-resident transcode
+        # inputs skip it (downloading pixels to classify them would
+        # defeat the resident pipeline).
+        saved_nl = getattr(self.enc, "_frame_noise_like", False)
+        try:
+            if frame_qi is None:
+                fqis = []
+                for f in range(F):
+                    self.enc._frame_noise_like = (
+                        Encoder._noise_like(planes_bs[f][0])
+                        if planes_bs is not None else False
+                    )
+                    fqis.append(
+                        self._adaptive_qis(keyframe_only=(F == 1))
+                    )
+            else:
+                if len(frame_qi) != F:
+                    raise ValueError(
+                        "frame_qi length must equal GOP length"
+                    )
+                fqis = []
+                for f, q in enumerate(frame_qi):
+                    self.enc._frame_noise_like = (
+                        Encoder._noise_like(planes_bs[f][0])
+                        if planes_bs is not None else False
+                    )
+                    fqis.append(
+                        self._adaptive_qis(
+                            keyframe_only=(F == 1), qi=int(q)
+                        )
+                    )
+        finally:
+            self.enc._frame_noise_like = saved_nl
         K = max(len(q) for q in fqis)
         fqis_pad = [list(q) + [q[0]] * (K - len(q)) for q in fqis]
         plane_out = {}

@@ -88,8 +88,8 @@ class MeshGopEncoder:
         self._scan_cache = {}
 
     # ------------------------------------------------------------------
-    def _sharded_scan(self, pli):
-        key = (pli, self.base.use_trellis)
+    def _sharded_scan(self, pli, n_qis: int = 1):
+        key = (pli, self.base.use_trellis, n_qis)
         fn = self._scan_cache.get(key)
         if fn is not None:
             return fn
@@ -101,16 +101,16 @@ class MeshGopEncoder:
         use_trellis = self.base.use_trellis
         scan = make_plane_scan(
             pl.nvfrags, pl.nhfrags, vpad, hpad, frag_axis="frag",
-            use_trellis=use_trellis,
+            use_trellis=use_trellis, n_qis=n_qis,
         )
 
         def local(init_prev, init_gold, cur, rs, o1y, o1x, o2y, o2x, u2,
                   ms, ik, deqi, deqp, bv, lam, lqi, lqp, nbi, nbp, lti,
                   ltp):
             # Quantizer inputs carry a per-GOP axis (CBR / 2-pass rate
-            # control gives every GOP its own per-frame qi vector); the
-            # token-bit tables (nbi/nbp) are frame-type keyed only and
-            # stay shared.
+            # control gives every GOP its own per-frame qi vector; the
+            # adaptive triple adds a K row axis); the token-bit tables
+            # (nbi/nbp) are frame-type keyed only and stay shared.
             def one_gop(ip, ig, c, r, a, b_, cc, dd, u, m, k, di, dp,
                         bvf, lm, qi_, qp_, ti_, tp_):
                 extra = (nbi, nbp, ti_, tp_) if use_trellis else ()
@@ -124,6 +124,14 @@ class MeshGopEncoder:
 
         gfp = P("gop", None, "frag")
         gq = P("gop")
+        out = [
+            P("gop", None, "frag", None),
+            P("gop", None, "frag"),
+            P("gop", None, "frag"),
+        ]
+        if n_qis > 1:
+            out.append(P("gop", None, "frag"))  # qii
+        out.append(P("gop", None, None))
         fn = jax.jit(shard_map(
             local,
             mesh=self.mesh,
@@ -135,12 +143,7 @@ class MeshGopEncoder:
                 gq, gq, gq, gq, gq, gq,
                 P(), P(), gq, gq,
             ),
-            out_specs=(
-                P("gop", None, "frag", None),
-                P("gop", None, "frag"),
-                P("gop", None, "frag"),
-                P("gop", None, None),
-            ),
+            out_specs=tuple(out),
             check_vma=False,
         ))
         self._scan_cache[key] = fn
@@ -196,8 +199,41 @@ class MeshGopEncoder:
             for gi in range(G)
         ]
 
+        # Per-(GOP, frame) adaptive qi lists through the SAME gate as
+        # the sequential tier (complete_dispatch) -- the sequential-vs-
+        # mesh byte-identity contract requires identical triples, and
+        # they are a pure function of (content, base qi), so they are
+        # also mesh-shape independent.
+        from theora_tpu.encode.encoder import Encoder as _Enc
+
+        saved_nl = getattr(base.enc, "_frame_noise_like", False)
+        try:
+            fqis_gf = []
+            for gi in range(G):
+                row = []
+                for f in range(F):
+                    base.enc._frame_noise_like = _Enc._noise_like(
+                        planes_bs[gi][f][0]
+                    )
+                    q = (
+                        base.qi if frame_qi is None
+                        else int(frame_qi[gi][f])
+                    )
+                    row.append(base._adaptive_qis(
+                        keyframe_only=(F == 1), qi=q
+                    ))
+                fqis_gf.append(row)
+        finally:
+            base.enc._frame_noise_like = saved_nl
+        K = max(len(q) for row in fqis_gf for q in row)
+        fqis_pad = [
+            [list(q) + [q[0]] * (K - len(q)) for q in row]
+            for row in fqis_gf
+        ]
+
         qdct_pl = {}
         coded_pl = {}
+        qii_pl = {}
         for pli in range(3):
             pl = g.planes[pli]
             vpad, hpad = g.plane_padding(pli)
@@ -242,27 +278,29 @@ class MeshGopEncoder:
                 build_bounding_values,
             )
 
-            fn = self._sharded_scan(pli)
-            # Per-GOP, per-frame quantizer inputs ([G, F, ...]; the
-            # scan takes a leading F axis per GOP and the mesh maps the
-            # G axis).  Fixed-qi dispatches broadcast one row.
-            di_g = np.empty((G, F, 64), np.int32)
-            dp_g = np.empty((G, F, 64), np.int32)
+            fn = self._sharded_scan(pli, n_qis=K)
+            # Per-GOP, per-frame quantizer inputs ([G, F(, K), ...];
+            # the scan takes a leading F axis per GOP, a K row axis
+            # when adaptive, and the mesh maps the G axis).  Fixed-qi
+            # dispatches broadcast one row.
+            di_g = np.empty((G, F, K, 64), np.int32)
+            dp_g = np.empty((G, F, K, 64), np.int32)
             bv_g = np.empty((G, F, 256), np.int32)
             lam_g = np.empty((G, F), np.float32)
-            lqi_g = np.empty((G, F), np.float32)
-            lqp_g = np.empty((G, F), np.float32)
-            lti_g = np.empty((G, F), np.float32)
-            ltp_g = np.empty((G, F), np.float32)
+            lqi_g = np.empty((G, F, K), np.float32)
+            lqp_g = np.empty((G, F, K), np.float32)
+            lti_g = np.empty((G, F, K), np.float32)
+            ltp_g = np.empty((G, F, K), np.float32)
             bv_cache = {}
             for gi in range(G):
                 for f in range(F):
-                    q = (
-                        base.qi if frame_qi is None
-                        else int(frame_qi[gi][f])
-                    )
-                    di_g[gi, f] = dq[q, pli, 0].astype(np.int32)
-                    dp_g[gi, f] = dq[q, pli, 1].astype(np.int32)
+                    qrow = fqis_pad[gi][f]
+                    q = qrow[0]
+                    di_g[gi, f] = dq[qrow][:, pli, 0].astype(np.int32)
+                    dp_g[gi, f] = dq[qrow][:, pli, 1].astype(np.int32)
+                    # DC always quantizes with the base qi.
+                    di_g[gi, f, :, 0] = dq[q, pli, 0, 0]
+                    dp_g[gi, f, :, 0] = dq[q, pli, 1, 0]
                     if q not in bv_cache:
                         flimit = base.enc.qinfo[
                             "loop_filter_limits"
@@ -277,15 +315,28 @@ class MeshGopEncoder:
                         rd_lambda(q, int(dq[q, 0, 1, 1]))
                         * base.rd_strength * 4.0
                     )
-                    lqi_g[gi, f] = rd_lambda(
-                        q, int(dq[q, pli, 0, 1])
-                    ) * base.rd_strength
-                    lqp_g[gi, f] = rd_lambda(
-                        q, int(dq[q, pli, 1, 1])
-                    ) * base.rd_strength
-                    lti_g[gi, f] = base._lam_t_for(q)[0]
-                    ltp_g[gi, f] = base._lam_t_for(q)[1]
-            qdct, coded, _nnz, _final = fn(
+                    lqi_g[gi, f] = [
+                        rd_lambda(qk, int(dq[qk, pli, 0, 1]))
+                        * base.rd_strength for qk in qrow
+                    ]
+                    lqp_g[gi, f] = [
+                        rd_lambda(qk, int(dq[qk, pli, 1, 1]))
+                        * base.rd_strength for qk in qrow
+                    ]
+                    lti_g[gi, f] = [
+                        base._lam_t_for(qk)[0] for qk in qrow
+                    ]
+                    ltp_g[gi, f] = [
+                        base._lam_t_for(qk)[1] for qk in qrow
+                    ]
+            if K == 1:
+                di_g = di_g[:, :, 0]
+                dp_g = dp_g[:, :, 0]
+                lqi_g = lqi_g[..., 0]
+                lqp_g = lqp_g[..., 0]
+                lti_g = lti_g[..., 0]
+                ltp_g = ltp_g[..., 0]
+            outs = fn(
                 init, init,
                 arrs["cur"], arrs["rs"], arrs["o1y"], arrs["o1x"],
                 arrs["o2y"], arrs["o2x"], arrs["u2"], arrs["ms"],
@@ -296,8 +347,11 @@ class MeshGopEncoder:
                 jnp.asarray(base._nb_dev), jnp.asarray(base._nb_dev),
                 jnp.asarray(lti_g), jnp.asarray(ltp_g),
             )
+            qdct, coded = outs[0], outs[1]
             qdct_pl[pli] = np.asarray(qdct)[:, :, :n]
             coded_pl[pli] = np.asarray(coded)[:, :, :n]
+            if K > 1:
+                qii_pl[pli] = np.asarray(outs[3])[:, :, :n]
 
         out = []
         for gi in range(G):
@@ -305,9 +359,10 @@ class MeshGopEncoder:
                 F, plans_per_gop[gi], frame_frag[gi],
                 {pli: qdct_pl[pli][gi] for pli in range(3)},
                 {pli: coded_pl[pli][gi] for pli in range(3)},
-                fqis=(
-                    [[int(q)] for q in frame_qi[gi]]
-                    if frame_qi is not None else None
+                fqis=fqis_gf[gi],
+                qii_pl=(
+                    {pli: qii_pl[pli][gi] for pli in range(3)}
+                    if K > 1 else None
                 ),
             ))
         return out
