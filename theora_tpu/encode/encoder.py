@@ -380,12 +380,28 @@ class Encoder:
             data = self._encode_intra(planes)
             self.keyframe_num = self.curframe_num
         else:
+            # Snapshot the embedded decoder's bookkeeping: the inter
+            # path may reconstruct EARLY (overlapped under the C++
+            # pack, _finish_inter), and if the auto-keyframe retry then
+            # replaces the frame with an intra encode, the counters and
+            # ref rotation must rewind first (buffer CONTENTS need no
+            # rewind -- the intra recon overwrites whole planes and
+            # rotates both refs onto its own slot).
+            dsnap = (
+                self._dec.curframe_num, self._dec.keyframe_num,
+                self._dec.granpos, list(self._dec.ref_idx),
+            )
             data = self._encode_inter(planes)
             if (
                 self.auto_keyframe
                 and self._last_kf_size
                 and len(data) >= self._last_kf_size
             ):
+                if getattr(self, "_recon_done", False):
+                    (self._dec.curframe_num, self._dec.keyframe_num,
+                     self._dec.granpos) = dsnap[:3]
+                    self._dec.ref_idx[:] = dsnap[3]
+                    self._recon_done = False
                 is_key = True
                 self._frames_since_keyframe = 0
                 self._huff_pred = [[0, 0], [0, 0]]
@@ -2045,11 +2061,11 @@ class Encoder:
         can_overlap = (
             self.fast_recon
             and self.rc is None  # a dropped frame must not advance refs
-            and not self.auto_keyframe  # intra retry would re-encode
             and self.collect is None
             and self._trellis_scan is not None
             and all(isinstance(p, tuple) for p in self._trellis_scan)
-        )
+        )  # auto-keyframe retry is safe: encode_frame rewinds the
+        # decoder bookkeeping before re-encoding as intra
         if not can_overlap:
             self._stash_recon_state(
                 INTER_FRAME, coded, frag_refi, frag_mode, frag_mv,

@@ -14,6 +14,25 @@
 #include <vector>
 #include <algorithm>
 #include <thread>
+
+// Split an independent per-block range across cores (outputs must be
+// disjoint per index; used by the batch kernels below).
+template <typename F>
+static void th_parallel_range(int64_t n, int64_t grain, F&& body) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = (int)(hw ? hw : 1);
+  if (nthreads > 4) nthreads = 4;
+  if (n < grain || nthreads < 2) {
+    body((int64_t)0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; t++) {
+    int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+    ts.emplace_back([&body, lo, hi] { body(lo, hi); });
+  }
+  for (auto& th : ts) th.join();
+}
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
@@ -1738,7 +1757,8 @@ void th_me_fullpel(const uint8_t* cur, int W, int H, const uint8_t* ref,
   int pad2 = pad / 4, pad1 = pad / 2;
   int W2 = W / 4, W1 = W / 2;
   int Wp2 = Wp / 4, Wp1 = Wp / 2;
-  for (int64_t i = 0; i < n; i++) {
+  th_parallel_range(n, 16, [&](int64_t lo_, int64_t hi_) {
+  for (int64_t i = lo_; i < hi_; i++) {
     // Early termination (mcenc.c OC_YSAD_THRESH1): a near-perfect zero-MV
     // match skips the pyramid entirely.
     {
@@ -1813,6 +1833,7 @@ void th_me_fullpel(const uint8_t* cur, int W, int H, const uint8_t* ref,
     mvs[2 * i + 1] = dy0;
     sads[i] = s0;
   }
+  });
 }
 
 // Spatial candidate propagation over the MB grid (in place).
@@ -1877,7 +1898,8 @@ void th_me_halfpel(const uint8_t* cur, int W, int H, const uint8_t* ref,
                    int pad, const int32_t* by, const int32_t* bx, int64_t n,
                    int bs, int32_t* mvs, int64_t* sads) {
   int Wp = W + 2 * pad;
-  for (int64_t i = 0; i < n; i++) {
+  th_parallel_range(n, 64, [&](int64_t lo_, int64_t hi_) {
+  for (int64_t i = lo_; i < hi_; i++) {
     int bdx = mvs[2 * i] * 2, bdy = mvs[2 * i + 1] * 2;
     // Early termination: a near-perfect full-pel match skips the
     // half-pel sites (mcenc.c OC_YSAD_THRESH1 scaled by area).
@@ -1905,6 +1927,7 @@ void th_me_halfpel(const uint8_t* cur, int W, int H, const uint8_t* ref,
     mvs[2 * i + 1] = fdy;
     sads[i] = best;
   }
+  });
 }
 
 }  // extern "C"
@@ -1916,7 +1939,8 @@ extern "C" void th_me_refine(const uint8_t* cur, int W, int H,
                              int32_t* mvs, int64_t* sads, int max_mv,
                              int radius) {
   int Wp = W + 2 * pad;
-  for (int64_t i = 0; i < n; i++) {
+  th_parallel_range(n, 64, [&](int64_t lo_, int64_t hi_) {
+  for (int64_t i = lo_; i < hi_; i++) {
     const uint8_t* cb = cur + (int64_t)by[i] * W + bx[i];
     int dx0 = mvs[2 * i], dy0 = mvs[2 * i + 1];
     int64_t s0 = sad_block(
@@ -1940,6 +1964,7 @@ extern "C" void th_me_refine(const uint8_t* cur, int W, int H,
     mvs[2 * i + 1] = dy0;
     sads[i] = s0;
   }
+  });
 }
 
 // ===================================================================
