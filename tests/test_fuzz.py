@@ -1,0 +1,41 @@
+"""Corrupt-stream differential conformance (a small always-on slice of
+the crosscheck --fuzz campaign; the full 500+-trial record lives in
+ROUND_NOTES/BASELINE round 4).
+
+Mutated data packets (truncations, bit flips, zeroed ranges, random
+tails) must produce the SAME per-packet accept/dup/reject decision and
+byte-identical output frames in our decoder and the reference,
+including recovery after rejected packets (zeros-past-EOF and
+dummy-frame semantics, bitpack.c:47-53 / decode.c:2053-2082)."""
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO_ROOT, ensure_ref_oracle
+
+
+def test_fuzzed_packets_match_reference(tmp_path):
+    if not ensure_ref_oracle():
+        pytest.skip("reference oracle unavailable")
+    if not os.path.exists(
+        os.path.join(REPO_ROOT, "refbuild", "build", "ref_fuzz")
+    ):
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", os.path.join(REPO_ROOT, "refbuild"),
+             "build/ref_fuzz"],
+            check=True, capture_output=True,
+        )
+    from theora_tpu.tools.crosscheck import run_fuzz_trial
+
+    rng = np.random.RandomState(77)
+    fails = []
+    for t in range(8):
+        desc, err = run_fuzz_trial(
+            rng, t, tmp=str(tmp_path / f"fz{t}")
+        )
+        if err:
+            fails.append((desc, err))
+    assert not fails, fails
