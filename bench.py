@@ -291,6 +291,35 @@ def bench_host_parallel(frames):
     return NFRAMES * (W * H + 2 * (W // 2) * (H // 2)) / 1e6 / dt
 
 
+def _tunnel_mbps(timeout_s=240):
+    """Measure the tunnel's effective upload bandwidth (MB/s) in a
+    subprocess -- the e2e metric is wire-ceiling bound (~44 MB of
+    pixels for the 32-frame clip), so the round record must carry its
+    own weather context (ROUND_NOTES round 4)."""
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np, time;"
+        "x = np.random.RandomState(0).randint(0,256,(8,720,1280))"
+        ".astype(np.uint8);"
+        "d = jax.device_put(x); np.asarray(d[:1,:1,:1]);"
+        "t0 = time.perf_counter();"
+        "d = jax.device_put(x);"
+        "v = np.asarray(d.astype(jnp.int32).sum());"
+        "dt = time.perf_counter() - t0;"
+        "print('MBPS', 7.37 / dt)"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=timeout_s, text=True,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("MBPS"):
+                return float(line.split()[1])
+    except Exception:
+        pass
+    return None
+
+
 def _probe_device(timeout_s=180):
     """True iff the accelerator actually computes (not just enumerates).
 
@@ -374,6 +403,9 @@ def main():
         if attempt < 2:
             time.sleep(60 * (attempt + 1))
     if value is not None:
+        v = _tunnel_mbps()
+        if v is not None:
+            extra["tunnel_mbps"] = round(v, 1)
         v = _run_sub("pipeline", 900)
         if v is not None:
             extra["pipeline_compute_mpixs"] = round(v, 1)
