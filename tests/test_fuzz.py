@@ -39,3 +39,22 @@ def test_fuzzed_packets_match_reference(tmp_path):
         if err:
             fails.append((desc, err))
     assert not fails, fails
+
+
+def test_synthetic_random_plans_match_reference():
+    """Legal-but-RD-atypical streams (random coding plans through
+    pack_frame_plan: arbitrary mode/MV/qi-triple/qii/coefficient
+    combinations no RD-driven encoder emits) decode identically in
+    both decoders -- the legal-stream-space direction of the
+    conformance campaign."""
+    if not ensure_ref_oracle():
+        pytest.skip("reference oracle unavailable")
+    from theora_tpu.tools.crosscheck import run_synth_trial
+
+    rng = np.random.RandomState(55)
+    fails = []
+    for t in range(6):
+        desc, err = run_synth_trial(rng, t)
+        if err:
+            fails.append((desc, err))
+    assert not fails, fails

@@ -320,24 +320,154 @@ def run_fuzz_trial(rng, trial, tmp="/tmp/crosscheck_f"):
     return desc, None
 
 
+def run_synth_trial(rng, trial, tmp="/tmp/crosscheck_s"):
+    """LEGAL-but-RD-atypical streams: random coding plans (modes, MVs,
+    qi triples, per-block qii, sparse coefficients) packed through
+    Encoder.pack_frame_plan -- structurally valid bitstreams no
+    rate-distortion-driven encoder would ever emit (all-GOLDEN frames,
+    saturated MVs, maximal-magnitude coefficients, adversarial qi
+    RLEs).  Both decoders must still agree byte-for-byte.  This covers
+    the legal-stream space the encoder-driven directions cannot reach
+    (round-3 VERDICT missing #3's no-egress substitute, extended)."""
+    from theora_tpu.constants import (
+        FRAME_FOR_MODE,
+        FRAME_NONE,
+        FRAME_SELF,
+        MODE_INTER_MV_FOUR,
+    )
+    from theora_tpu.tpkt import Packet
+
+    fw = int(rng.choice([32, 48, 64, 80]))
+    fh = int(rng.choice([32, 48, 64]))
+    fmt = int(rng.choice([0, 2, 3]))
+    nfr = int(rng.randint(2, 6))
+    desc = f"SYNTH {fw}x{fh} fmt{fmt} n{nfr}"
+    info = TheoraInfo(
+        frame_width=fw, frame_height=fh, pic_width=fw, pic_height=fh,
+        fps_numerator=30, fps_denominator=1, quality=40,
+        keyframe_granule_shift=6, pixel_fmt=fmt,
+    )
+    enc = Encoder(info)
+    g = enc.geometry
+    nfrags = g.nfrags
+    hd = enc.flush_headers()
+    pkts = list(hd)
+
+    def rand_qis():
+        k = int(rng.randint(1, 4))
+        qs = list(rng.choice(64, size=k, replace=False))
+        return [int(q) for q in qs]
+
+    def rand_qdct(coded):
+        qdct = np.zeros((nfrags, 64), np.int16)
+        idx = np.nonzero(coded)[0]
+        # Sparse values incl. extremes of every value-token category.
+        for i in idx:
+            nnz = int(rng.randint(0, 12))
+            pos = rng.choice(64, size=nnz, replace=False)
+            mags = rng.choice(
+                [1, 2, 3, 6, 7, 8, 12, 20, 36, 68, 69, 580], size=nnz
+            )
+            sgn = rng.choice([-1, 1], size=nnz)
+            qdct[i, pos] = (mags * sgn).astype(np.int16)
+        return qdct
+
+    pno = 3
+    for f in range(nfr):
+        qis = rand_qis()
+        frag_qii = (
+            rng.randint(0, len(qis), nfrags).astype(np.int32)
+            if len(qis) > 1 else None
+        )
+        if f == 0:
+            coded = np.zeros(nfrags, bool)
+            coded[g.scan_fragis] = True
+            frag_refi = np.where(coded, FRAME_SELF, FRAME_NONE).astype(np.int32)
+            data = enc.pack_frame_plan(
+                0, coded, frag_refi, None, None, rand_qdct(coded),
+                qis=qis if len(qis) > 1 else None, frag_qii=frag_qii,
+            )
+        else:
+            coded = rng.rand(nfrags) < rng.uniform(0.15, 0.95)
+            mb_modes = np.zeros(g.nmbs, np.int32)
+            mb_mvs = np.zeros((g.nmbs, 2), np.int32)
+            frag_refi = np.full(nfrags, FRAME_NONE, np.int32)
+            fmv4 = np.zeros((nfrags, 2), np.int32)
+            for mbi in range(g.nmbs):
+                if not g.mb_valid[mbi]:
+                    continue
+                mode = int(rng.randint(0, 8))
+                mb_modes[mbi] = mode
+                mb_mvs[mbi] = rng.randint(-31, 32, 2)
+                for p in range(3):
+                    for bi in range(4):
+                        fi = g.mb_maps[mbi, p, bi]
+                        if fi >= 0 and coded[fi]:
+                            frag_refi[fi] = FRAME_FOR_MODE[mode]
+                if mode == MODE_INTER_MV_FOUR:
+                    for bi in range(4):
+                        fi = g.mb_maps[mbi, 0, bi]
+                        if fi >= 0:
+                            fmv4[fi] = rng.randint(-31, 32, 2)
+            frag_refi[~coded] = FRAME_NONE
+            enc._frag_mv4 = fmv4
+            data = enc.pack_frame_plan(
+                1, coded, frag_refi, mb_modes, mb_mvs, rand_qdct(coded),
+                qis=qis if len(qis) > 1 else None, frag_qii=frag_qii,
+            )
+        shift = info.keyframe_granule_shift
+        pkts.append(Packet(
+            data, granulepos=(1 << shift) + f, packetno=pno,
+            e_o_s=(f == nfr - 1),
+        ))
+        pno += 1
+
+    write_tpkt(tmp + ".tpkt", pkts)
+    r = subprocess.run(
+        [REF_DEC, tmp + ".tpkt", tmp + ".yuv"],
+        capture_output=True, text=True, timeout=60,
+    )
+    if "decoded" not in (r.stdout + r.stderr):
+        return desc, f"reference decoder rejected: {r.stderr[-80:]}"
+    dec = Decoder(parse_info_header(hd[0].data),
+                  parse_setup_header(hd[2].data))
+    mine = []
+    for p in pkts[3:]:
+        dec.decode_packet(p.data)
+        mine.append(
+            np.concatenate([x.reshape(-1) for x in dec.ycbcr_out()])
+        )
+    ref = np.fromfile(tmp + ".yuv", np.uint8)
+    mine_all = np.concatenate(mine)
+    if len(ref) != len(mine_all):
+        return desc, f"length {len(ref)} vs {len(mine_all)}"
+    if not np.array_equal(ref, mine_all):
+        return desc, f"bytes differ at {int(np.argmax(ref != mine_all))}"
+    return desc, None
+
+
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     reverse = "--reverse" in argv
     device = "--device" in argv
     fuzz = "--fuzz" in argv
+    synth = "--synth" in argv
     if reverse:
         argv.remove("--reverse")
     if device:
         argv.remove("--device")
     if fuzz:
         argv.remove("--fuzz")
+    if synth:
+        argv.remove("--synth")
     trials = int(argv[0]) if argv else 40
     seed = int(argv[1]) if len(argv) > 1 else 42
     rng = np.random.RandomState(seed)
     fails = 0
     fn = (run_reverse_trial if reverse
           else run_device_trial if device
-          else run_fuzz_trial if fuzz else run_trial)
+          else run_fuzz_trial if fuzz
+          else run_synth_trial if synth else run_trial)
     for t in range(trials):
         desc, err = fn(rng, t)
         if err:
@@ -345,7 +475,8 @@ def main(argv=None):
             print(f"FAIL {desc}: {err}")
     which = ("reference encodes" if reverse
              else "device-tier encodes" if device
-             else "mutated streams" if fuzz else "our encodes")
+             else "mutated streams" if fuzz
+             else "synthetic random plans" if synth else "our encodes")
     print(f"{trials - fails}/{trials} trials bit-identical "
           f"(reference decoder vs ours, on {which})")
     return 1 if fails else 0
