@@ -174,6 +174,16 @@ class Decoder:
         self.pp_level = 0
         self._pp_dc_qis = None
         self._pp_planes = None
+        # PERSISTENT per-fragment qii and 3-slot qi list: the reference
+        # updates frag->qii only for CODED fragments (decode.c:916 and
+        # the qi-RLE unpack) and state.qis[1..2] only when the frame
+        # carries them, so dering strength on an uncoded fragment reads
+        # the qii it had when last coded, indexed into a qis array whose
+        # upper slots may also be stale (decode.c:1928).  Regenerating
+        # either per frame diverges (found by the synthetic-plan
+        # conformance direction, round 4).
+        self._pp_qii_state = np.zeros(self.geometry.nfrags, np.uint8)
+        self._pp_qis_state = np.zeros(3, np.uint8)
         from theora_tpu.quant import pp_dc_scale_init
 
         self._pp_dc_scale = pp_dc_scale_init(setup.qinfo)
@@ -227,7 +237,9 @@ class Decoder:
         self_frame = self.buffers[self.ref_idx[FRAME_SELF]]
         dc_scale = np.asarray(self._pp_dc_scale, dtype=np.int32)
         sharp = np.asarray(self._pp_sharp_mod, dtype=np.int32)
-        qis_arr = np.asarray(self.qis + [0, 0], dtype=np.uint8)
+        # Persistent 3-slot qi list: slots beyond this frame's nqis keep
+        # their last-written values (the reference never clears them).
+        qis_arr = self._pp_qis_state
         nplanes = 3 if level >= 5 else 1
         for pli in range(nplanes):
             pl = g.planes[pli]
@@ -240,7 +252,11 @@ class Decoder:
             dqs = self._pp_dc_qis[sl].reshape(pl.nvfrags, pl.nhfrags)
             dering_min = 3 if pli == 0 else 6
             strong = level >= (4 if pli == 0 else 7)
-            qpf = qis_arr[frag_qii[sl]].reshape(pl.nvfrags, pl.nhfrags)
+            # Persistent per-fragment qii: uncoded fragments keep the
+            # qii from the frame they were last coded in.
+            qpf = qis_arr[self._pp_qii_state[sl]].reshape(
+                pl.nvfrags, pl.nhfrags
+            )
             fn = native_pp or postproc_np.postprocess_plane
             self._pp_planes[pli] = fn(
                 src, dqs, qpf, dc_scale, sharp,
@@ -471,6 +487,8 @@ class Decoder:
                     loop_filter_plane_vec(self_frame.planes[pli], cm, bv)
 
         self_frame.fill_borders()
+        self._pp_qis_state[: len(self.qis)] = self.qis
+        self._pp_qii_state[coded] = frag_qii[coded]
         if self.pp_level > 0:
             self._postprocess(coded, frag_qii)
         # Per-frame decode metrics.
@@ -593,6 +611,8 @@ class Decoder:
                 loop_filter_native(self_frame.planes[pli], cm, bv, vpad, hpad)
         self_frame.fill_borders()
         self._out_frame = self_frame
+        self._pp_qis_state[: len(self.qis)] = self.qis
+        self._pp_qii_state[coded] = frag_qii[coded]
         if self.pp_level > 0:
             self._postprocess(coded, frag_qii)
         self.last_frame_metrics = {

@@ -423,14 +423,22 @@ def run_synth_trial(rng, trial, tmp="/tmp/crosscheck_s"):
         pno += 1
 
     write_tpkt(tmp + ".tpkt", pkts)
-    r = subprocess.run(
-        [REF_DEC, tmp + ".tpkt", tmp + ".yuv"],
-        capture_output=True, text=True, timeout=60,
-    )
+    # Random postproc level: the out-of-loop deblock/dering filters key
+    # their strength off the per-block qi (the qi RLE this direction
+    # randomizes adversarially), so pp on RD-atypical streams covers
+    # strength combinations no encoder-driven trial produces.
+    pp = int(rng.choice([0, 0, 2, 5, 7]))
+    cmd = [REF_DEC, tmp + ".tpkt", tmp + ".yuv"]
+    if pp:
+        cmd.append(str(pp))
+        desc += f" pp{pp}"
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=60)
     if "decoded" not in (r.stdout + r.stderr):
         return desc, f"reference decoder rejected: {r.stderr[-80:]}"
     dec = Decoder(parse_info_header(hd[0].data),
                   parse_setup_header(hd[2].data))
+    if pp:
+        dec.set_pplevel(pp)
     mine = []
     for p in pkts[3:]:
         dec.decode_packet(p.data)
