@@ -266,6 +266,12 @@ class TpuBatchDecoder(Decoder):
                     side["refi"][sl].reshape(shape), dc_pl, [0, 0, 0],
                 )
                 dc_full[sl] = dc_pl.reshape(-1)
+            # Keep the postprocessor's persistent qii/qis state current
+            # (stale-qii dering semantics, decoder.py) so a later
+            # scalar decode_packet with pp enabled sees the same state
+            # a pure scalar decode would have.
+            self._pp_qis_state[: len(self.qis)] = self.qis
+            self._pp_qii_state[coded] = side["qii"][coded]
             per_frame.append(
                 dict(side=side, coded=coded, qz=qz, last_zzi=last_zzi,
                      dc=dc_full, ftype=self.frame_type, qis=list(self.qis))
