@@ -58,3 +58,35 @@ def test_synthetic_random_plans_match_reference():
         if err:
             fails.append((desc, err))
     assert not fails, fails
+
+
+def test_mutated_headers_match_reference(tmp_path):
+    """Header-packet differential slice (crosscheck --hdr): mutated
+    info/comment/setup packets (hostile field values, bit damage,
+    sequence damage) must yield the IDENTICAL th_decode_headerin return
+    code sequence, the identical alloc decision, and byte-identical
+    decoded output vs the reference (decinfo.c:182-272,
+    dequant.c:24-144, huffdec.c:193-240).  Full 300+-trial record in
+    ROUND_NOTES round 5."""
+    if not ensure_ref_oracle():
+        pytest.skip("reference oracle unavailable")
+    import subprocess
+
+    hdr_bin = os.path.join(REPO_ROOT, "refbuild", "build", "ref_hdr")
+    if not os.path.exists(hdr_bin):
+        subprocess.run(
+            ["make", "-C", os.path.join(REPO_ROOT, "refbuild"),
+             "build/ref_hdr"],
+            check=True, capture_output=True,
+        )
+    from theora_tpu.tools.crosscheck import run_hdr_fuzz_trial
+
+    rng = np.random.RandomState(31)
+    fails = []
+    for t in range(10):
+        desc, err = run_hdr_fuzz_trial(
+            rng, t, tmp=str(tmp_path / f"hd{t}")
+        )
+        if err:
+            fails.append((desc, err))
+    assert not fails, fails

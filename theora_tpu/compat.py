@@ -15,6 +15,7 @@ from theora_tpu.decode.decoder import Decoder
 from theora_tpu.encode.encoder import Encoder
 from theora_tpu.headers import (
     SetupInfo,
+    VersionError,
     parse_comment_header,
     parse_info_header,
     parse_setup_header,
@@ -348,8 +349,14 @@ class th_dec_ctx:
 
 def th_decode_headerin(state: dict, packet: Packet):
     """State-machine header parse; `state` accumulates info/comment/setup.
-    Returns >0 while consuming headers, 0 on the first video packet
-    (decinfo.c:182-259)."""
+    Returns >0 while consuming headers, 0 on the first video packet, and
+    the reference's error codes (never raises) on damaged headers, in the
+    reference's exact check order (decinfo.c:182-272): packtype first
+    (EOF-zeros make an empty packet a data packet), then the codec magic
+    (TH_ENOTFORMAT even when the state check would also fail), then the
+    in-sequence state checks, then the payload parse.  A failed parse
+    leaves `state` unchanged, matching the reference's th_*_clear-on-error
+    recovery, so a later well-formed header can still be accepted."""
     data = packet.data
     if len(data) == 0 or not (data[0] & 0x80):
         if "info" not in state:
@@ -358,21 +365,32 @@ def th_decode_headerin(state: dict, packet: Packet):
             return TH_EBADHEADER
         return 0
     ptype = data[0]
-    if ptype == 0x80:
-        if "info" in state or not packet.b_o_s:
-            return TH_EBADHEADER
-        state["info"] = parse_info_header(data)
-        return 3
-    if ptype == 0x81:
-        if "info" not in state or "comment" in state:
-            return TH_EBADHEADER
-        state["comment"] = parse_comment_header(data)
-        return 2
-    if ptype == 0x82:
-        if "comment" not in state or "setup" in state:
-            return TH_EBADHEADER
-        state["setup"] = parse_setup_header(data)
-        return 1
+    # The reference checks the magic string before dispatching on the
+    # packet type; short packets compare their EOF-zero padding.
+    if bytes(data[1:7]).ljust(6, b"\0") != b"theora":
+        return TH_ENOTFORMAT
+    try:
+        if ptype == 0x80:
+            if not packet.b_o_s or "info" in state:
+                return TH_EBADHEADER
+            state["info"] = parse_info_header(data)
+            return 3
+        if ptype == 0x81:
+            if "info" not in state or "comment" in state:
+                return TH_EBADHEADER
+            state["comment"] = parse_comment_header(data)
+            return 2
+        if ptype == 0x82:
+            if "info" not in state or "comment" not in state or (
+                "setup" in state
+            ):
+                return TH_EBADHEADER
+            state["setup"] = parse_setup_header(data)
+            return 1
+    except VersionError:
+        return TH_EVERSION
+    except Exception:
+        return TH_EBADHEADER
     return TH_EBADHEADER
 
 

@@ -17,6 +17,7 @@ Usage: python -m theora_tpu.tools.crosscheck [--reverse|--device]
 """
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
@@ -58,8 +59,15 @@ def synth(rng, W, H, n, fmt, kind):
         frames.append([y, u, v])
     return frames
 
+def _tmp_path(tag: str) -> str:
+    """Per-process scratch path: concurrent campaigns must not race on
+    shared .tpkt/.yuv files (two campaigns at the same seed otherwise
+    read each other's streams mid-trial)."""
+    return f"/tmp/crosscheck_{tag}_{os.getpid()}"
 
-def run_trial(rng, trial, tmp="/tmp/crosscheck"):
+
+def run_trial(rng, trial, tmp=None):
+    tmp = tmp or _tmp_path('fw')
     fw = int(rng.choice([32, 48, 64, 80, 96, 112]))
     fh = int(rng.choice([32, 48, 64, 80]))
     fmt = int(rng.choice([0, 2, 3]))
@@ -110,8 +118,9 @@ def run_trial(rng, trial, tmp="/tmp/crosscheck"):
     return desc, None
 
 
-def run_reverse_trial(rng, trial, tmp="/tmp/crosscheck_r"):
+def run_reverse_trial(rng, trial, tmp=None):
     """Reference encoder -> both decoders must agree byte-for-byte."""
+    tmp = tmp or _tmp_path("rev")
     from theora_tpu.tpkt import read_tpkt
     from theora_tpu.headers import parse_info_header, parse_setup_header
 
@@ -164,8 +173,9 @@ def run_reverse_trial(rng, trial, tmp="/tmp/crosscheck_r"):
     return desc, None
 
 
-def run_device_trial(rng, trial, tmp="/tmp/crosscheck_d"):
+def run_device_trial(rng, trial, tmp=None):
     """Device-tier encoder -> both decoders must agree byte-for-byte."""
+    tmp = tmp or _tmp_path("dev")
     from theora_tpu.encode.tpu_gop import TpuGopEncoder
 
     fw = int(rng.choice([32, 48, 64, 80, 96]))
@@ -244,13 +254,14 @@ def _mutate_packet(rng, data: bytes) -> bytes:
     return bytes(b)
 
 
-def run_fuzz_trial(rng, trial, tmp="/tmp/crosscheck_f"):
+def run_fuzz_trial(rng, trial, tmp=None):
     """Corrupt-DATA-PACKET differential: mutate packets of a valid
     stream; our decoder and the reference must produce the same
     per-packet accept/dup/reject decision AND byte-identical output
     frames, including the recovery AFTER a rejected packet (the
     zeros-past-EOF / dummy-frame semantics of bitpack.c:47-53 and
     decode.c:2053-2082 on damaged input)."""
+    tmp = tmp or _tmp_path("fz")
     fw = int(rng.choice([32, 48, 64, 80]))
     fh = int(rng.choice([32, 48, 64]))
     fmt = int(rng.choice([0, 2, 3]))
@@ -320,7 +331,251 @@ def run_fuzz_trial(rng, trial, tmp="/tmp/crosscheck_f"):
     return desc, None
 
 
-def run_synth_trial(rng, trial, tmp="/tmp/crosscheck_s"):
+REF_HDR = "refbuild/build/ref_hdr"
+# Accepted-but-huge frame geometry guard, mirrored in ref_hdr.c: both
+# sides stop before decoder allocation when the accepted info header
+# names more pixels than this, so hostile-but-legal 1Mx1M dimensions
+# cannot OOM the differential itself.
+MAX_HDR_AREA = 4096 * 4096
+
+
+def _mutate_info_packet(rng, data: bytes) -> tuple[bytes, str]:
+    """Surgical hostile edits at known info-header byte offsets (the
+    info packet layout is fixed at 42 bytes: type(1) magic(6) version(3)
+    fw(2) fh(2) pw(3) ph(3) px(1) py(1) fps(8) aspect(6) colorspace(1)
+    bitrate(3) quality/kgshift/pixfmt/padding(2))."""
+    b = bytearray(data)
+    kind = int(rng.randint(0, 10))
+    if kind == 0:
+        b[7] = 4  # version_major too new -> TH_EVERSION
+        tag = "vmaj"
+    elif kind == 1:
+        b[8] = 9  # version_minor too new -> TH_EVERSION
+        tag = "vmin"
+    elif kind == 2:
+        b[9] = 99  # subminor is always accepted by spec
+        tag = "vsub"
+    elif kind == 3:
+        b[10] = b[11] = 0  # frame_width = 0
+        tag = "fw0"
+    elif kind == 4:
+        b[14] = 0xFF  # pic_width >> frame_width
+        tag = "pwbig"
+    elif kind == 5:
+        b[20] = 0xFF  # pic_x pushes pic past the frame
+        tag = "pxbig"
+    elif kind == 6:
+        b[22:26] = bytes(4)  # fps_numerator = 0
+        tag = "fps0"
+    elif kind == 7:
+        v = (b[40] << 8) | b[41]
+        v = (v & ~0x18) | 0x08  # pixel_fmt = 1 (reserved)
+        b[40], b[41] = v >> 8, v & 0xFF
+        tag = "pfrsvd"
+    elif kind == 8:
+        v = (b[40] << 8) | b[41]
+        v |= int(rng.randint(1, 8))  # nonzero padding bits
+        b[40], b[41] = v >> 8, v & 0xFF
+        tag = "pad"
+    else:
+        # Huge-but-legal dims: header accepted, alloc guard must fire
+        # identically on both sides.
+        b[10] = b[11] = b[12] = b[13] = 0xFF
+        tag = "huge"
+    return bytes(b), tag
+
+
+def _mutate_comment_packet(rng, data: bytes) -> tuple[bytes, str]:
+    b = bytearray(data)
+    kind = int(rng.randint(0, 4))
+    if kind == 0:
+        b[7:11] = (0xFFFFFFF0).to_bytes(4, "little")  # vendor len huge
+        tag = "vendbig"
+    elif kind == 1:
+        b[7:11] = (0x7FFFFFFF).to_bytes(4, "little")  # vendor len = LONG_MAX
+        tag = "vendmax"
+    elif kind == 2 and len(b) >= 15:
+        # comment count huge (offset depends on vendor length; recompute)
+        vlen = int.from_bytes(b[7:11], "little")
+        off = 11 + vlen
+        if off + 4 <= len(b):
+            b[off:off + 4] = (0x40000000).to_bytes(4, "little")
+        tag = "nbig"
+    else:
+        b = b[: max(1, len(b) - int(rng.randint(1, min(8, len(b)))))]
+        tag = "trunc"
+    return bytes(b), tag
+
+
+def run_hdr_fuzz_trial(rng, trial, tmp=None):
+    """HEADER-packet differential: mutate the info/comment/setup packets
+    (bit flips, truncations, hostile field values, packet-sequence
+    damage) and drive the full header state machine on both sides.  The
+    reference oracle (ref_hdr) prints the th_decode_headerin return code
+    per header-phase packet and then decodes the rest; our
+    th_decode_headerin (compat.py) must return the IDENTICAL code
+    sequence (TH_ENOTFORMAT / TH_EVERSION / TH_EBADHEADER / 3/2/1/0),
+    make the identical alloc decision, and any decoded output must be
+    byte-identical.  Covers decinfo.c:182-272 (header state machine +
+    info/comment unpack), dequant.c:24-144 (quant params), and
+    huffdec.c:193-240 (Huffman tree unpack) against hostile input."""
+    tmp = tmp or _tmp_path("hd")
+    import signal
+
+    from theora_tpu import compat
+    from theora_tpu.tpkt import Packet as TPacket
+
+    fw = int(rng.choice([32, 48, 64]))
+    fh = int(rng.choice([32, 48]))
+    fmt = int(rng.choice([0, 2, 3]))
+    qi = int(rng.randint(0, 64))
+    nfr = int(rng.randint(2, 5))
+    desc = f"HDR {fw}x{fh} fmt{fmt} qi{qi} n{nfr}"
+    info = TheoraInfo(
+        frame_width=fw, frame_height=fh, pic_width=fw, pic_height=fh,
+        fps_numerator=30, fps_denominator=1, quality=qi,
+        keyframe_granule_shift=6, pixel_fmt=fmt,
+    )
+    e = Encoder(info)
+    e.keyframe_freq = 4
+    hd = e.flush_headers()
+    pk = [e.encode_frame(fr) for fr in synth(rng, fw, fh, nfr, fmt, trial % 3)]
+    pkts = list(hd) + pk
+
+    # --- Mutate ------------------------------------------------------
+    strat = int(rng.randint(0, 6))
+    if strat == 0:  # generic byte damage on one header packet
+        hi = int(rng.randint(0, 3))
+        d, p = _mutate_packet(rng, pkts[hi].data), pkts[hi]
+        pkts[hi] = TPacket(d, granulepos=p.granulepos,
+                           packetno=p.packetno, e_o_s=p.e_o_s,
+                           b_o_s=p.b_o_s)
+        desc += f" gen@{hi}"
+    elif strat == 1:  # targeted info-header field edits
+        d, tag = _mutate_info_packet(rng, pkts[0].data)
+        pkts[0] = TPacket(d, granulepos=pkts[0].granulepos,
+                          packetno=0, e_o_s=False, b_o_s=True)
+        desc += f" info:{tag}"
+    elif strat == 2:  # targeted comment-header edits
+        d, tag = _mutate_comment_packet(rng, pkts[1].data)
+        pkts[1] = TPacket(d, granulepos=pkts[1].granulepos,
+                          packetno=1, e_o_s=False)
+        desc += f" cmt:{tag}"
+    elif strat == 3:  # setup-payload bit damage (quant + Huffman areas)
+        d = _mutate_packet(rng, pkts[2].data)
+        pkts[2] = TPacket(d, granulepos=pkts[2].granulepos,
+                          packetno=2, e_o_s=False)
+        desc += " setup"
+    elif strat == 4:  # packet-sequence damage
+        kind = int(rng.randint(0, 6))
+        if kind == 0 and len(pkts) > 3:
+            del pkts[int(rng.randint(0, 3))]
+            desc += " drop"
+        elif kind == 1:
+            hi = int(rng.randint(0, 3))
+            pkts.insert(hi, pkts[hi])
+            desc += " dup"
+        elif kind == 2:
+            pkts[1], pkts[2] = pkts[2], pkts[1]
+            desc += " swap"
+        elif kind == 3:
+            p = pkts[0]
+            pkts[0] = TPacket(p.data, granulepos=p.granulepos,
+                              packetno=0, e_o_s=False, b_o_s=False)
+            desc += " nobos"
+        elif kind == 4:
+            pkts.insert(0, TPacket(b"", granulepos=-1, packetno=0))
+            desc += " empty1st"
+        else:
+            junk = bytes([0x83]) + b"theora" + bytes(
+                rng.randint(0, 256, 8).astype(np.uint8).tobytes())
+            pkts.insert(int(rng.randint(0, 4)),
+                        TPacket(junk, granulepos=-1, packetno=9))
+            desc += " junkhdr"
+    else:  # bad magic on a random header
+        hi = int(rng.randint(0, 3))
+        b = bytearray(pkts[hi].data)
+        b[1 + int(rng.randint(0, 6))] ^= 0xFF
+        pkts[hi] = TPacket(bytes(b), granulepos=pkts[hi].granulepos,
+                           packetno=hi, e_o_s=False,
+                           b_o_s=pkts[hi].b_o_s)
+        desc += f" magic@{hi}"
+
+    write_tpkt(tmp + ".tpkt", pkts)
+    r = subprocess.run(
+        [REF_HDR, tmp + ".tpkt", tmp + ".yuv"],
+        capture_output=True, text=True, timeout=60,
+    )
+    if r.returncode != 0:
+        return desc, f"ref_hdr crashed: rc={r.returncode} {r.stderr[-80:]}"
+    ref_events = []
+    for line in r.stdout.splitlines():
+        f = line.split()
+        if f and f[0] in ("H", "A", "S"):
+            ref_events.append((f[0], f[1] if f[0] == "A" else int(f[1])))
+
+    # --- Our side: identical driver loop -----------------------------
+    my_events = []
+    mine = []
+
+    def _drive():
+        state: dict = {}
+        dec = None
+        for p in pkts:
+            if dec is None:
+                ret = compat.th_decode_headerin(state, p)
+                my_events.append(("H", ret))
+                if ret != 0:
+                    continue
+                ti = state["info"]
+                if ti.frame_width * ti.frame_height > MAX_HDR_AREA:
+                    my_events.append(("A", "skip"))
+                    return
+                try:
+                    dec = Decoder(state["info"], state["setup"])
+                except Exception:
+                    my_events.append(("A", "fail"))
+                    return
+            try:
+                ret = dec.decode_packet(p.data)
+                my_events.append(("S", 1 if ret == 1 else 0))
+                mine.append(np.concatenate(
+                    [x.reshape(-1) for x in dec.ycbcr_out()]))
+            except Exception:
+                my_events.append(("S", -1))
+
+    def _alarm(signum, frame):
+        raise TimeoutError
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(60)
+    try:
+        _drive()
+    except TimeoutError:
+        return desc, "our driver hung >60s"
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+    # Header codes compare EXACTLY; decode statuses compare by category
+    # (the data-packet campaign already pins those codes).
+    def norm(ev):
+        return [(k, ("bad" if v < 0 else "dup" if v == 1 else "ok")
+                 if k == "S" else v) for k, v in ev]
+
+    if norm(ref_events) != norm(my_events):
+        return desc, (f"event divergence: ref {ref_events} "
+                      f"vs ours {my_events}")
+    ref = np.fromfile(tmp + ".yuv", np.uint8)
+    mine_all = (np.concatenate(mine) if mine else np.zeros(0, np.uint8))
+    if len(ref) != len(mine_all):
+        return desc, f"length {len(ref)} vs {len(mine_all)}"
+    if not np.array_equal(ref, mine_all):
+        return desc, f"bytes differ at {int(np.argmax(ref != mine_all))}"
+    return desc, None
+
+
+def run_synth_trial(rng, trial, tmp=None):
     """LEGAL-but-RD-atypical streams: random coding plans (modes, MVs,
     qi triples, per-block qii, sparse coefficients) packed through
     Encoder.pack_frame_plan -- structurally valid bitstreams no
@@ -329,6 +584,7 @@ def run_synth_trial(rng, trial, tmp="/tmp/crosscheck_s"):
     RLEs).  Both decoders must still agree byte-for-byte.  This covers
     the legal-stream space the encoder-driven directions cannot reach
     (round-3 VERDICT missing #3's no-egress substitute, extended)."""
+    tmp = tmp or _tmp_path("sy")
     from theora_tpu.constants import (
         FRAME_FOR_MODE,
         FRAME_NONE,
@@ -460,6 +716,7 @@ def main(argv=None):
     device = "--device" in argv
     fuzz = "--fuzz" in argv
     synth = "--synth" in argv
+    hdr = "--hdr" in argv
     if reverse:
         argv.remove("--reverse")
     if device:
@@ -468,6 +725,8 @@ def main(argv=None):
         argv.remove("--fuzz")
     if synth:
         argv.remove("--synth")
+    if hdr:
+        argv.remove("--hdr")
     trials = int(argv[0]) if argv else 40
     seed = int(argv[1]) if len(argv) > 1 else 42
     rng = np.random.RandomState(seed)
@@ -475,7 +734,8 @@ def main(argv=None):
     fn = (run_reverse_trial if reverse
           else run_device_trial if device
           else run_fuzz_trial if fuzz
-          else run_synth_trial if synth else run_trial)
+          else run_synth_trial if synth
+          else run_hdr_fuzz_trial if hdr else run_trial)
     for t in range(trials):
         desc, err = fn(rng, t)
         if err:
@@ -484,7 +744,8 @@ def main(argv=None):
     which = ("reference encodes" if reverse
              else "device-tier encodes" if device
              else "mutated streams" if fuzz
-             else "synthetic random plans" if synth else "our encodes")
+             else "synthetic random plans" if synth
+             else "mutated headers" if hdr else "our encodes")
     print(f"{trials - fails}/{trials} trials bit-identical "
           f"(reference decoder vs ours, on {which})")
     return 1 if fails else 0
