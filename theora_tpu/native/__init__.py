@@ -592,6 +592,12 @@ def trellis_plan_blocks_native(dct16, qdct, dq0, dq1, qti, lam, nbt):
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.th_trellis_plan_blocks_lam.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib._tpl_setup = True
     n = len(qdct)
     dct_c = np.ascontiguousarray(dct16, dtype=np.int16)
@@ -603,11 +609,25 @@ def trellis_plan_blocks_native(dct16, qdct, dq0, dq1, qti, lam, nbt):
     paths = np.empty((n, 66, 4), dtype=np.int16)
     acbits = np.empty(n, dtype=np.int64)
     err2 = np.empty(n, dtype=np.int64)
-    lib.th_trellis_plan_blocks(
-        n, dct_c.ctypes.data, qdct.ctypes.data, dq0_c.ctypes.data,
-        dq1_c.ctypes.data, qti_c.ctypes.data, int(lam), nbt_c.ctypes.data,
-        acbits.ctypes.data, err2.ctypes.data, paths.ctypes.data,
-    )
+    if isinstance(lam, np.ndarray):
+        # Per-block lambda (activity masking): one lambda per block.
+        lam_c = np.ascontiguousarray(
+            np.rint(lam).astype(np.int64)
+        )
+        assert len(lam_c) == n
+        lib.th_trellis_plan_blocks_lam(
+            n, dct_c.ctypes.data, qdct.ctypes.data, dq0_c.ctypes.data,
+            dq1_c.ctypes.data, qti_c.ctypes.data, lam_c.ctypes.data,
+            nbt_c.ctypes.data, acbits.ctypes.data, err2.ctypes.data,
+            paths.ctypes.data,
+        )
+    else:
+        lib.th_trellis_plan_blocks(
+            n, dct_c.ctypes.data, qdct.ctypes.data, dq0_c.ctypes.data,
+            dq1_c.ctypes.data, qti_c.ctypes.data, int(lam),
+            nbt_c.ctypes.data, acbits.ctypes.data, err2.ctypes.data,
+            paths.ctypes.data,
+        )
     return paths, acbits, err2
 
 

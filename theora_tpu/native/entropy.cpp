@@ -2707,12 +2707,13 @@ static void trellis_plan_range(int64_t lo, int64_t hi, const int16_t* dct,
                                const int32_t* dq1, const int32_t* qti,
                                int64_t lam, const int64_t* nbt,
                                int64_t* acbits, int64_t* err2,
-                               int16_t* paths) {
+                               int16_t* paths, const int64_t* lam_b = nullptr) {
   for (int64_t i = lo; i < hi; i++) {
     const int32_t* dq = qti[i] ? dq1 : dq0;
     int16_t* row = qdct + i * 64;
     int16_t vals[64];
-    acbits[i] = trellis_block(dct + i * 64, row, dq, lam, qti[i] ? 0 : 3,
+    acbits[i] = trellis_block(dct + i * 64, row, dq,
+                              lam_b ? lam_b[i] : lam, qti[i] ? 0 : 3,
                               nbt, paths + i * 66 * 4, vals);
     int64_t e2 = 0;
     const int16_t* drow = dct + i * 64;
@@ -2745,7 +2746,33 @@ void th_trellis_plan_blocks(int64_t n, const int16_t* dct, int16_t* qdct,
   for (int t = 0; t < nthreads; t++) {
     int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
     ts.emplace_back(trellis_plan_range, lo, hi, dct, qdct, dq0, dq1, qti,
-                    lam, nbt, acbits, err2, paths);
+                    lam, nbt, acbits, err2, paths, nullptr);
+  }
+  for (auto& t : ts) t.join();
+}
+
+// Per-block-lambda variant: the activity-masking tier hands each block
+// its own R/D lambda (rd_iscale semantics, analyze.c:1256-1340 --
+// busy blocks prune harder, calm blocks keep more coefficients).
+void th_trellis_plan_blocks_lam(int64_t n, const int16_t* dct,
+                                int16_t* qdct, const int32_t* dq0,
+                                const int32_t* dq1, const int32_t* qti,
+                                const int64_t* lam_b, const int64_t* nbt,
+                                int64_t* acbits, int64_t* err2,
+                                int16_t* paths) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = (int)(hw ? hw : 1);
+  if (nthreads > 4) nthreads = 4;
+  if (n < 4096 || nthreads < 2) {
+    trellis_plan_range(0, n, dct, qdct, dq0, dq1, qti, 0, nbt, acbits,
+                       err2, paths, lam_b);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; t++) {
+    int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+    ts.emplace_back(trellis_plan_range, lo, hi, dct, qdct, dq0, dq1, qti,
+                    (int64_t)0, nbt, acbits, err2, paths, lam_b);
   }
   for (auto& t : ts) t.join();
 }
