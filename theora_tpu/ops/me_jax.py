@@ -82,20 +82,31 @@ def _box_mb(diff, mb):
 def _mb_neighborhoods(ref, nv, nh):
     """[F, H, W] u8 plane -> [F, nv*nh, 48, 48] u8 neighborhood tensor:
     entry (f, b, 16+dy, 16+dx) is ref pixel at offset (dy, dx) from MB
-    b's top-left corner (edge-replicated outside the frame).  Static
-    slices of a 3x3 grid of 16-px shifts -- no gathers."""
+    b's top-left corner (edge-replicated outside the frame).
+
+    Built band-major: overlapping 48-wide windows at stride 16 are three
+    CONTIGUOUS reshapes (rows k..k+16*nv view as [nv, 16]) concatenated
+    on a trailing axis, applied to rows then columns, then one final
+    transpose.  The previous 3x3 grid of strided
+    slice+reshape+transpose+concat ops cost ~110 ms/GOP at 720p (the
+    single largest stage of the whole encode pipeline, round-5
+    roofline); this form is ~6 ms, bit-identical."""
     F = ref.shape[0]
+    W = nh * 16
     refp = jnp.pad(ref, ((0, 0), (16, 16), (16, 16)), mode="edge")
-    rows = []
-    for dy in (-16, 0, 16):
-        cols = []
-        for dx in (-16, 0, 16):
-            sl = jax.lax.dynamic_slice(
-                refp, (0, 16 + dy, 16 + dx), (F, nv * 16, nh * 16)
-            )
-            cols.append(sl.reshape(F, nv, 16, nh, 16).transpose(0, 1, 3, 2, 4))
-        rows.append(jnp.concatenate(cols, axis=4))
-    return jnp.concatenate(rows, axis=3).reshape(F, nv * nh, 48, 48)
+    Wp = W + 32
+    bands = jnp.concatenate(
+        [refp[:, k : k + 16 * nv].reshape(F, nv, 16, Wp) for k in (0, 16, 32)],
+        axis=2,
+    )  # [F, nv, 48, Wp]
+    cols = jnp.concatenate(
+        [
+            bands[:, :, :, k : k + 16 * nh].reshape(F, nv, 48, nh, 16)
+            for k in (0, 16, 32)
+        ],
+        axis=4,
+    )  # [F, nv, 48, nh, 48]
+    return cols.transpose(0, 1, 3, 2, 4).reshape(F, nv * nh, 48, 48)
 
 
 def _extract_patch(nb, py, px, S):
@@ -129,13 +140,97 @@ def _extract_patch(nb, py, px, S):
     return out.astype(jnp.uint8)
 
 
-def _pick25(grid, ey, ex):
-    """grid: list of 25 [F, n] SADs in 5x5 row-major order; returns the
-    per-MB entry at grid position (ey, ex) via one one-hot contraction
-    (compile-time: 2 ops instead of a 25-way masked-select chain)."""
-    g = jnp.stack(grid, axis=-1)  # [F, n, 25]
-    onehot = (ey * 5 + ex)[..., None] == jnp.arange(25, dtype=jnp.int32)
-    return jnp.where(onehot, g, 0).sum(-1)
+@functools.lru_cache(None)
+def _refine_rank():
+    """rank[ey*5+ex] = radius-order position of cell offset
+    (ey-2, ex-2) in _refine_cands()."""
+    rank = np.empty(25, np.int32)
+    for r, (dy, dx) in enumerate(_refine_cands()):
+        rank[(dy + 2) * 5 + (dx + 2)] = r
+    return rank
+
+
+def _refine_select(grid, by, bx, mv_max):
+    """First-by-radius-rank minimum over the in-range cells of a 5x5
+    refine grid.  grid: list of 25 [F, n] SADs in row-major cell order,
+    cell (ey, ex) scoring full-pel offset (by+ey-2, bx+ex-2).
+
+    Replaces the clipped radius-ordered candidate loop (25 per-candidate
+    one-hot picks, ~17 ms/GOP at 720p) with ONE keyed argmin -- result
+    identical: a clipped candidate lands on a cell whose own unclipped
+    candidate has a strictly earlier radius rank (clipping shrinks |dy|
+    or |dx| at equal other component), so clipped duplicates can never
+    win, and out-of-range cells are simply masked out.
+
+    Returns (sad, oy, ox)."""
+    g = jnp.stack(grid, -1)  # [F, n, 25]
+    steps = jnp.arange(25, dtype=jnp.int32)
+    cy = steps // 5 - 2
+    cx = steps % 5 - 2
+    oy = by[..., None] + cy
+    ox = bx[..., None] + cx
+    valid = (jnp.abs(oy) <= mv_max) & (jnp.abs(ox) <= mv_max)
+    # sad <= 65280 (16x16 u8 SAD) so sad*32+rank < 2^22: exact in i32.
+    key = jnp.where(
+        valid, g * 32 + jnp.asarray(_refine_rank()),
+        jnp.iinfo(jnp.int32).max,
+    )
+    idx = jnp.argmin(key, axis=-1).astype(jnp.int32)
+    kmin = jnp.min(key, axis=-1)
+    return kmin >> 5, by + idx // 5 - 2, bx + idx % 5 - 2
+
+
+def _halfpel_select(taps, cur_blk, best_y, best_x):
+    """Score the 8 half-pel neighbours (+ the full-pel center) of each
+    block's full-pel winner with the exact two-tap MC prediction
+    (state.c:846-957 semantics) and return the radius-order first
+    minimum as (sad, my, mx) in half-pel units.
+
+    taps[ry][rx]: [.., S, S] i32 ref pixels at full-pel offset
+    (best_y-1+ry, best_x-1+rx); cur_blk [.., S, S] i32.
+
+    The two MC taps of an odd component are the same UNORDERED full-pel
+    pair for either sign (truncation toward zero walks the pair from the
+    near end), and pred2 = tap_a + tap_b is symmetric, so every
+    candidate's prediction is one of at most two STATIC tap sums --
+    diagonals pick between the two by whether sign(my) and sign(mx)
+    agree.  13 static SAD passes replace the 81 per-candidate one-hot
+    weight passes of the previous formulation (~25 ms/GOP at 720p,
+    round-5 roofline)."""
+    nd = cur_blk.ndim - 2
+    sum_ax = (nd, nd + 1)
+
+    def psad(a, b):
+        pred2 = taps[a[0]][a[1]] + taps[b[0]][b[1]]
+        return jnp.abs(cur_blk - (pred2 >> 1)).sum(axis=sum_ax)
+
+    pair = {-1: (0, 1), 1: (1, 2)}
+    sads = {
+        (0, 0): psad((1, 1), (1, 1)),
+        (-1, 0): psad((0, 1), (1, 1)),
+        (1, 0): psad((1, 1), (2, 1)),
+        (0, -1): psad((1, 0), (1, 1)),
+        (0, 1): psad((1, 1), (1, 2)),
+    }
+    for dy in (-1, 1):
+        for dx in (-1, 1):
+            (y0, y1), (x0, x1) = pair[dy], pair[dx]
+            s_same = psad((y0, x0), (y1, x1))
+            s_mixed = psad((y0, x1), (y1, x0))
+            agree = ((2 * best_y + dy) >= 0) == ((2 * best_x + dx) >= 0)
+            sads[(dy, dx)] = jnp.where(agree, s_same, s_mixed)
+
+    order = sorted(sads, key=lambda d: (d[0] * d[0] + d[1] * d[1], d))
+    best = jnp.full_like(sads[(0, 0)], jnp.iinfo(jnp.int32).max)
+    bmy = jnp.zeros_like(best_y)
+    bmx = jnp.zeros_like(best_x)
+    for dy, dx in order:
+        s = sads[(dy, dx)]
+        better = s < best
+        best = jnp.where(better, s, best)
+        bmy = jnp.where(better, 2 * best_y + dy, bmy)
+        bmx = jnp.where(better, 2 * best_x + dx, bmx)
+    return best, bmy, bmx
 
 
 def _me_search_impl(cur, ref):
@@ -156,20 +251,29 @@ def _me_search_impl(cur, ref):
     R2 = _COARSE_R + 1
     ref2p = jnp.pad(ref2, ((0, 0), (R2, R2), (R2, R2)), mode="edge")
 
-    def coarse_step(carry, d):
+    # 5 displacements per scan step: the per-step lax.scan overhead was
+    # ~90% of the coarse stage's time (compute per step is ~8.5 us of
+    # HBM traffic against ~160 us measured); candidate ORDER -- and so
+    # every tie-break -- is unchanged, the inner unroll just applies the
+    # same sequential strict-< updates 5 at a time.
+    def coarse_step(carry, ds):
         best_sad, best_d = carry
-        shifted = jax.lax.dynamic_slice(
-            ref2p, (0, R2 + d[0], R2 + d[1]), cur2.shape
-        )
         F_, H_, W_ = cur2.shape
-        sad = (
-            jnp.abs(cur2 - shifted)
-            .reshape(F_, H_ // 8, 8, W_ // 8, 8)
-            .sum(axis=(2, 4), dtype=jnp.int32)
-        )
-        better = sad < best_sad
-        best_sad = jnp.where(better, sad, best_sad)
-        best_d = jnp.where(better[..., None], d[None, None, None, :], best_d)
+        for i in range(ds.shape[0]):
+            d = ds[i]
+            shifted = jax.lax.dynamic_slice(
+                ref2p, (0, R2 + d[0], R2 + d[1]), cur2.shape
+            )
+            sad = (
+                jnp.abs(cur2 - shifted)
+                .reshape(F_, H_ // 8, 8, W_ // 8, 8)
+                .sum(axis=(2, 4), dtype=jnp.int32)
+            )
+            better = sad < best_sad
+            best_sad = jnp.where(better, sad, best_sad)
+            best_d = jnp.where(
+                better[..., None], d[None, None, None, :], best_d
+            )
         return (best_sad, best_d), None
 
     init = (
@@ -177,16 +281,21 @@ def _me_search_impl(cur, ref):
         jnp.zeros((F, nv, nh, 2), jnp.int32),
     )
     (c_sad, c_d), _ = jax.lax.scan(
-        coarse_step, init, jnp.asarray(_coarse_cands())
+        coarse_step, init, jnp.asarray(_coarse_cands().reshape(45, 5, 2))
     )
 
     # ---- full-pel refine around 2x coarse -----------------------------
     nb = _mb_neighborhoods(ref, nv, nh)
+    # Transpose in u8 and materialize (optimization_barrier) BEFORE the
+    # int32 cast: a fused int32 strided transpose re-walked by the ~38
+    # grid/half-pel consumers measured ~120 ms/GOP at 720p by itself
+    # (round-5 roofline bisection); the u8 transpose + barrier is ~2 ms.
     cur_mb = (
-        curi.reshape(F, nv, 16, nh, 16)
+        cur.reshape(F, nv, 16, nh, 16)
         .transpose(0, 1, 3, 2, 4)
         .reshape(F, n, 16, 16)
     )
+    cur_mb = jax.lax.optimization_barrier(cur_mb).astype(jnp.int32)
     base = 2 * c_d  # [F, nv, nh, 2] (dy, dx), each in [-14, 14]
     by = base[..., 0].reshape(F, n)
     bx = base[..., 1].reshape(F, n)
@@ -199,63 +308,22 @@ def _me_search_impl(cur, ref):
         for rx in range(5):
             d = jnp.abs(patch[:, :, ry : ry + 16, rx : rx + 16] - cur_mb)
             grid.append(d.sum(axis=(2, 3)))
-
-    best_sad = jnp.full((F, n), jnp.iinfo(jnp.int32).max, jnp.int32)
-    best_y = jnp.zeros((F, n), jnp.int32)
-    best_x = jnp.zeros((F, n), jnp.int32)
-    for dy, dx in _refine_cands():
-        oy = jnp.clip(by + dy, -_MV_MAX, _MV_MAX)
-        ox = jnp.clip(bx + dx, -_MV_MAX, _MV_MAX)
-        ey = oy - (by - 2)  # in [0, 4]
-        ex = ox - (bx - 2)
-        sad = _pick25(grid, ey, ex)
-        better = sad < best_sad
-        best_sad = jnp.where(better, sad, best_sad)
-        best_y = jnp.where(better, oy, best_y)
-        best_x = jnp.where(better, ox, best_x)
+    _, best_y, best_x = _refine_select(grid, by, bx, _MV_MAX)
 
     # ---- half-pel refine ----------------------------------------------
     # Candidate m in half-pel units; prediction = (ref[trunc(m/2)] +
     # ref[trunc(m/2) + sign(m)*(m&1)]) >> 1 -- the exact MC kernel.
     # Both taps lie in [f-1, f+1], so one 18x18 patch at (f-1) holds
     # every tap as a static 3x3 grid of 16x16 slices.
-    hp_cands = sorted(
-        [(hy, hx) for hy in (-1, 0, 1) for hx in (-1, 0, 1)],
-        key=lambda d: (d[0] * d[0] + d[1] * d[1], d),
-    )
     patch = _extract_patch(nb, best_y - 1, best_x - 1, 18).astype(jnp.int32)
     taps = [
         [patch[:, :, ry : ry + 16, rx : rx + 16] for rx in range(3)]
         for ry in range(3)
     ]
-
-    best_hsad = jnp.full((F, n), jnp.iinfo(jnp.int32).max, jnp.int32)
-    best_mx = jnp.zeros((F, n), jnp.int32)
-    best_my = jnp.zeros((F, n), jnp.int32)
-    for dy, dx in hp_cands:
-        my = 2 * best_y + dy  # |f| <= 15 so |m| <= 31: never clipped
-        mx = 2 * best_x + dx
-        o1y = jnp.sign(my) * (jnp.abs(my) >> 1)
-        o1x = jnp.sign(mx) * (jnp.abs(mx) >> 1)
-        o2y = o1y + jnp.sign(my) * (jnp.abs(my) & 1)
-        o2x = o1x + jnp.sign(mx) * (jnp.abs(mx) & 1)
-        r1y = o1y - (best_y - 1)  # in [0, 2]
-        r1x = o1x - (best_x - 1)
-        r2y = o2y - (best_y - 1)
-        r2x = o2x - (best_x - 1)
-        pred2 = jnp.zeros((F, n, 16, 16), jnp.int32)
-        for ry in range(3):
-            for rx in range(3):
-                w = (
-                    ((r1y == ry) & (r1x == rx)).astype(jnp.int32)
-                    + ((r2y == ry) & (r2x == rx)).astype(jnp.int32)
-                )
-                pred2 = pred2 + w[:, :, None, None] * taps[ry][rx]
-        sad = jnp.abs(cur_mb - (pred2 >> 1)).sum(axis=(2, 3))
-        better = sad < best_hsad
-        best_hsad = jnp.where(better, sad, best_hsad)
-        best_mx = jnp.where(better, mx, best_mx)
-        best_my = jnp.where(better, my, best_my)
+    # |f| <= 15 so |m| <= 31: never clipped.
+    best_hsad, best_my, best_mx = _halfpel_select(
+        taps, cur_mb, best_y, best_x
+    )
 
     h_m = jnp.stack([best_mx, best_my], axis=-1).reshape(F, nv, nh, 2)
     h_sad = best_hsad.reshape(F, nv, nh)
@@ -380,7 +448,6 @@ def _block_refine_impl(cur, ref, mv):
     nv, nh = H // 16, W // 16
     n = nv * nh
     nb = _mb_neighborhoods(ref, nv, nh)
-    curi = cur.astype(jnp.int32)
     # Full-pel base per MB: the MC first tap of the half-pel winner.
     mx, my = mv[..., 0], mv[..., 1]
     base_x = (jnp.sign(mx) * (jnp.abs(mx) >> 1)).reshape(F, n)
@@ -388,18 +455,20 @@ def _block_refine_impl(cur, ref, mv):
     base_x = jnp.clip(base_x, -13, 13)
     base_y = jnp.clip(base_y, -13, 13)
 
-    hp_cands = sorted(
-        [(hy, hx) for hy in (-1, 0, 1) for hx in (-1, 0, 1)],
-        key=lambda d: (d[0] * d[0] + d[1] * d[1], d),
-    )
     out_mv = jnp.zeros((F, 2 * nv, 2 * nh, 2), jnp.int32)
     out_sad = jnp.zeros((F, 2 * nv, 2 * nh), jnp.int32)
     for jy in (0, 1):
         for jx in (0, 1):
+            # u8 transpose + barrier before the i32 cast: see the
+            # cur_mb note in _me_search_impl (a fused i32 strided
+            # transpose here measured ~120 ms/GOP at 720p).
             cur_blk = (
-                curi.reshape(F, nv, 2, 8, nh, 2, 8)[:, :, jy, :, :, jx]
+                cur.reshape(F, nv, 2, 8, nh, 2, 8)[:, :, jy, :, :, jx]
                 .transpose(0, 1, 3, 2, 4)
                 .reshape(F, n, 8, 8)
+            )
+            cur_blk = jax.lax.optimization_barrier(cur_blk).astype(
+                jnp.int32
             )
             # ---- full-pel: 5x5 grid as static slices of a 12px patch.
             patch = _extract_patch(
@@ -412,19 +481,7 @@ def _block_refine_impl(cur, ref, mv):
                         patch[:, :, ry : ry + 8, rx : rx + 8] - cur_blk
                     )
                     grid.append(d.sum(axis=(2, 3)))
-            best_sad = jnp.full((F, n), jnp.iinfo(jnp.int32).max, jnp.int32)
-            best_y = jnp.zeros((F, n), jnp.int32)
-            best_x = jnp.zeros((F, n), jnp.int32)
-            for dy, dx in _refine_cands():
-                oy = jnp.clip(base_y + dy, -13, 13)
-                ox = jnp.clip(base_x + dx, -13, 13)
-                ey = oy - (base_y - 2)
-                ex = ox - (base_x - 2)
-                sad = _pick25(grid, ey, ex)
-                better = sad < best_sad
-                best_sad = jnp.where(better, sad, best_sad)
-                best_y = jnp.where(better, oy, best_y)
-                best_x = jnp.where(better, ox, best_x)
+            _, best_y, best_x = _refine_select(grid, base_y, base_x, 13)
             # ---- half-pel: 3x3 taps from a 10px patch.
             patch = _extract_patch(
                 nb, 8 * jy + best_y - 1, 8 * jx + best_x - 1, 10
@@ -433,33 +490,9 @@ def _block_refine_impl(cur, ref, mv):
                 [patch[:, :, ry : ry + 8, rx : rx + 8] for rx in range(3)]
                 for ry in range(3)
             ]
-            b_hsad = jnp.full((F, n), jnp.iinfo(jnp.int32).max, jnp.int32)
-            b_mx = jnp.zeros((F, n), jnp.int32)
-            b_my = jnp.zeros((F, n), jnp.int32)
-            for dy, dx in hp_cands:
-                m_y = 2 * best_y + dy
-                m_x = 2 * best_x + dx
-                o1y = jnp.sign(m_y) * (jnp.abs(m_y) >> 1)
-                o1x = jnp.sign(m_x) * (jnp.abs(m_x) >> 1)
-                o2y = o1y + jnp.sign(m_y) * (jnp.abs(m_y) & 1)
-                o2x = o1x + jnp.sign(m_x) * (jnp.abs(m_x) & 1)
-                r1y = o1y - (best_y - 1)
-                r1x = o1x - (best_x - 1)
-                r2y = o2y - (best_y - 1)
-                r2x = o2x - (best_x - 1)
-                pred2 = jnp.zeros((F, n, 8, 8), jnp.int32)
-                for ry in range(3):
-                    for rx in range(3):
-                        w = (
-                            ((r1y == ry) & (r1x == rx)).astype(jnp.int32)
-                            + ((r2y == ry) & (r2x == rx)).astype(jnp.int32)
-                        )
-                        pred2 = pred2 + w[:, :, None, None] * taps[ry][rx]
-                sad = jnp.abs(cur_blk - (pred2 >> 1)).sum(axis=(2, 3))
-                better = sad < b_hsad
-                b_hsad = jnp.where(better, sad, b_hsad)
-                b_mx = jnp.where(better, m_x, b_mx)
-                b_my = jnp.where(better, m_y, b_my)
+            b_hsad, b_my, b_mx = _halfpel_select(
+                taps, cur_blk, best_y, best_x
+            )
             bm = jnp.stack([b_mx, b_my], axis=-1).reshape(F, nv, nh, 2)
             out_mv = out_mv.at[:, jy::2, jx::2].set(bm)
             out_sad = out_sad.at[:, jy::2, jx::2].set(
