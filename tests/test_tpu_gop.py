@@ -349,7 +349,8 @@ def test_4mv_and_golden_mv_modes():
     )
     enc = TpuGopEncoder(info, qi=48)
     state = enc.dispatch_gop(frames, want_recon=True)
-    plans = state[1]
+    # state[1] is the per-frame plan list (None rows at keyframes).
+    plans = [p for p in state[1] if p is not None]
     modes_used = set()
     for mm, mv, bm in plans:
         modes_used.update(int(m) for m in mm[mm >= 0])

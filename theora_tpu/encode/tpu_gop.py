@@ -490,6 +490,12 @@ class TpuGopEncoder:
         # Predicted sparse-download capacities per (plane, GOP length),
         # carried across GOPs so compaction can be enqueued eagerly.
         self._cap_est: dict = {}
+        # Lossless sparse temporal-delta pixel upload (delta_upload.py):
+        # byte-identical expanded stacks, dense fallback on noise-like
+        # content.  The e2e wire-ceiling counter-move (VERDICT round 4
+        # next #2).
+        self.delta_upload = True
+        self._uploader = None
         g = self.g
         self._mb_list = np.where(g.mb_valid)[0]
         frag0 = g.mb_maps[self._mb_list, 0, 0]
@@ -667,6 +673,19 @@ class TpuGopEncoder:
         g = self.g
         b = self._bias_scale
         MVB = self._mv_bits_sad
+        try:
+            from theora_tpu.native import mode_decide_native
+
+            return mode_decide_native(
+                self._mb_list, self._mb_row, self._mb_col,
+                self._mb_all4, self._mb_birc,
+                mv[fi], sad_mv[fi], sad_nomv[fi], sad_gold[fi],
+                sad_intra[fi], cands[fi], cand_sads[fi], gmv[fi],
+                sad_gmv[fi], bmv[fi], bsad[fi],
+                g.nmbs, b, MVB, self._no_mc,
+            )
+        except (ImportError, OSError, AttributeError):
+            pass
         cand_idx = {
             (int(c[0]), int(c[1])): k
             for k, c in enumerate(cands[fi])
@@ -893,13 +912,35 @@ class TpuGopEncoder:
         )
 
     # ------------------------------------------------------------------
+    def _upload(self, pli, stack_np):
+        """Upload one plane's GOP pixel stack, sparse-delta compressed
+        when profitable (delta_upload.py); byte-identical to a dense
+        device_put either way."""
+        import jax
+
+        if not self.delta_upload:
+            return jax.device_put(np.ascontiguousarray(stack_np))
+        if self._uploader is None:
+            from theora_tpu.encode.delta_upload import DeltaUploader
+
+            self._uploader = DeltaUploader()
+        return self._uploader.upload(pli, np.ascontiguousarray(stack_np))
+
+    # ------------------------------------------------------------------
     def dispatch_me(self, gop_frames: list | None = None,
-                    device_planes=None):
+                    device_planes=None, kf_flags: list | None = None):
         """Stage 1 of dispatch_gop: upload the GOP's pixels and enqueue
         the fused ME plan WITHOUT blocking on it.  A pipelined driver
         can hide the ME round trip of this GOP behind other host/device
         work (e.g. the next GOP's decode in transcode_device) before
-        calling complete_dispatch."""
+        calling complete_dispatch.
+
+        kf_flags marks the keyframes of a MULTI-GOP frame sequence
+        (kf_flags[0] must be True); None = single GOP (frame 0 the only
+        keyframe).  With it, one dispatch carries a whole clip chunk:
+        golden references follow each frame's own GOP keyframe and the
+        plane scans reset their carry at every is_intra frame, so the
+        result is byte-identical to per-GOP dispatches."""
         import jax
         import jax.numpy as jnp
 
@@ -916,8 +957,27 @@ class TpuGopEncoder:
             ]
             # One upload per frame of luma: the same device buffer feeds
             # the fused ME dispatch and the luma encode scan.
-            ys_d = jnp.asarray(np.stack([fr[0] for fr in planes_bs]))
-        me_outs = me_jax.plan_from_gop(ys_d) if F >= 2 else None
+            ys_d = self._upload(0, np.stack([fr[0] for fr in planes_bs]))
+        if kf_flags is not None:
+            if len(kf_flags) != F or not kf_flags[0]:
+                raise ValueError("kf_flags must cover all frames and "
+                                 "mark frame 0 a keyframe")
+            kf_flags = [bool(b) for b in kf_flags]
+        if F < 2:
+            me_outs = None
+        elif kf_flags is None or not any(kf_flags[1:]):
+            me_outs = me_jax.plan_from_gop(ys_d)
+        else:
+            # Per-frame golden index = the frame's own GOP keyframe
+            # (rows whose cur frame is itself a keyframe are discarded
+            # host-side, so their gold value is irrelevant).
+            gidx = np.zeros(F - 1, np.int32)
+            last = 0
+            for f in range(1, F):
+                if kf_flags[f]:
+                    last = f
+                gidx[f - 1] = last
+            me_outs = me_jax.plan_with_gold(ys_d, jnp.asarray(gidx))
         if me_outs is not None:
             # Start the host copies NOW: on the axon runtime a blocking
             # device_get can serialize behind everything queued after
@@ -929,7 +989,7 @@ class TpuGopEncoder:
                     o.copy_to_host_async()
                 except AttributeError:
                     pass
-        return (F, planes_bs, device_planes, ys_d, me_outs)
+        return (F, planes_bs, device_planes, ys_d, me_outs, kf_flags)
 
     # ------------------------------------------------------------------
     def complete_dispatch(self, me_state, want_recon: bool = False,
@@ -940,20 +1000,36 @@ class TpuGopEncoder:
         import jax.numpy as jnp
 
         g = self.g
-        F, planes_bs, device_planes, ys_d, me_outs = me_state
+        F, planes_bs, device_planes, ys_d, me_outs, kf_flags = me_state
+        if kf_flags is None:
+            kf_flags = [True] + [False] * (F - 1)
         plans = (
             self._decide_frames(jax.device_get(me_outs), F - 1)
             if me_outs is not None else []
         )
+        # Per-frame plan rows: None at keyframes (their ME rows, if
+        # computed in a multi-GOP dispatch, are discarded here).
+        plan_pf = [None] + [
+            (None if kf_flags[f] else plans[f - 1]) for f in range(1, F)
+        ]
 
         nfrags = g.nfrags
-        frame_frag = []
         zero_rs = np.zeros(nfrags, np.int8)
         zero_mv = np.zeros((nfrags, 2), np.int32)
         no_skip = np.zeros(nfrags, bool)
-        frame_frag.append((zero_rs, zero_mv, no_skip))  # keyframe
-        for mb_modes, mb_mvs, mb_bmvs in plans:
-            frame_frag.append(self._frag_plan(mb_modes, mb_mvs, mb_bmvs))
+        kf_frag = (zero_rs, zero_mv, no_skip)
+        frame_frag = [
+            kf_frag if p is None else self._frag_plan(*p)
+            for p in plan_pf
+        ]
+        # keyframe_only (the intra saturation gate) applies to frames
+        # whose OWN GOP is a single frame -- per-GOP byte identity.
+        gop_len = np.zeros(F, np.int64)
+        starts = [f for f in range(F) if kf_flags[f]] + [F]
+        for si in range(len(starts) - 1):
+            gop_len[starts[si]:starts[si + 1]] = (
+                starts[si + 1] - starts[si]
+            )
 
         # Per-frame qi lists (rate control steers qi frame to frame,
         # rate.c select_qi; fixed-qi encodes repeat one list).  Each
@@ -975,7 +1051,9 @@ class TpuGopEncoder:
                         if planes_bs is not None else False
                     )
                     fqis.append(
-                        self._adaptive_qis(keyframe_only=(F == 1))
+                        self._adaptive_qis(
+                            keyframe_only=(gop_len[f] == 1)
+                        )
                     )
             else:
                 if len(frame_qi) != F:
@@ -990,7 +1068,7 @@ class TpuGopEncoder:
                     )
                     fqis.append(
                         self._adaptive_qis(
-                            keyframe_only=(F == 1), qi=int(q)
+                            keyframe_only=(gop_len[f] == 1), qi=int(q)
                         )
                     )
         finally:
@@ -1015,12 +1093,10 @@ class TpuGopEncoder:
             elif device_planes is not None:
                 cur_pl = device_planes[pli]
             else:
-                cur_pl = jnp.asarray(
-                    np.stack([planes_bs[f][pli] for f in range(F)])
+                cur_pl = self._upload(
+                    pli, np.stack([planes_bs[f][pli] for f in range(F)])
                 )
-            is_intra = jnp.asarray(
-                np.array([f == 0 for f in range(F)], bool)
-            )
+            is_intra = jnp.asarray(np.array(kf_flags, bool))
             dq = self.enc.dequant
             from theora_tpu.ops.fdct_np import rd_lambda
             from theora_tpu.ops.loopfilter_np import build_bounding_values
@@ -1102,7 +1178,8 @@ class TpuGopEncoder:
                     a.copy_to_host_async()
                 except AttributeError:
                     pass
-        return (F, plans, frame_frag, plane_out, want_recon, fqis)
+        return (F, plan_pf, frame_frag, plane_out, want_recon, fqis,
+                kf_flags)
 
     # ------------------------------------------------------------------
     def finish_gop(self, state):
@@ -1118,7 +1195,9 @@ class TpuGopEncoder:
         the first GOP of a shape, when no prediction exists)."""
         import jax
 
-        F, plans, frame_frag, plane_out, want_recon, fqis = state
+        F, plan_pf, frame_frag, plane_out, want_recon, fqis, kf_flags = (
+            state
+        )
         K = max(len(q) for q in fqis)
         nnz_i = -2 if K > 1 else -1  # qii rides last when adaptive
         tree = {}
@@ -1160,13 +1239,21 @@ class TpuGopEncoder:
                         jax.device_get(fresh), nnz
                     )
 
-        pkts = self._pack_gop(F, plans, frame_frag, qdct_pl, coded_pl,
-                              fqis=fqis, qii_pl=qii_pl if K > 1 else None)
+        pkts = self._pack_gop(F, plan_pf, frame_frag, qdct_pl, coded_pl,
+                              fqis=fqis, qii_pl=qii_pl if K > 1 else None,
+                              kf_flags=kf_flags)
         return pkts, (recon_pl if want_recon else None)
 
     # ------------------------------------------------------------------
     def _pack_gop(self, F, plans, frame_frag, qdct_pl, coded_pl,
-                  fqis=None, qii_pl=None):
+                  fqis=None, qii_pl=None, kf_flags=None):
+        """kf_flags=None (the mesh tier's calling convention): frame 0
+        is the keyframe and `plans` lists the F-1 inter frames.
+        Otherwise `plans` is a PER-FRAME list with None rows at the
+        keyframes kf_flags marks (the clip-batched driver)."""
+        if kf_flags is None:
+            kf_flags = [True] + [False] * (F - 1)
+            plans = [None] + list(plans)
         g = self.g
         nfrags = g.nfrags
         rs_to_ref = np.array(
@@ -1199,13 +1286,13 @@ class TpuGopEncoder:
                 # the packer's table cost model).
                 self.enc.qi = frame_qis[0]
                 pqis = frame_qis if len(frame_qis) > 1 else None
-                if f == 0:
+                if kf_flags[f]:
                     data = self.enc.pack_frame_plan(
                         INTRA_FRAME, coded, frag_refi, None, None, qdct,
                         qis=pqis, frag_qii=frag_qii,
                     )
                 else:
-                    mb_modes, mb_mvs = plans[f - 1][:2]
+                    mb_modes, mb_mvs = plans[f][:2]
                     # 4MV MBs pack their per-luma-block vectors from
                     # here (encoder._mvs_pack reads _frag_mv4).
                     self.enc._frag_mv4 = fmv
@@ -1221,7 +1308,8 @@ class TpuGopEncoder:
     # ------------------------------------------------------------------
     def encode_clip(self, frames: list, keyframe_freq: int = 8,
                     target_bitrate: int = 0, rate_window: int = 8,
-                    auto_keyframe: bool = False) -> list[Packet]:
+                    auto_keyframe: bool = False,
+                    clip_batch: int = 8) -> list[Packet]:
         """Headers + data packets for a whole clip, GOP by GOP.
 
         auto_keyframe places keyframes at detected scene cuts (bounded
@@ -1277,26 +1365,60 @@ class TpuGopEncoder:
                     rc.update()
             rc.update()
             return out
-        # Three-stage pipeline (same staging as transcode_device): while
-        # GOP k's ME plan is in flight on device, GOP k-1's mode
-        # decision + encode scans are enqueued (its ME round trip
-        # already hidden) and GOP k-2's coefficients are downloaded and
-        # entropy-coded on host.
+        # Clip-batched dispatch: consecutive GOPs ride ONE multi-GOP
+        # dispatch (is_intra resets the scan carry at each keyframe, so
+        # bytes are identical to per-GOP dispatches), cutting the
+        # number of host<->device round trips ~4x at the default chunk
+        # size.  Chunks are pipelined two deep (chunk k+1's uploads +
+        # ME + scans enqueue before chunk k's download + host entropy),
+        # the same overlap contract as the old per-GOP staging.
         from collections import deque
+
+        chunks = []  # (pbase, frame list, kf_flags)
+        CHUNK = max(int(clip_batch), 1)
+        i = 0
+        while i < len(gops):
+            j = i
+            total = 0
+            while j < len(gops) and (
+                j == i or total + len(gops[j][1]) <= CHUNK
+            ):
+                total += len(gops[j][1])
+                j += 1
+            cfr, kf = [], []
+            for k in range(i, j):
+                cfr.extend(gops[k][1])
+                kf.extend([True] + [False] * (len(gops[k][1]) - 1))
+            chunks.append((gops[i][0], cfr, kf))
+            i = j
+
+        def emit_chunk(pbase, kf, datas):
+            nonlocal pno
+            gop_base = pbase
+            for j, data in enumerate(datas):
+                fnum = pbase + j
+                if kf[j]:
+                    gop_base = fnum
+                gp = ((gop_base + 1) << shift) + (fnum - gop_base)
+                out.append(Packet(
+                    data, granulepos=gp, packetno=pno,
+                    e_o_s=(fnum == nf - 1),
+                ))
+                pno += 1
 
         me_q: deque = deque()
         fin_q: deque = deque()
 
         def drain_complete():
-            b, me = me_q.popleft()
-            fin_q.append((b, self.complete_dispatch(me)))
+            b, kf, me = me_q.popleft()
+            fin_q.append((b, kf, self.complete_dispatch(me)))
 
         def drain_finish():
-            b, st = fin_q.popleft()
-            emit(b, self.finish_gop(st)[0])
+            b, kf, st = fin_q.popleft()
+            emit_chunk(b, kf, self.finish_gop(st)[0])
 
-        for base, gfr in gops:
-            me_q.append((base, self.dispatch_me(gfr)))
+        for pbase, cfr, kf in chunks:
+            me_q.append((pbase, kf, self.dispatch_me(cfr, kf_flags=kf)))
             if len(me_q) >= 2:
                 drain_complete()
             if len(fin_q) >= 2:

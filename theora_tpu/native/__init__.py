@@ -812,3 +812,44 @@ def mb_modes_pack_native(modes, alphabets):
     if bits < 0:
         raise ValueError("mb modes pack failed")
     return out.tobytes(), int(bits)
+
+
+def mode_decide_native(mb_list, mb_row, mb_col, mb_all4, mb_birc,
+                       mv, sad_mv, sad_nomv, sad_gold, sad_intra,
+                       cands, cand_sads, gmv, sad_gmv, bmv, bsad,
+                       nmbs, b, mvb, no_mc):
+    """Sequential LAST/LAST2-aware mode decision (th_mode_decide), the
+    C++ twin of TpuGopEncoder._decide_frame's Python walk -- identical
+    costs (IEEE doubles), identical tie order.  Returns
+    (mb_modes [nmbs] i32, mb_mvs [nmbs, 2] i32, mb_bmvs [nmbs, 4, 2])."""
+    lib = _require_lib()
+    if not hasattr(lib, "_md_walk_setup"):
+        lib.th_mode_decide.restype = None
+        lib.th_mode_decide.argtypes = (
+            [ctypes.c_int64] + [ctypes.c_void_p] * 16
+            + [ctypes.c_int64] * 3
+            + [ctypes.c_double, ctypes.c_double, ctypes.c_int32]
+            + [ctypes.c_void_p] * 3
+        )
+        lib._md_walk_setup = True
+    nv, nh = sad_mv.shape
+    K = cands.shape[0]
+    c32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)
+    mb_list = c32(mb_list)
+    arrs = [c32(x) for x in (mb_row, mb_col)]
+    all4 = np.ascontiguousarray(mb_all4, dtype=np.uint8)
+    birc = c32(mb_birc)
+    ins = [c32(x) for x in (mv, sad_mv, sad_nomv, sad_gold, sad_intra,
+                            cands, cand_sads, gmv, sad_gmv, bmv, bsad)]
+    mb_modes = np.full(nmbs, -1, np.int32)
+    mb_modes[mb_list] = 0
+    mb_mvs = np.zeros((nmbs, 2), np.int32)
+    mb_bmvs = np.zeros((nmbs, 4, 2), np.int32)
+    lib.th_mode_decide(
+        len(mb_list), mb_list.ctypes.data,
+        arrs[0].ctypes.data, arrs[1].ctypes.data, all4.ctypes.data,
+        birc.ctypes.data, *[x.ctypes.data for x in ins],
+        nv, nh, K, float(b), float(mvb), int(bool(no_mc)),
+        mb_modes.ctypes.data, mb_mvs.ctypes.data, mb_bmvs.ctypes.data,
+    )
+    return mb_modes, mb_mvs, mb_bmvs

@@ -3153,3 +3153,111 @@ extern "C" int64_t th_mb_modes_pack(const int32_t* modes, int64_t n,
   memcpy(out, bw.buf.data(), bw.buf.size());
   return bits;
 }
+
+// ===================================================================
+// Device-tier sequential mode decision (encode/tpu_gop.py
+// _decide_frame): the LAST/LAST2-aware walk over device-precomputed
+// SADs.  The walk order carries the decoder's last/prior MV state
+// (decode.c:806-900) so it is inherently serial; in Python it measured
+// ~33 ms per 720p frame -- the clip-batched driver's host floor.
+// All costs are IEEE doubles exactly as the Python expressions
+// (int SAD + double bias products); ties keep the FIRST candidate in
+// the fixed evaluation order, matching Python's min().
+extern "C" void th_mode_decide(
+    int64_t nmb_walk, const int32_t* mb_list, const int32_t* mb_row,
+    const int32_t* mb_col, const uint8_t* mb_all4,
+    const int32_t* mb_birc,                     // [nmb_walk, 4, 2]
+    const int32_t* mv,                          // [nv, nh, 2]
+    const int32_t* sad_mv, const int32_t* sad_nomv,
+    const int32_t* sad_gold, const int32_t* sad_intra,  // [nv, nh]
+    const int32_t* cands,                       // [K, 2]
+    const int32_t* cand_sads,                   // [K, nv, nh]
+    const int32_t* gmv,                         // [nv, nh, 2]
+    const int32_t* sad_gmv,                     // [nv, nh]
+    const int32_t* bmv,                         // [2nv, 2nh, 2]
+    const int32_t* bsad,                        // [2nv, 2nh]
+    int64_t nv, int64_t nh, int64_t K, double b, double mvb,
+    int32_t no_mc,
+    int32_t* mb_modes, int32_t* mb_mvs, int32_t* mb_bmvs) {
+  enum { NOMV = 0, INTRA = 1, MVM = 2, LAST = 3, LAST2 = 4,
+         GNOMV = 5, GMV = 6, FOUR = 7 };
+  int cand_tab[63 * 63];
+  for (int i = 0; i < 63 * 63; i++) cand_tab[i] = -1;
+  for (int64_t k = 0; k < K; k++) {
+    int dx = cands[2 * k], dy = cands[2 * k + 1];
+    if (dx || dy) cand_tab[(dx + 31) * 63 + (dy + 31)] = (int)k;
+  }
+  int lx = 0, ly = 0, px = 0, py = 0;
+  for (int64_t i = 0; i < nmb_walk; i++) {
+    const int64_t mbi = mb_list[i];
+    const int64_t r = mb_row[i], c = mb_col[i];
+    const int64_t rc = r * nh + c;
+    int bx = mv[2 * rc], by = mv[2 * rc + 1];
+    int gx = gmv[2 * rc], gy = gmv[2 * rc + 1];
+    if (no_mc) { bx = by = gx = gy = 0; }
+    double best_cost = (double)sad_nomv[rc];
+    int mode = NOMV, vx = 0, vy = 0;
+    auto consider = [&](double cost, int m, int x, int y) {
+      if (cost < best_cost) { best_cost = cost; mode = m; vx = x; vy = y; }
+    };
+    consider((double)sad_intra[rc] + 350.0 * b, INTRA, 0, 0);
+    consider((double)sad_gold[rc] + 80.0 * b, GNOMV, 0, 0);
+    if (bx || by) consider((double)sad_mv[rc] + mvb, MVM, bx, by);
+    if (gx || gy)
+      consider((double)sad_gmv[rc] + mvb + 80.0 * b, GMV, gx, gy);
+    if (!no_mc && mb_all4[i]) {
+      int64_t s4 = 0;
+      for (int j = 0; j < 4; j++) {
+        const int64_t br = mb_birc[(i * 4 + j) * 2];
+        const int64_t bc = mb_birc[(i * 4 + j) * 2 + 1];
+        s4 += bsad[br * 2 * nh + bc];
+      }
+      consider((double)s4 + 640.0 * b + 4.0 * mvb, FOUR, 0, 0);
+    }
+    auto sad_at = [&](int x, int y) -> int64_t {
+      if (x == bx && y == by) return sad_mv[rc];
+      const int k = cand_tab[(x + 31) * 63 + (y + 31)];
+      return k < 0 ? -1 : (int64_t)cand_sads[k * nv * nh + rc];
+    };
+    if (lx || ly) {
+      const int64_t s = sad_at(lx, ly);
+      if (s >= 0) consider((double)s + 16.0 * b, LAST, lx, ly);
+    }
+    if ((px || py) && (px != lx || py != ly)) {
+      const int64_t s = sad_at(px, py);
+      if (s >= 0) consider((double)s + 24.0 * b, LAST2, px, py);
+    }
+    mb_modes[mbi] = mode;
+    switch (mode) {
+      case MVM:
+        mb_mvs[2 * mbi] = vx; mb_mvs[2 * mbi + 1] = vy;
+        px = lx; py = ly; lx = vx; ly = vy;
+        break;
+      case LAST:
+        mb_mvs[2 * mbi] = vx; mb_mvs[2 * mbi + 1] = vy;
+        break;
+      case LAST2: {
+        mb_mvs[2 * mbi] = vx; mb_mvs[2 * mbi + 1] = vy;
+        int tx = lx, ty = ly; lx = px; ly = py; px = tx; py = ty;
+        break;
+      }
+      case GMV:
+        mb_mvs[2 * mbi] = vx; mb_mvs[2 * mbi + 1] = vy;
+        break;
+      case FOUR: {
+        for (int j = 0; j < 4; j++) {
+          const int64_t br = mb_birc[(i * 4 + j) * 2];
+          const int64_t bc = mb_birc[(i * 4 + j) * 2 + 1];
+          mb_bmvs[(mbi * 4 + j) * 2] = bmv[(br * 2 * nh + bc) * 2];
+          mb_bmvs[(mbi * 4 + j) * 2 + 1] = bmv[(br * 2 * nh + bc) * 2 + 1];
+        }
+        px = lx; py = ly;
+        lx = mb_bmvs[(mbi * 4 + 3) * 2];
+        ly = mb_bmvs[(mbi * 4 + 3) * 2 + 1];
+        break;
+      }
+      default:
+        break;
+    }
+  }
+}

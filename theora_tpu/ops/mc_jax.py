@@ -41,16 +41,32 @@ def block_neighborhoods(plane, nv, nh, pad_y, pad_x):
     (dy, dx) from fragment b's top-left corner. Static slices only."""
     n_sy = window_shifts(pad_y)
     n_sx = window_shifts(pad_x)
-    rows = []
-    for dy in range(-(n_sy // 2), n_sy // 2 + 1):
-        cols = []
-        for dx in range(-(n_sx // 2), n_sx // 2 + 1):
-            sl = jax.lax.dynamic_slice(
-                plane, (pad_y + 8 * dy, pad_x + 8 * dx), (nv * 8, nh * 8)
+    Hp, Wp = plane.shape
+    wy, wx = 8 * n_sy, 8 * n_sx
+    oy = pad_y - 8 * (n_sy // 2)
+    ox = pad_x - 8 * (n_sx // 2)
+    # Band-major construction: overlapping windows at stride 8 are
+    # contiguous reshapes concatenated on a trailing axis (rows, then
+    # columns), then ONE transpose -- the n_sy*n_sx grid of strided
+    # slice+transpose+concat ops it replaces was ~3x slower (round-5
+    # roofline; same fix as me_jax._mb_neighborhoods).
+    bands = jnp.concatenate(
+        [
+            plane[oy + 8 * k : oy + 8 * k + 8 * nv, :].reshape(nv, 8, Wp)
+            for k in range(n_sy)
+        ],
+        axis=1,
+    )  # [nv, wy, Wp]
+    cols = jnp.concatenate(
+        [
+            bands[:, :, ox + 8 * k : ox + 8 * k + 8 * nh].reshape(
+                nv, wy, nh, 8
             )
-            cols.append(sl.reshape(nv, 8, nh, 8).transpose(0, 2, 1, 3))
-        rows.append(jnp.concatenate(cols, axis=3))
-    return jnp.concatenate(rows, axis=2).reshape(nv * nh, 8 * n_sy, 8 * n_sx)
+            for k in range(n_sx)
+        ],
+        axis=3,
+    )  # [nv, wy, nh, wx]
+    return cols.transpose(0, 2, 1, 3).reshape(nv * nh, wy, wx)
 
 
 def mc_select2(nb, yo1, xo1, yo2, xo2, pad_y, pad_x):

@@ -557,6 +557,20 @@ def plan_from_gop(ys):
 
 
 @jax.jit
+def plan_with_gold(ys, gold_idx):
+    """Fused plan for a multi-GOP frame sequence in ONE dispatch: ys
+    [F, H, W] u8, gold_idx [F-1] i32 giving, for each cur frame f+1,
+    the index of its GOP's keyframe in ys (the golden reference).
+    Rows whose cur frame is itself a keyframe are computed against an
+    arbitrary gold and discarded by the host (keyframes are all-intra).
+    The clip-batched encode driver's ME entry (encode_clip)."""
+    cur = ys[1:]
+    prev = ys[:-1]
+    gold = jnp.take(ys, gold_idx, axis=0)
+    return _plan_impl(cur, prev, gold)
+
+
+@jax.jit
 def plan_from_gops(ys):
     """Fused plan for G stacked GOPs: ys [G, F, H, W] u8.  Returns
     arrays with leading dim G*(F-1), GOP-major (the mesh batch path)."""
