@@ -157,7 +157,7 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
                 cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip,
                 is_intra, deq_intra, deq_inter, bv, lam, lam_q_intra,
                 lam_q_inter, nb_intra=None, nb_inter=None,
-                lam_t_intra=None, lam_t_inter=None):
+                lam_t_intra=None, lam_t_inter=None, lam_sc=None):
         nl = cur_blocks.shape[1]
         if frag_axis is None:
             start = 0
@@ -172,7 +172,7 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
             prev, gold = carry
             (curf, rsf, y1, x1, y2, x2, u2, ms, ik,
              deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
-             lam_t_intra, lam_t_inter) = xs
+             lam_t_intra, lam_t_inter, lam_sc) = xs
             # MC via masked shifts over block neighborhoods
             # (ops/mc_jax.py) -- element gathers run ~100x slower on
             # TPU. Sharded runs take their fragment rows of the
@@ -219,11 +219,13 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
                         acmin_v = jnp.where(rsf == 0, 3, 0)
                         nb_use = jnp.where(ik, nb_intra, nb_inter)
                         lam_t = jnp.where(ik, lti, ltp)
+                        # Per-fragment chooser/tokenize lambda: the
+                        # per-MB activity masking scale (all-ones when
+                        # the mixed-frame gate is off; *1.0 is exact,
+                        # so the default path is bit-identical).
                         qdct = tj.trellis_values(
                             dct, qdct0, deq,
-                            jnp.broadcast_to(
-                                lam_t.astype(jnp.float32), (nl,)
-                            ),
+                            lam_t.astype(jnp.float32) * lam_sc,
                             nb_use, acmin_v,
                         )
                 else:
@@ -263,7 +265,8 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
                     )
                     cost = (
                         16 * sk
-                        + (lam * (6.0 * ck + 2.0 + (6.0 if k else 0.0)))
+                        + (lam * lam_sc
+                           * (6.0 * ck + 2.0 + (6.0 if k else 0.0)))
                         .astype(jnp.int32)
                     )
                     if best is None:
@@ -325,12 +328,14 @@ def make_plane_scan(nv, nh, pad_y, pad_x, emit_recon=False,
             # must still be scannable arrays.
             lam_t_intra = lam
             lam_t_inter = lam
+        if lam_sc is None:
+            lam_sc = jnp.ones(cur_blocks.shape[:2], jnp.float32)
         (prev_f, _), ys = jax.lax.scan(
             step,
             (init_prev, init_gold),
             (cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip,
              is_intra, deq_intra, deq_inter, bv, lam, lam_q_intra,
-             lam_q_inter, lam_t_intra, lam_t_inter),
+             lam_q_inter, lam_t_intra, lam_t_inter, lam_sc),
         )
         return ys + (prev_f,)
 
@@ -347,6 +352,7 @@ def _scan_encode_plane(
     deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter,
     nb_intra, nb_inter, lam_t_intra, lam_t_inter,
     nv, nh, pad_y, pad_x, emit_recon=False, use_trellis=False, n_qis=1,
+    lam_sc=None,
 ):
     """Single-device jitted wrapper over make_plane_scan.
 
@@ -379,6 +385,7 @@ def _scan_encode_plane(
         init_prev, init_gold,
         cur_blocks, refsel, o1y, o1x, o2y, o2x, use2, may_skip, is_intra,
         deq_intra, deq_inter, bv, lam, lam_q_intra, lam_q_inter, *extra,
+        lam_sc=lam_sc,
     )
     # Per-block nonzero counts are emitted by the scan itself (the skip
     # stage already reduces them) so the host can size the sparse
@@ -1042,19 +1049,48 @@ class TpuGopEncoder:
         # inputs skip it (downloading pixels to classify them would
         # defeat the resident pipeline).
         saved_nl = getattr(self.enc, "_frame_noise_like", False)
+        saved_mx = getattr(self.enc, "_frame_mixed", False)
+        saved_sc = getattr(self.enc, "_frag_lam_scale", None)
+
+        def frame_gates(f):
+            """Per-frame content gates on the host encoder object (the
+            noise gate and the round-5 mixed-frame per-MB masking gate,
+            encoder.py _adaptive_qi_triple) and the frame's per-luma-
+            fragment chooser lambda scales (the rd_iscale analogue,
+            analyze.c:1256-1340).  Device-resident transcode inputs
+            skip both gates (no host pixels)."""
+            if planes_bs is None:
+                self.enc._frame_noise_like = False
+                self.enc._frame_mixed = False
+                self.enc._frag_lam_scale = None
+                return None
+            y = planes_bs[f][0]
+            self.enc._frame_noise_like = Encoder._noise_like(y)
+            act = Encoder._luma_activity(y)
+            mixed = Encoder._mixed_frame(act)
+            self.enc._frame_mixed = mixed
+            sc = (
+                self.enc._activity_iscale(act)
+                if (mixed and self.adaptive_quant
+                    and not self.enc._frame_noise_like)
+                else None
+            )
+            self.enc._frag_lam_scale = sc
+            return sc
+
+        frame_sc = [None] * F
         try:
             if frame_qi is None:
                 fqis = []
                 for f in range(F):
-                    self.enc._frame_noise_like = (
-                        Encoder._noise_like(planes_bs[f][0])
-                        if planes_bs is not None else False
-                    )
+                    sc = frame_gates(f)
                     fqis.append(
                         self._adaptive_qis(
                             keyframe_only=(gop_len[f] == 1)
                         )
                     )
+                    if sc is not None and len(fqis[-1]) > 1:
+                        frame_sc[f] = sc
             else:
                 if len(frame_qi) != F:
                     raise ValueError(
@@ -1062,17 +1098,28 @@ class TpuGopEncoder:
                     )
                 fqis = []
                 for f, q in enumerate(frame_qi):
-                    self.enc._frame_noise_like = (
-                        Encoder._noise_like(planes_bs[f][0])
-                        if planes_bs is not None else False
-                    )
+                    sc = frame_gates(f)
                     fqis.append(
                         self._adaptive_qis(
                             keyframe_only=(gop_len[f] == 1), qi=int(q)
                         )
                     )
+                    if sc is not None and len(fqis[-1]) > 1:
+                        frame_sc[f] = sc
         finally:
             self.enc._frame_noise_like = saved_nl
+            self.enc._frame_mixed = saved_mx
+            self.enc._frag_lam_scale = saved_sc
+        # Per-fragment chooser lambda scales for the LUMA scan (chroma
+        # keeps 1.0, the host tier's convention); None when no frame
+        # engaged masking, keeping the unmasked path bit-identical.
+        luma_sc = None
+        if any(s is not None for s in frame_sc):
+            nl0 = g.planes[0].nfrags
+            luma_sc = np.ones((F, nl0), np.float32)
+            for f, s in enumerate(frame_sc):
+                if s is not None:
+                    luma_sc[f] = s[:nl0].astype(np.float32)
         K = max(len(q) for q in fqis)
         fqis_pad = [list(q) + [q[0]] * (K - len(q)) for q in fqis]
         plane_out = {}
@@ -1155,6 +1202,10 @@ class TpuGopEncoder:
                 pl.nvfrags, pl.nhfrags, vpad, hpad,
                 emit_recon=want_recon, use_trellis=self.use_trellis,
                 n_qis=K,
+                lam_sc=(
+                    jnp.asarray(luma_sc)
+                    if (pli == 0 and luma_sc is not None) else None
+                ),
             )
             cap = self._cap_est.get((pli, F), 0)
             packed = _compact_qdct(out[0], cap) if cap else None

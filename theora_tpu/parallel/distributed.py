@@ -59,13 +59,19 @@ def distributed_transcode(
     keyframe_freq: int = 64,
     configure=None,
     _drop_gops: set | None = None,
+    gop_bases: list | None = None,
 ):
     """Encode `frames` across all jax processes; returns the ordered
     packet list on process 0 (header packets included), [] elsewhere.
 
     Every process must pass the same frames/info (frames can also be
     loaded per-process from shared storage; only the GOPs assigned to
-    this process are actually encoded)."""
+    this process are actually encoded).
+
+    gop_bases: optional UNEVEN GOP segmentation (ascending frame
+    indices, starting at 0) -- e.g. scene cuts from
+    encode.tpu_gop.gop_starts; every process must pass the same list.
+    None = fixed keyframe_freq slicing."""
     if info.target_bitrate > 0:
         # Same invariant as transcode(): per-GOP CBR reservoirs would
         # silently diverge from a sequential encode.
@@ -79,7 +85,18 @@ def distributed_transcode(
 
     nproc = jax.process_count()
     pid = jax.process_index()
-    gops = split_gops(frames, keyframe_freq)
+    if gop_bases is not None:
+        bases = list(gop_bases) + [len(frames)]
+        gops = [frames[bases[i]:bases[i + 1]]
+                for i in range(len(bases) - 1)]
+        gop_base = list(gop_bases)
+        # Per-GOP keyframe_freq >= its length: only frame 0 of each
+        # GOP is a forced keyframe (uneven scene-cut GOPs).
+        gop_kf = [max(len(g), 1) for g in gops]
+    else:
+        gops = split_gops(frames, keyframe_freq)
+        gop_base = [gi * keyframe_freq for gi in range(len(gops))]
+        gop_kf = [keyframe_freq] * len(gops)
     ngops = len(gops)
 
     blobs: dict[int, bytes] = {}
@@ -92,7 +109,7 @@ def distributed_transcode(
             # restarted after its assignment would).
             continue
         pkts = _encode_gop(
-            info, gops[gi], gi * keyframe_freq, keyframe_freq,
+            info, gops[gi], gop_base[gi], gop_kf[gi],
             gi == ngops - 1, None,
         )
         if configure is not None:
@@ -136,7 +153,7 @@ def distributed_transcode(
     for gi in range(ngops):
         if int(full_lengths[gi]) == 0:
             pkts = _encode_gop(
-                info, gops[gi], gi * keyframe_freq, keyframe_freq,
+                info, gops[gi], gop_base[gi], gop_kf[gi],
                 gi == ngops - 1, None,
             )
             blob = np.frombuffer(_pack_blob(pkts), dtype=np.uint8)

@@ -106,20 +106,23 @@ class MeshGopEncoder:
 
         def local(init_prev, init_gold, cur, rs, o1y, o1x, o2y, o2x, u2,
                   ms, ik, deqi, deqp, bv, lam, lqi, lqp, nbi, nbp, lti,
-                  ltp):
+                  ltp, lsc):
             # Quantizer inputs carry a per-GOP axis (CBR / 2-pass rate
             # control gives every GOP its own per-frame qi vector; the
             # adaptive triple adds a K row axis); the token-bit tables
             # (nbi/nbp) are frame-type keyed only and stay shared.
+            # lsc: per-fragment chooser lambda scales (per-MB masking,
+            # all-ones when the mixed-frame gate is off).
             def one_gop(ip, ig, c, r, a, b_, cc, dd, u, m, k, di, dp,
-                        bvf, lm, qi_, qp_, ti_, tp_):
+                        bvf, lm, qi_, qp_, ti_, tp_, sc_):
                 extra = (nbi, nbp, ti_, tp_) if use_trellis else ()
                 return scan(ip, ig, c, r, a, b_, cc, dd, u, m, k,
-                            di, dp, bvf, lm, qi_, qp_, *extra)
+                            di, dp, bvf, lm, qi_, qp_, *extra,
+                            lam_sc=sc_)
 
             return jax.vmap(one_gop)(
                 init_prev, init_gold, cur, rs, o1y, o1x, o2y, o2x, u2,
-                ms, ik, deqi, deqp, bv, lam, lqi, lqp, lti, ltp,
+                ms, ik, deqi, deqp, bv, lam, lqi, lqp, lti, ltp, lsc,
             )
 
         gfp = P("gop", None, "frag")
@@ -141,7 +144,7 @@ class MeshGopEncoder:
                 gfp, gfp, gfp, gfp, gfp, gfp, gfp,
                 P("gop", None),
                 gq, gq, gq, gq, gq, gq,
-                P(), P(), gq, gq,
+                P(), P(), gq, gq, gfp,
             ),
             out_specs=tuple(out),
             check_vma=False,
@@ -207,14 +210,26 @@ class MeshGopEncoder:
         from theora_tpu.encode.encoder import Encoder as _Enc
 
         saved_nl = getattr(base.enc, "_frame_noise_like", False)
+        saved_mx = getattr(base.enc, "_frame_mixed", False)
+        saved_sc = getattr(base.enc, "_frag_lam_scale", None)
+        frame_sc = [[None] * F for _ in range(G)]
         try:
             fqis_gf = []
             for gi in range(G):
                 row = []
                 for f in range(F):
-                    base.enc._frame_noise_like = _Enc._noise_like(
-                        planes_bs[gi][f][0]
+                    y = planes_bs[gi][f][0]
+                    base.enc._frame_noise_like = _Enc._noise_like(y)
+                    act = _Enc._luma_activity(y)
+                    mixed = _Enc._mixed_frame(act)
+                    base.enc._frame_mixed = mixed
+                    sc = (
+                        base.enc._activity_iscale(act)
+                        if (mixed and base.adaptive_quant
+                            and not base.enc._frame_noise_like)
+                        else None
                     )
+                    base.enc._frag_lam_scale = sc
                     q = (
                         base.qi if frame_qi is None
                         else int(frame_qi[gi][f])
@@ -222,9 +237,13 @@ class MeshGopEncoder:
                     row.append(base._adaptive_qis(
                         keyframe_only=(F == 1), qi=q
                     ))
+                    if sc is not None and len(row[-1]) > 1:
+                        frame_sc[gi][f] = sc
                 fqis_gf.append(row)
         finally:
             base.enc._frame_noise_like = saved_nl
+            base.enc._frame_mixed = saved_mx
+            base.enc._frag_lam_scale = saved_sc
         K = max(len(q) for row in fqis_gf for q in row)
         fqis_pad = [
             [list(q) + [q[0]] * (K - len(q)) for q in row]
@@ -336,6 +355,15 @@ class MeshGopEncoder:
                 lqp_g = lqp_g[..., 0]
                 lti_g = lti_g[..., 0]
                 ltp_g = ltp_g[..., 0]
+            # Per-fragment chooser lambda scales (luma only; ones
+            # elsewhere and on every unengaged frame -- *1.0 is exact,
+            # so unengaged output is bit-identical).
+            lsc_g = np.ones((G, F, npad), np.float32)
+            if pli == 0:
+                for gi in range(G):
+                    for f in range(F):
+                        if frame_sc[gi][f] is not None:
+                            lsc_g[gi, f, :n] = frame_sc[gi][f][:n]
             outs = fn(
                 init, init,
                 arrs["cur"], arrs["rs"], arrs["o1y"], arrs["o1x"],
@@ -346,6 +374,7 @@ class MeshGopEncoder:
                 jnp.asarray(lqi_g), jnp.asarray(lqp_g),
                 jnp.asarray(base._nb_dev), jnp.asarray(base._nb_dev),
                 jnp.asarray(lti_g), jnp.asarray(ltp_g),
+                jnp.asarray(lsc_g),
             )
             qdct, coded = outs[0], outs[1]
             qdct_pl[pli] = np.asarray(qdct)[:, :, :n]
