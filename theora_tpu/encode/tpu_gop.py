@@ -735,7 +735,7 @@ class TpuGopEncoder:
                      MODE_GOLDEN_MV, gbest)
                 )
             if not self._no_mc and self._mb_all4[i]:
-                s4 = int(bsad[fi, bi_rc[:, 0], bi_rc[:, 1]].sum())
+                s4 = int(bsad[fi, r, c])
                 costs.append(
                     (s4 + 640 * b + 4 * MVB, MODE_INTER_MV_FOUR, None)
                 )

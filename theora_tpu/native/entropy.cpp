@@ -3175,7 +3175,7 @@ extern "C" void th_mode_decide(
     const int32_t* gmv,                         // [nv, nh, 2]
     const int32_t* sad_gmv,                     // [nv, nh]
     const int32_t* bmv,                         // [2nv, 2nh, 2]
-    const int32_t* bsad,                        // [2nv, 2nh]
+    const int32_t* bsad4,                       // [nv, nh] 4MV sums
     int64_t nv, int64_t nh, int64_t K, double b, double mvb,
     int32_t no_mc,
     int32_t* mb_modes, int32_t* mb_mvs, int32_t* mb_bmvs) {
@@ -3205,15 +3205,8 @@ extern "C" void th_mode_decide(
     if (bx || by) consider((double)sad_mv[rc] + mvb, MVM, bx, by);
     if (gx || gy)
       consider((double)sad_gmv[rc] + mvb + 80.0 * b, GMV, gx, gy);
-    if (!no_mc && mb_all4[i]) {
-      int64_t s4 = 0;
-      for (int j = 0; j < 4; j++) {
-        const int64_t br = mb_birc[(i * 4 + j) * 2];
-        const int64_t bc = mb_birc[(i * 4 + j) * 2 + 1];
-        s4 += bsad[br * 2 * nh + bc];
-      }
-      consider((double)s4 + 640.0 * b + 4.0 * mvb, FOUR, 0, 0);
-    }
+    if (!no_mc && mb_all4[i])
+      consider((double)bsad4[rc] + 640.0 * b + 4.0 * mvb, FOUR, 0, 0);
     auto sad_at = [&](int x, int y) -> int64_t {
       if (x == bx && y == by) return sad_mv[rc];
       const int k = cand_tab[(x + 31) * 63 + (y + 31)];

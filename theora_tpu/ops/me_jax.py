@@ -517,6 +517,13 @@ def _plan_impl(cur, prev, gold):
         gmv, sad_gmv, sad_gold = _me_search_impl(cur, gold)
     with jax.named_scope("me_block_refine"):
         bmv, bsad = _block_refine_impl(cur, prev, mv)
+        # Per-MB 4MV SAD sums: the host decision only ever consumes the
+        # SUM of an MB's four block SADs (the 4MV mode cost), so the
+        # download shrinks 4x (B*2nv*2nh u16 -> B*nv*nh).
+        B, nv2, nh2 = bsad.shape
+        bsad4 = bsad.reshape(B, nv2 // 2, 2, nh2 // 2, 2).sum(
+            axis=(2, 4)
+        )
     with jax.named_scope("me_sads"):
         sad_intra = _sad_intra_impl(cur)
     with jax.named_scope("me_cands"):
@@ -533,7 +540,7 @@ def _plan_impl(cur, prev, gold):
         gmv.astype(jnp.int8),
         sad_gmv.astype(jnp.uint16),
         bmv.astype(jnp.int8),
-        bsad.astype(jnp.uint16),
+        bsad4.astype(jnp.uint16),
     )
 
 
