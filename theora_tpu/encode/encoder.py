@@ -1055,6 +1055,12 @@ class Encoder:
         reference (analyze.c:1152-1197: act < 8<<12 is "flat" and
         clamps to 5<<12).  Feeds the per-block masking scales and the
         mixed-frame gate."""
+        try:
+            from theora_tpu.native import activity8_plane_native
+
+            return activity8_plane_native(y)
+        except (ImportError, RuntimeError, OSError):
+            pass
         H, W = y.shape
         b = (
             y.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
@@ -1448,15 +1454,16 @@ class Encoder:
         # Crude intra cost: deviation from per-block means.
         ay = mb_fy[:, None, None] + np.arange(16)[None, :, None]
         ax = mb_fx[:, None, None] + np.arange(16)[None, None, :]
-        blocks = cur_y[ay, ax].astype(np.int32).reshape(len(mb_list), 4, 8, 8)
         blocks = cur_y[ay, ax].astype(np.int32)
         b8 = (
             blocks.reshape(len(mb_list), 2, 8, 2, 8)
             .transpose(0, 1, 3, 2, 4)
             .reshape(len(mb_list), 4, 64)
         )
+        # Integer block mean: >>6 floors, identical to the truncated
+        # float mean for non-negative pixels.
         sad_intra = (
-            np.abs(b8 - b8.mean(axis=2, keepdims=True).astype(np.int32))
+            np.abs(b8 - (b8.sum(axis=2, keepdims=True) >> 6))
             .sum(axis=(1, 2))
             .astype(np.int64)
         )
@@ -2204,6 +2211,14 @@ class Encoder:
         pl = g.planes[pli]
         vpad, hpad = g.plane_padding(pli)
         h, w = pl.nvfrags * 8, pl.nhfrags * 8
+        try:
+            from theora_tpu.native import ssd8_plane_native
+
+            return ssd8_plane_native(
+                planes[pli][:h, :w], prev_rec.planes[pli], vpad, hpad
+            )
+        except (ImportError, RuntimeError, OSError):
+            pass
         prev_w = prev_rec.planes[pli][vpad : vpad + h, hpad : hpad + w]
         d = planes[pli].astype(np.int32) - prev_w
         return (

@@ -853,3 +853,45 @@ def mode_decide_native(mb_list, mb_row, mb_col, mb_all4, mb_birc,
         mb_modes.ctypes.data, mb_mvs.ctypes.data, mb_bmvs.ctypes.data,
     )
     return mb_modes, mb_mvs, mb_bmvs
+
+
+def ssd8_plane_native(cur, prev_padded, vpad, hpad):
+    """Per-8x8-block x16 SSD of a plane vs a padded reconstruction
+    (th_ssd8_plane) -- the early-skip uncoded cost.  cur [h, w] u8
+    (h, w multiples of 8); prev_padded [h+2*vpad, w+2*hpad] u8."""
+    lib = _require_lib()
+    if not hasattr(lib, "_ssd8_setup"):
+        lib.th_ssd8_plane.restype = None
+        lib.th_ssd8_plane.argtypes = (
+            [ctypes.c_void_p] * 2 + [ctypes.c_int64] * 3
+            + [ctypes.c_void_p]
+        )
+        lib._ssd8_setup = True
+    cur = np.ascontiguousarray(cur, dtype=np.uint8)
+    h, w = cur.shape
+    prev_padded = np.ascontiguousarray(prev_padded, dtype=np.uint8)
+    ps = prev_padded.shape[1]
+    out = np.empty((h // 8) * (w // 8), np.int64)
+    lib.th_ssd8_plane(
+        cur.ctypes.data,
+        prev_padded.ctypes.data + vpad * ps + hpad,
+        h, w, ps, out.ctypes.data,
+    )
+    return out
+
+
+def activity8_plane_native(y):
+    """Per-8x8-block activity with the flat clamp (th_activity8_plane),
+    the C++ twin of encoder._luma_activity."""
+    lib = _require_lib()
+    if not hasattr(lib, "_act8_setup"):
+        lib.th_activity8_plane.restype = None
+        lib.th_activity8_plane.argtypes = (
+            [ctypes.c_void_p] + [ctypes.c_int64] * 2 + [ctypes.c_void_p]
+        )
+        lib._act8_setup = True
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    h, w = y.shape
+    out = np.empty((h // 8) * (w // 8), np.int64)
+    lib.th_activity8_plane(y.ctypes.data, h, w, out.ctypes.data)
+    return out

@@ -3254,3 +3254,56 @@ extern "C" void th_mode_decide(
     }
   }
 }
+
+// ===================================================================
+// Per-8x8-block SSD of two planes (the uncoded-prediction skip cost,
+// analyze.c:529-531 skip_ssd): out[bv*nbh+bh] = 16 * sum of squared
+// differences over block (bv, bh).  cur is tightly packed [h, w];
+// prev has row stride pstride (a padded reconstruction plane).
+extern "C" void th_ssd8_plane(const uint8_t* cur, const uint8_t* prev,
+                              int64_t h, int64_t w, int64_t pstride,
+                              int64_t* out) {
+  const int64_t nbh = w / 8;
+  for (int64_t bv = 0; bv < h / 8; bv++) {
+    for (int64_t bh = 0; bh < nbh; bh++) {
+      int64_t acc = 0;
+      const uint8_t* c = cur + (bv * 8) * w + bh * 8;
+      const uint8_t* p = prev + (bv * 8) * pstride + bh * 8;
+      for (int r = 0; r < 8; r++) {
+        for (int k = 0; k < 8; k++) {
+          const int d = (int)c[k] - (int)p[k];
+          acc += d * d;
+        }
+        c += w;
+        p += pstride;
+      }
+      out[bv * nbh + bh] = acc * 16;
+    }
+  }
+}
+
+// ===================================================================
+// Per-8x8-block activity of a plane (64*sum(c^2) - sum(c)^2, the
+// reference's variance measure, analyze.c:1152-1197) with its flat
+// clamp.  Feeds the per-MB masking gate (encoder._luma_activity).
+extern "C" void th_activity8_plane(const uint8_t* y, int64_t h,
+                                   int64_t w, int64_t* out) {
+  const int64_t nbh = w / 8;
+  for (int64_t bv = 0; bv < h / 8; bv++) {
+    for (int64_t bh = 0; bh < nbh; bh++) {
+      int64_t x = 0, x2 = 0;
+      const uint8_t* p = y + (bv * 8) * w + bh * 8;
+      for (int r = 0; r < 8; r++) {
+        for (int k = 0; k < 8; k++) {
+          const int64_t v = p[k];
+          x += v;
+          x2 += v * v;
+        }
+        p += w;
+      }
+      int64_t act = (x2 << 6) - x * x;
+      if (act < (8 << 12) && act > (5 << 12)) act = 5 << 12;
+      out[bv * nbh + bh] = act;
+    }
+  }
+}
