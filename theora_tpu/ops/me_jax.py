@@ -73,10 +73,31 @@ def _sumpool2(x):
     )
 
 
+@functools.lru_cache(None)
+def _boxsum_mats(H, W, mb):
+    """Column/row box-sum matrices: box sums as two MXU matmuls
+    instead of a reshape-reduce whose mb-wide minor dims pay up to 16x
+    lane padding (measured 3.5x faster on the coarse ME scan, round-5
+    roofline).  f32 is exact here: every sum is an integer < 2^24."""
+    cs = np.zeros((W, W // mb), np.float32)
+    cs[np.arange(W), np.arange(W) // mb] = 1.0
+    rs = np.zeros((H // mb, H), np.float32)
+    rs[np.arange(H) // mb, np.arange(H)] = 1.0
+    return rs, cs
+
+
 def _box_mb(diff, mb):
-    """[F, H, W] -> [F, H//mb, W//mb] box sums."""
+    """[F, H, W] -> [F, H//mb, W//mb] box sums (exact, via MXU)."""
     F, H, W = diff.shape
-    return diff.reshape(F, H // mb, mb, W // mb, mb).sum(axis=(2, 4))
+    rs, cs = _boxsum_mats(H, W, mb)
+    P = jax.lax.Precision.HIGHEST
+    t = jnp.einsum(
+        "fhc,ck->fhk", diff.astype(jnp.float32), jnp.asarray(cs),
+        precision=P,
+    )
+    return jnp.einsum(
+        "vh,fhk->fvk", jnp.asarray(rs), t, precision=P
+    ).astype(jnp.int32)
 
 
 def _mb_neighborhoods(ref, nv, nh):
@@ -258,17 +279,12 @@ def _me_search_impl(cur, ref):
     # same sequential strict-< updates 5 at a time.
     def coarse_step(carry, ds):
         best_sad, best_d = carry
-        F_, H_, W_ = cur2.shape
         for i in range(ds.shape[0]):
             d = ds[i]
             shifted = jax.lax.dynamic_slice(
                 ref2p, (0, R2 + d[0], R2 + d[1]), cur2.shape
             )
-            sad = (
-                jnp.abs(cur2 - shifted)
-                .reshape(F_, H_ // 8, 8, W_ // 8, 8)
-                .sum(axis=(2, 4), dtype=jnp.int32)
-            )
+            sad = _box_mb(jnp.abs(cur2 - shifted), 8)
             better = sad < best_sad
             best_sad = jnp.where(better, sad, best_sad)
             best_d = jnp.where(
